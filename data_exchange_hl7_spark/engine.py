@@ -1,0 +1,264 @@
+"""Engine: the CDC apply pipeline (SURVEY.md section 7.5 public API).
+
+One micro-batch (epoch) flows:
+
+    slice by lsn range                 (S1/S3 source scan, pushdown filter)
+ -> clean content                      (D1/D5 normalization)
+ -> validate + branch                  (V1-V3 verdicts, K2 router)
+ -> apply schema events                (mergeSchema analogue -> lake DDL)
+ -> RENAME -> delete+upsert rewrite    (debatch-style explode, narrow)
+ -> latest-per-key window dedup        (A1, salted for hot keys)
+ -> lake MERGE w/ epoch manifest       (K3 bulk upsert, exactly-once)
+ -> metrics + lineage append           (A3/A4/K5 report tables)
+
+Everything before the window is narrow (no shuffle); the window + MERGE
+bucket-rewrite are the only wide stages, both keyed on (repo, path).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_exchange_hl7_spark.lake.table import LakeTable
+from data_exchange_hl7_spark.operators import dedup as dedup_ops
+from data_exchange_hl7_spark.operators import validate as validate_ops
+from data_exchange_hl7_spark.operators.normalize import clean_content
+
+SNAPSHOT_SCHEMA = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("lang", "string"),
+    ("content", "string"),
+    ("content_sha256", "string"),
+    ("size_bytes", "int"),
+    ("last_lsn", "bigint"),
+    ("last_ts", "timestamp"),
+]
+KEY_COLS = ["repo", "path"]
+SCHEMA_OPS = ("SCHEMA_ADD", "SCHEMA_RENAME", "SCHEMA_WIDEN")
+
+
+class Engine:
+    """Facade over the lake + operators (reference stage map in __init__.py)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, n_buckets: int = 64):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.n_buckets = n_buckets
+        os.makedirs(warehouse, exist_ok=True)
+
+    # ------------------------------------------------------------ tables
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def snapshot_table(self, name: str = "repo_files") -> LakeTable:
+        loc = self.table_path(name)
+        if LakeTable.exists(loc):
+            return LakeTable(self.spark, loc)
+        return LakeTable.create(
+            self.spark, loc, SNAPSHOT_SCHEMA, KEY_COLS, n_buckets=self.n_buckets
+        )
+
+    # ----------------------------------------------------- schema events
+    def _apply_schema_events(self, table: LakeTable, schema_rows: list) -> int:
+        """Apply SCHEMA_* events in lsn order (metadata-only DDL).
+
+        Engine bookkeeping lives in table properties under "schema_meta":
+        {final_field_name: {"add_lsn": L, "src": original_metadata_key}} so
+        later epochs can populate the column from supporting_metadata for
+        rows with lsn > add_lsn (see datagen.replay_oracle contract).
+        """
+        if not schema_rows:
+            return 0
+        snap = table.current_snapshot()
+        meta: dict[str, Any] = dict(snap["properties"].get("schema_meta", {}))
+        applied = 0
+        for r in sorted(schema_rows, key=lambda r: r["lsn"]):
+            fld = r["schema_field"]
+            if fld is None:
+                continue
+            if r["op"] == "SCHEMA_ADD":
+                # skip if present under this name or renamed away (oracle rule)
+                if fld in meta or any(m.get("src") == fld for m in meta.values()):
+                    continue
+                table.add_column(fld, "string")
+                meta[fld] = {"add_lsn": r["lsn"], "src": fld}
+                applied += 1
+            elif r["op"] == "SCHEMA_RENAME":
+                new = fld + "_renamed"
+                if fld not in meta or new in meta:
+                    continue
+                table.rename_column(fld, new)
+                meta[new] = {"add_lsn": meta[fld]["add_lsn"], "src": meta[fld]["src"]}
+                del meta[fld]
+                applied += 1
+            elif r["op"] == "SCHEMA_WIDEN":
+                # generator currently widens size_bytes int -> bigint
+                cur = {f["name"]: f["type"] for f in table.schema_fields()}
+                if cur.get("size_bytes") == "int":
+                    table.widen_column("size_bytes", "bigint")
+                    applied += 1
+        if applied:
+            table.set_properties({"schema_meta": meta})
+        return applied
+
+    # ------------------------------------------------------------- apply
+    def apply_epoch(
+        self,
+        events: DataFrame,
+        table: LakeTable,
+        epoch: int,
+        start_lsn: int | None = None,
+        end_lsn: int | None = None,
+        collect_metrics: bool = True,
+    ) -> dict:
+        """Apply one epoch's change events to the snapshot table, exactly once."""
+        if str(epoch) in table.committed_epochs():
+            return {"epoch": epoch, "applied": False}
+
+        # persist the validated slice: it feeds the reject write, the schema
+        # collect, the metrics agg, and the merge — one shared computation
+        # per epoch (scoped: unpersisted before return)
+        ev = validate_ops.validate(clean_content(events)).persist()
+        accepted, rejected = validate_ops.branch(ev)
+
+        # rejected branch -> queryable reject table (K2/K4); per-epoch dir
+        # overwrite keeps the write idempotent under re-runs
+        if collect_metrics:
+            rejected.select(
+                "event_id", "lsn", "op", "repo", "path", "status", "report_entries"
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.warehouse, "_rejects", table_name(table), f"epoch={epoch}")
+            )
+
+        # schema events: rare, metadata-sized -> driver applies DDL in order
+        schema_rows = [
+            r.asDict()
+            for r in accepted.filter(F.col("op").isin(*SCHEMA_OPS))
+            .select("lsn", "op", "schema_field")
+            .collect()
+        ]
+        self._apply_schema_events(table, schema_rows)
+
+        data = accepted.filter(~F.col("op").isin(*SCHEMA_OPS))
+
+        # RENAME -> (DELETE old path, UPSERT new path) pair, then per-key
+        # latest-lsn window resolves arbitrary interleavings (A1 semantics)
+        renames = data.filter(F.col("op") == "RENAME")
+        # self-rename (new_path == path) must not emit a tombstone: the delete
+        # and upsert halves would tie on (lsn, ts) for the same key
+        rename_deletes = (
+            renames.filter(F.col("new_path") != F.col("path"))
+            .withColumn("op", F.lit("DELETE"))
+            .withColumn("content", F.lit(None).cast("string"))
+        )
+        rename_upserts = renames.withColumn("path", F.col("new_path")).withColumn(
+            "op", F.lit("UPDATE")
+        )
+        flat = (
+            data.filter(F.col("op") != "RENAME")
+            .unionByName(rename_deletes)
+            .unionByName(rename_upserts)
+        )
+
+        latest = dedup_ops.latest_by_key_salted(flat, KEY_COLS, ["lsn", "ts", "event_id"])
+
+        # populate evolved extra columns from supporting_metadata
+        snap = table.current_snapshot()
+        schema_meta = snap["properties"].get("schema_meta", {})
+        extra_cols = []
+        for fld, m in schema_meta.items():
+            extra_cols.append(
+                F.when(
+                    F.col("lsn") > m["add_lsn"],
+                    F.element_at(F.col("supporting_metadata"), m["src"]),
+                ).alias(fld)
+            )
+
+        cleaned = F.coalesce(F.col("content"), F.lit(""))
+        changes = latest.select(
+            F.col("repo"),
+            F.col("path"),
+            F.col("commit"),
+            F.col("lang"),
+            F.col("content"),
+            F.sha2(cleaned, 256).alias("content_sha256"),
+            F.length(cleaned).cast(
+                dict((f["name"], f["type"]) for f in table.schema_fields()).get(
+                    "size_bytes", "int"
+                )
+            ).alias("size_bytes"),
+            F.col("lsn").alias("last_lsn"),
+            F.col("ts").alias("last_ts"),
+            *extra_cols,
+            F.when(F.col("op") == "DELETE", F.lit("D")).otherwise(F.lit("U")).alias("__op"),
+        )
+
+        info = {"start_lsn": start_lsn, "end_lsn": end_lsn}
+        try:
+            result = table.merge(changes, epoch=epoch, epoch_info=info)
+            stats = {"epoch": epoch, **result}
+            if collect_metrics:
+                stats.update(self._write_metrics(table, ev, latest, epoch))
+        finally:
+            ev.unpersist()
+        return stats
+
+    def _write_metrics(self, table, validated: DataFrame, latest: DataFrame, epoch: int) -> dict:
+        """Metrics + per-partition lineage tables (A3/A4/K5 semantics).
+
+        One aggregation pass each; partition_id is the deterministic storage
+        bucket (not spark_partition_id, which varies with parallelism).
+        """
+        name = table_name(table)
+        agg = validated.agg(
+            F.count("*").alias("events_in"),
+            F.sum((F.col("status") == validate_ops.STRUCTURE_ERRORS).cast("int")).alias("rejected"),
+            F.sum(F.col("op").isin(*SCHEMA_OPS).cast("int")).alias("schema_changes"),
+        ).collect()[0]
+        metrics = {
+            "events_in": agg["events_in"] or 0,
+            "rejected": agg["rejected"] or 0,
+            "schema_changes": agg["schema_changes"] or 0,
+        }
+        self.spark.createDataFrame(
+            [(epoch, metrics["events_in"], metrics["rejected"], metrics["schema_changes"])],
+            "epoch long, events_in long, rejected long, schema_changes long",
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.warehouse, "_metrics", name, f"epoch={epoch}")
+        )
+        bucket = F.pmod(F.xxhash64("repo", "path"), F.lit(self.n_buckets)).cast("int")
+        lineage = latest.groupBy(bucket.alias("partition_id")).agg(
+            F.count("*").alias("keys_changed"),
+            F.sum((F.col("op") == "DELETE").cast("int")).alias("deleted"),
+            F.sum((F.col("op") != "DELETE").cast("int")).alias("upserted"),
+        )
+        lineage.write.mode("overwrite").parquet(
+            os.path.join(self.warehouse, "_lineage", name, f"epoch={epoch}")
+        )
+        return metrics
+
+    # ------------------------------------------------------------- reads
+    def metrics(self, name: str = "repo_files") -> DataFrame:
+        return self.spark.read.option("basePath", os.path.join(self.warehouse, "_metrics", name)).parquet(
+            os.path.join(self.warehouse, "_metrics", name, "epoch=*")
+        )
+
+    def lineage(self, name: str = "repo_files") -> DataFrame:
+        return self.spark.read.option("basePath", os.path.join(self.warehouse, "_lineage", name)).parquet(
+            os.path.join(self.warehouse, "_lineage", name, "epoch=*")
+        )
+
+    def rejects(self, name: str = "repo_files") -> DataFrame:
+        return self.spark.read.option("basePath", os.path.join(self.warehouse, "_rejects", name)).parquet(
+            os.path.join(self.warehouse, "_rejects", name, "epoch=*")
+        )
+
+
+def table_name(table: LakeTable) -> str:
+    return os.path.basename(table.location.rstrip("/"))

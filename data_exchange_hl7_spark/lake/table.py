@@ -1,0 +1,383 @@
+"""LakeTable: parquet + JSON-snapshot table format with Iceberg-style semantics.
+
+This container ships no Iceberg/Delta jars, so the lake layer is implemented
+in-repo: immutable parquet data files, a JSON snapshot log, an atomically
+swapped ``current`` pointer, field-ID based schema evolution, and
+copy-on-write keyed MERGE over hash buckets. The public surface (merge /
+add_column / rename_column / widen_column / snapshot / epoch manifest) is the
+subset of Iceberg the engine needs; on a real cluster the same calls map 1:1
+onto ``MERGE INTO`` + ``ALTER TABLE`` against an Iceberg catalog.
+
+Reference semantics covered here:
+  - Cosmos DB bulk upsert (fns-sidecars/fn-sc-cosmosdb-sink Function.kt:39-82,
+    RecordService.kt:18-28) -> ``merge`` keyed upsert
+  - idempotent replay (SURVEY.md section 2.9 exactly-once row): the epoch
+    manifest recorded in each snapshot makes re-applying a committed epoch a
+    no-op
+  - mergeSchema writes (spikes/cbs-pipeline torework_merge_hl7_to_csv.scala:54)
+    -> explicit add/rename/widen with field IDs (rename is ID-based, so replay
+    across an evolution boundary stays correct — SURVEY.md section 7.4 item 3)
+
+Scale design: data is hash-bucketed on the merge key (Iceberg
+``bucket(N, key)`` transform analogue). MERGE rewrites only buckets that
+contain changed keys; the bucket list collected to the driver is bounded by
+``n_buckets`` (metadata, not data). At 100 TB you raise ``n_buckets`` (e.g.
+4096-65536) so each bucket is a few GB and a micro-batch touches only the
+buckets its keys hash into.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TYPE_MAP = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+    "binary": T.BinaryType(),
+}
+
+# legal type widenings (Iceberg spec: int->long, float->double)
+_WIDEN_OK = {("int", "bigint"), ("int", "long"), ("float", "double")}
+
+
+def _spark_type(name: str) -> T.DataType:
+    if name.startswith("map<"):
+        k, v = name[4:-1].split(",", 1)
+        return T.MapType(_spark_type(k.strip()), _spark_type(v.strip()))
+    if name.startswith("array<"):
+        return T.ArrayType(_spark_type(name[6:-1].strip()))
+    return _TYPE_MAP[name]
+
+
+class ConcurrentCommitError(RuntimeError):
+    pass
+
+
+class LakeTable:
+    """A bucketed, snapshot-versioned parquet table with keyed MERGE."""
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = location
+        self.meta_dir = os.path.join(location, "_meta")
+        self.data_dir = os.path.join(location, "data")
+
+    # ------------------------------------------------------------ create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        location: str,
+        schema: list[tuple[str, str]],
+        key_cols: list[str],
+        n_buckets: int = 64,
+    ) -> "LakeTable":
+        """Create an empty table. ``schema`` is [(name, type_string), ...]."""
+        t = cls(spark, location)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        fields = [
+            {"id": i + 1, "name": n, "type": ty} for i, (n, ty) in enumerate(schema)
+        ]
+        snap = {
+            "snapshot_id": 0,
+            "parent": None,
+            "schema_version": 0,
+            "schemas": {"0": fields},
+            "key_cols": key_cols,
+            "n_buckets": n_buckets,
+            "next_field_id": len(fields) + 1,
+            "buckets": {},  # bucket -> {"files": [...], "schema_version": int}
+            "properties": {"epochs": {}},
+            "committed_at": time.time(),
+        }
+        t._write_snapshot(snap, expected_parent=None)
+        return t
+
+    @classmethod
+    def exists(cls, location: str) -> bool:
+        return os.path.exists(os.path.join(location, "_meta", "current"))
+
+    # ------------------------------------------------------------ metadata
+    def current_snapshot(self) -> dict[str, Any]:
+        with open(os.path.join(self.meta_dir, "current")) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(self.meta_dir, f"v{v:08d}.json")) as f:
+            return json.load(f)
+
+    def _write_snapshot(self, snap: dict, expected_parent: int | None) -> None:
+        """Atomic commit: write vN.json, then swap the ``current`` pointer.
+
+        Optimistic concurrency: the swap validates that ``current`` still
+        points at ``expected_parent`` (Iceberg's compare-and-swap on the
+        metadata pointer).
+        """
+        cur_path = os.path.join(self.meta_dir, "current")
+        if os.path.exists(cur_path):
+            with open(cur_path) as f:
+                actual = int(f.read().strip())
+            if expected_parent is None or actual != expected_parent:
+                raise ConcurrentCommitError(
+                    f"current={actual}, expected parent={expected_parent}"
+                )
+        sid = snap["snapshot_id"]
+        with open(os.path.join(self.meta_dir, f"v{sid:08d}.json"), "w") as f:
+            json.dump(snap, f)
+        tmp = cur_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp, cur_path)  # atomic on POSIX
+
+    def schema_fields(self, snap: dict | None = None) -> list[dict]:
+        snap = snap or self.current_snapshot()
+        return snap["schemas"][str(snap["schema_version"])]
+
+    def committed_epochs(self, snap: dict | None = None) -> dict[str, dict]:
+        snap = snap or self.current_snapshot()
+        return snap["properties"]["epochs"]
+
+    # ------------------------------------------------------------ read
+    def _empty_df(self, fields: list[dict]) -> DataFrame:
+        st = T.StructType([T.StructField(f["name"], _spark_type(f["type"])) for f in fields])
+        return self.spark.createDataFrame([], st)
+
+    def _read_files(self, files: list[str], file_sv: int, snap: dict) -> DataFrame:
+        """Read data files written at schema version ``file_sv``, projected to
+        the current schema: align columns by field ID (rename-safe), cast
+        widened types, null-fill added columns."""
+        cur = self.schema_fields(snap)
+        old = {f["id"]: f for f in snap["schemas"][str(file_sv)]}
+        df = self.spark.read.parquet(*[os.path.join(self.data_dir, p) for p in files])
+        cols = []
+        for f in cur:
+            o = old.get(f["id"])
+            if o is None:
+                cols.append(F.lit(None).cast(_spark_type(f["type"])).alias(f["name"]))
+            else:
+                cols.append(F.col(o["name"]).cast(_spark_type(f["type"])).alias(f["name"]))
+        return df.select(*cols)
+
+    def snapshot(self, buckets: list[int] | None = None) -> DataFrame:
+        """Current table state as a DataFrame (optionally selected buckets)."""
+        snap = self.current_snapshot()
+        groups: dict[int, list[str]] = {}
+        for b, entry in snap["buckets"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            groups.setdefault(entry["schema_version"], []).extend(entry["files"])
+        if not groups:
+            return self._empty_df(self.schema_fields(snap))
+        dfs = [self._read_files(fs, sv, snap) for sv, fs in groups.items()]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    # ------------------------------------------------------------ merge
+    def _bucket_expr(self, snap: dict):
+        keys = [F.col(c) for c in snap["key_cols"]]
+        return F.pmod(F.xxhash64(*keys), F.lit(snap["n_buckets"])).cast("int")
+
+    def merge(
+        self,
+        changes: DataFrame,
+        epoch: int | None = None,
+        epoch_info: dict | None = None,
+    ) -> dict:
+        """Keyed copy-on-write MERGE (upsert + delete) — the Iceberg
+        ``MERGE INTO`` analogue, and the engine's exactly-once apply step.
+
+        ``changes`` must have at most one row per key, a ``__op`` column with
+        values ``U`` (upsert) or ``D`` (delete), and every current-schema
+        column for upserts. If ``epoch`` is given and already committed the
+        call is a NO-OP (idempotent replay, reference K3/K4 semantics).
+
+        Returns {"applied": bool, "snapshot_id": int, "buckets_rewritten": n}.
+        """
+        snap = self.current_snapshot()
+        if epoch is not None and str(epoch) in snap["properties"]["epochs"]:
+            return {
+                "applied": False,
+                "snapshot_id": snap["snapshot_id"],
+                "buckets_rewritten": 0,
+            }
+
+        cur_fields = self.schema_fields(snap)
+        cur_names = [f["name"] for f in cur_fields]
+        keys = snap["key_cols"]
+        new_sid = snap["snapshot_id"] + 1
+
+        # persist: changes feed the bucket-list collect, the anti-join key
+        # broadcast, and the upsert union — compute the window once
+        changes = changes.withColumn("__bucket", self._bucket_expr(snap)).persist()
+        # bounded by n_buckets — metadata-sized collect, never data-sized
+        changed_buckets = sorted(
+            r["__bucket"]
+            for r in changes.select("__bucket").distinct().collect()
+        )
+        if not changed_buckets:
+            # still record the epoch (empty micro-batch must advance manifest)
+            changes.unpersist()
+            return self._commit_manifest_only(snap, new_sid, epoch, epoch_info)
+
+        # old rows of the touched buckets, minus keys present in the changes
+        existing = {int(b): e for b, e in snap["buckets"].items()}
+        touched_with_data = [b for b in changed_buckets if b in existing]
+        groups: dict[int, list[str]] = {}
+        for b in touched_with_data:
+            e = existing[b]
+            groups.setdefault(e["schema_version"], []).extend(e["files"])
+        if groups:
+            olds = [self._read_files(fs, sv, snap) for sv, fs in groups.items()]
+            old_df = olds[0]
+            for d in olds[1:]:
+                old_df = old_df.unionByName(d)
+            survivors = old_df.join(
+                F.broadcast(changes.select(*keys).distinct()), on=keys, how="left_anti"
+            )
+        else:
+            survivors = self._empty_df(cur_fields)
+
+        upserts = changes.filter(F.col("__op") == "U").select(*cur_names)
+        new_data = survivors.unionByName(upserts).withColumn(
+            "__bucket", self._bucket_expr(snap)
+        )
+
+        # write the rewritten buckets under a per-snapshot directory
+        out_rel = f"s{new_sid:08d}"
+        out_abs = os.path.join(self.data_dir, out_rel)
+        (
+            new_data.repartition(max(len(changed_buckets), 1), "__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(out_abs)
+        )
+
+        # index the files that were just written, per bucket
+        new_buckets = dict(snap["buckets"])
+        written = set()
+        for d in os.listdir(out_abs):
+            if not d.startswith("__bucket="):
+                continue
+            b = int(d.split("=")[1])
+            files = [
+                os.path.join(out_rel, d, f)
+                for f in os.listdir(os.path.join(out_abs, d))
+                if f.endswith(".parquet")
+            ]
+            new_buckets[str(b)] = {
+                "files": files,
+                "schema_version": snap["schema_version"],
+            }
+            written.add(b)
+        # changed buckets that ended up empty (all rows deleted) lose their entry
+        for b in changed_buckets:
+            if b not in written:
+                new_buckets.pop(str(b), None)
+
+        new_snap = dict(snap)
+        new_snap["snapshot_id"] = new_sid
+        new_snap["parent"] = snap["snapshot_id"]
+        new_snap["buckets"] = new_buckets
+        props = json.loads(json.dumps(snap["properties"]))
+        if epoch is not None:
+            props["epochs"][str(epoch)] = epoch_info or {}
+        new_snap["properties"] = props
+        new_snap["committed_at"] = time.time()
+        self._write_snapshot(new_snap, expected_parent=snap["snapshot_id"])
+        changes.unpersist()
+        return {
+            "applied": True,
+            "snapshot_id": new_sid,
+            "buckets_rewritten": len(changed_buckets),
+        }
+
+    def _commit_manifest_only(self, snap, new_sid, epoch, epoch_info) -> dict:
+        new_snap = dict(snap)
+        new_snap["snapshot_id"] = new_sid
+        new_snap["parent"] = snap["snapshot_id"]
+        props = json.loads(json.dumps(snap["properties"]))
+        if epoch is not None:
+            props["epochs"][str(epoch)] = epoch_info or {}
+        new_snap["properties"] = props
+        new_snap["committed_at"] = time.time()
+        self._write_snapshot(new_snap, expected_parent=snap["snapshot_id"])
+        return {"applied": True, "snapshot_id": new_sid, "buckets_rewritten": 0}
+
+    def set_properties(self, updates: dict) -> None:
+        """Merge key/values into snapshot properties (new metadata snapshot)."""
+        snap = self.current_snapshot()
+        new_snap = dict(snap)
+        new_snap["snapshot_id"] = snap["snapshot_id"] + 1
+        new_snap["parent"] = snap["snapshot_id"]
+        props = json.loads(json.dumps(snap["properties"]))
+        props.update(updates)
+        new_snap["properties"] = props
+        new_snap["committed_at"] = time.time()
+        self._write_snapshot(new_snap, expected_parent=snap["snapshot_id"])
+
+    # ------------------------------------------------- schema evolution
+    def _evolve(self, mutate) -> None:
+        snap = self.current_snapshot()
+        fields = [dict(f) for f in self.schema_fields(snap)]
+        next_id = snap["next_field_id"]
+        fields, next_id = mutate(fields, next_id)
+        new_sv = snap["schema_version"] + 1
+        new_snap = dict(snap)
+        new_snap["snapshot_id"] = snap["snapshot_id"] + 1
+        new_snap["parent"] = snap["snapshot_id"]
+        new_snap["schema_version"] = new_sv
+        schemas = dict(snap["schemas"])
+        schemas[str(new_sv)] = fields
+        new_snap["schemas"] = schemas
+        new_snap["next_field_id"] = next_id
+        new_snap["committed_at"] = time.time()
+        self._write_snapshot(new_snap, expected_parent=snap["snapshot_id"])
+
+    def add_column(self, name: str, type_str: str = "string") -> None:
+        def mutate(fields, next_id):
+            if any(f["name"] == name for f in fields):
+                return fields, next_id  # idempotent
+            fields.append({"id": next_id, "name": name, "type": type_str})
+            return fields, next_id + 1
+
+        self._evolve(mutate)
+
+    def rename_column(self, old: str, new: str) -> None:
+        def mutate(fields, next_id):
+            for f in fields:
+                if f["name"] == old:
+                    f["name"] = new  # field ID unchanged -> old files still map
+            return fields, next_id
+
+        self._evolve(mutate)
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        def mutate(fields, next_id):
+            for f in fields:
+                if f["name"] == name:
+                    if (f["type"], new_type) not in _WIDEN_OK:
+                        raise ValueError(f"illegal widen {f['type']} -> {new_type}")
+                    f["type"] = new_type
+            return fields, next_id
+
+        self._evolve(mutate)
+
+    # ------------------------------------------------------------ misc
+    def drop(self) -> None:
+        shutil.rmtree(self.location, ignore_errors=True)

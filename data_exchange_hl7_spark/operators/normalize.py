@@ -1,0 +1,107 @@
+"""Content normalization / redaction (reference D5, D6).
+
+The reference redactor replaces configured HL7-path values per data-stream
+rule file and emits a report of what it touched (fn-redactor
+Function.kt:46-100, Helper.kt:12-39, rules at
+fn-redactor/src/main/resources/profiles/DEFAULT-config.txt), with a DEFAULT
+profile fallback. The receiver also strips embedded base64 binaries out of
+content, replacing them with a reference (HL7Transformer.kt:17-112).
+
+Here: rules are (profile, pattern, replacement) rows broadcast into a chained
+``regexp_replace`` — one JVM-side pass, no Python. The report column counts
+matches per rule before replacement (array<struct<rule, n>>), mirroring the
+RedactorReport entry list (RedactorReport.kt:5-8).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class RedactRule:
+    name: str
+    pattern: str  # Java regex
+    replacement: str
+
+
+# default profile (DEFAULT-config.txt fallback semantics, Helper.kt:29-39)
+DEFAULT_RULES = [
+    RedactRule("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<redacted:email>"),
+    RedactRule("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<redacted:ip>"),
+    RedactRule("aws_key", r"AKIA[0-9A-Z]{16}", "<redacted:aws-key>"),
+    RedactRule(
+        "secret_assign",
+        r"(?i)(password|secret|api_key|token)\s*[:=]\s*\S+",
+        "$1=<redacted>",
+    ),
+]
+
+BOM_WS = r"^[﻿\s]+|[﻿\s]+$"
+
+
+def clean_content(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """D1/D5 cleanup: strip BOM + outer whitespace. Null-safe (DELETE rows)."""
+    return df.withColumn(
+        content_col,
+        F.when(
+            F.col(content_col).isNotNull(),
+            F.regexp_replace(F.col(content_col), BOM_WS, ""),
+        ),
+    )
+
+
+def redact(
+    df: DataFrame,
+    rules: list[RedactRule] | None = None,
+    content_col: str = "content",
+    profiles: dict[str, list[RedactRule]] | None = None,
+    profile_col: str | None = None,
+) -> DataFrame:
+    """Apply redaction rules; emit ``redaction_report`` array<struct<rule,n>>.
+
+    With ``profiles`` + ``profile_col`` set, each row uses its profile's rule
+    list with DEFAULT fallback (Helper.kt:29-39); rule lists are tiny config,
+    compiled into the plan (the Catalyst equivalent of a broadcast).
+    """
+    rules = rules or DEFAULT_RULES
+
+    def apply_rules(col, rule_list):
+        report = F.array(
+            *[
+                F.struct(
+                    F.lit(r.name).alias("rule"),
+                    F.coalesce(
+                        F.size(F.regexp_extract_all(col, F.lit(r.pattern), F.lit(0))),
+                        F.lit(0),
+                    ).alias("n"),
+                )
+                for r in rule_list
+            ]
+        )
+        out = col
+        for r in rule_list:
+            out = F.regexp_replace(out, r.pattern, r.replacement)
+        return out, F.filter(report, lambda x: x["n"] > 0)
+
+    col = F.coalesce(F.col(content_col), F.lit(""))
+    if profiles and profile_col:
+        new_col = None
+        new_rep = None
+        for pname, plist in profiles.items():
+            c, rep = apply_rules(col, plist)
+            cond = F.col(profile_col) == pname
+            new_col = F.when(cond, c) if new_col is None else new_col.when(cond, c)
+            new_rep = F.when(cond, rep) if new_rep is None else new_rep.when(cond, rep)
+        dflt_c, dflt_r = apply_rules(col, rules)
+        new_col = new_col.otherwise(dflt_c)
+        new_rep = new_rep.otherwise(dflt_r)
+    else:
+        new_col, new_rep = apply_rules(col, rules)
+
+    return df.withColumn(
+        content_col, F.when(F.col(content_col).isNotNull(), new_col)
+    ).withColumn("redaction_report", new_rep)

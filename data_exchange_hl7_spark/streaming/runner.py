@@ -1,0 +1,104 @@
+"""Micro-batch runner: epoch slicing, checkpoint/resume, replay (M2/M6).
+
+The reference resolves ordering at rest and runs Trigger.Once micro-batches
+(spikes/cbs-pipeline/common/fn_lake.scala:49-60); streaming state operators
+are deliberately avoided (SURVEY.md section 2.9 watermarks row). We keep that
+design: the WAL tail is sliced into LSN-ranged epochs, each applied with
+Engine.apply_epoch under an idempotent commit manifest. A killed run resumes
+by skipping committed epochs — the manifest lives INSIDE the lake snapshot,
+so data+checkpoint commit atomically (exactly-once, SURVEY.md section 7.4
+item 1).
+
+Replay (svc-hl7-replay ReplayController.kt:100-139,225-253): re-run from
+epoch 0 against a fresh table, optionally filtered, with replay metadata
+attached to each epoch manifest entry.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_exchange_hl7_spark.engine import Engine
+from data_exchange_hl7_spark.lake.table import LakeTable
+
+
+class MicroBatchRunner:
+    def __init__(self, engine: Engine, epoch_size: int = 100_000):
+        self.engine = engine
+        self.epoch_size = epoch_size
+
+    def run(
+        self,
+        events: DataFrame,
+        table: LakeTable,
+        max_epochs: int | None = None,
+        fail_after_epoch: int | None = None,
+        replay_meta: dict | None = None,
+    ) -> list[dict]:
+        """Apply the full event stream in lsn-ordered epochs.
+
+        ``fail_after_epoch`` simulates a crash (kill-and-resume test hook).
+        The lsn bounds come from one cheap agg; each epoch's slice is a
+        pushdown-friendly range filter on the source scan.
+        """
+        bounds = events.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+        if bounds[0] is None:
+            return []
+        first_epoch = int(bounds[0]) // self.epoch_size
+        last_epoch = int(bounds[1]) // self.epoch_size
+        stats = []
+        committed = set(table.committed_epochs().keys())
+        n_run = 0
+        for epoch in range(first_epoch, last_epoch + 1):
+            if str(epoch) in committed:
+                stats.append({"epoch": epoch, "applied": False, "resumed_skip": True})
+                continue
+            lo = epoch * self.epoch_size
+            hi = lo + self.epoch_size
+            t0 = time.time()
+            sl = events.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+            info = self.engine.apply_epoch(
+                sl, table, epoch=epoch, start_lsn=lo, end_lsn=hi - 1
+            )
+            info["wall_s"] = round(time.time() - t0, 3)
+            if replay_meta:
+                # replay provenance attached to the manifest entry
+                snap = table.current_snapshot()
+                entry = snap["properties"]["epochs"].get(str(epoch), {})
+                entry["replay"] = replay_meta
+                table.set_properties({"epochs": snap["properties"]["epochs"]})
+            stats.append(info)
+            n_run += 1
+            if fail_after_epoch is not None and epoch >= fail_after_epoch:
+                break
+            if max_epochs is not None and n_run >= max_epochs:
+                break
+        return stats
+
+
+def replay(
+    engine: Engine,
+    events: DataFrame,
+    table_name: str = "repo_files_replay",
+    epoch_size: int = 100_000,
+    repo: str | None = None,
+    lsn_range: tuple[int, int] | None = None,
+    reason: str = "manual replay",
+) -> LakeTable:
+    """Deterministic full/selective replay into a fresh table
+    (ReplayController semantics: filter by key / range, attach replay
+    metadata {timestamp, reason, filter})."""
+    flt = events
+    meta: dict = {"reason": reason, "filter": {}}
+    if repo is not None:
+        flt = flt.filter(F.col("repo") == repo)
+        meta["filter"]["repo"] = repo
+    if lsn_range is not None:
+        flt = flt.filter((F.col("lsn") >= lsn_range[0]) & (F.col("lsn") <= lsn_range[1]))
+        meta["filter"]["lsn_range"] = list(lsn_range)
+    table = engine.snapshot_table(table_name)
+    MicroBatchRunner(engine, epoch_size).run(flt, table, replay_meta=meta)
+    return table

@@ -1,0 +1,105 @@
+"""M1 golden-replay end-to-end test (FIXTURES.md section 6).
+
+Mirrors the reference's golden-payload E2E pattern
+(tst-hl7-pipeline/src/test/kotlin/.../MainTest.kt:29-56): a deterministic
+synthetic change stream replayed by the Spark engine must reach the exact
+state the single-threaded Python oracle reaches — row-set equality + per-row
+sha256 + evolved-column equality — and re-running committed epochs must be a
+no-op (exactly-once).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_exchange_hl7_spark.datagen import change_events, replay_oracle
+from data_exchange_hl7_spark.engine import Engine
+from data_exchange_hl7_spark.streaming.runner import MicroBatchRunner
+
+N_EVENTS = 4000
+EPOCH = 1000
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return change_events(spark, N_EVENTS).persist()
+
+
+@pytest.fixture(scope="module")
+def oracle_state(events):
+    return replay_oracle([r.asDict() for r in events.collect()])
+
+
+def _assert_matches_oracle(table, oracle_state):
+    snap_rows = {
+        (r["repo"], r["path"]): r.asDict() for r in table.snapshot().collect()
+    }
+    assert set(snap_rows) == set(oracle_state.rows)
+    extra_fields = oracle_state.schema_fields
+    for key, orc in oracle_state.rows.items():
+        got = snap_rows[key]
+        assert got["content_sha256"] == orc["sha"], key
+        assert got["commit"] == orc["commit"], key
+        assert got["lang"] == orc["lang"], key
+        for f in extra_fields:
+            assert got.get(f) == orc["extra"].get(f), (key, f)
+
+
+def test_full_replay_matches_oracle(spark, events, oracle_state, tmp_path):
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=16)
+    table = eng.snapshot_table("repo_files")
+    stats = MicroBatchRunner(eng, epoch_size=EPOCH).run(events, table)
+    assert len(stats) == N_EVENTS // EPOCH
+    assert all(s.get("applied") for s in stats)
+    assert oracle_state.rows, "oracle produced empty state — generator broken"
+    _assert_matches_oracle(table, oracle_state)
+
+    # evolved schema landed
+    names = [f["name"] for f in table.schema_fields()]
+    for f in oracle_state.schema_fields:
+        assert f in names
+
+    # idempotence: full re-run is a no-op and the state is unchanged
+    sid_before = table.current_snapshot()["snapshot_id"]
+    stats2 = MicroBatchRunner(eng, epoch_size=EPOCH).run(events, table)
+    assert all(s.get("resumed_skip") for s in stats2)
+    assert table.current_snapshot()["snapshot_id"] == sid_before
+    _assert_matches_oracle(table, oracle_state)
+
+
+def test_kill_and_resume(spark, events, oracle_state, tmp_path):
+    eng = Engine(spark, str(tmp_path / "wh2"), n_buckets=16)
+    table = eng.snapshot_table("repo_files")
+    runner = MicroBatchRunner(eng, epoch_size=EPOCH)
+    partial = runner.run(events, table, fail_after_epoch=1)  # "crash" after epoch 1
+    assert len(partial) == 2
+    resumed = runner.run(events, table)
+    assert [s["epoch"] for s in resumed if s.get("resumed_skip")] == [0, 1]
+    _assert_matches_oracle(table, oracle_state)
+
+
+def test_metrics_and_lineage(spark, events, tmp_path):
+    eng = Engine(spark, str(tmp_path / "wh3"), n_buckets=16)
+    table = eng.snapshot_table("repo_files")
+    MicroBatchRunner(eng, epoch_size=EPOCH).run(events, table)
+    m = eng.metrics().orderBy("epoch").collect()
+    assert len(m) == N_EVENTS // EPOCH
+    assert sum(r["events_in"] for r in m) == N_EVENTS
+    assert sum(r["rejected"] for r in m) > 0  # missing-commit fixtures exist
+    lin = eng.lineage()
+    assert lin.count() > 0
+    assert lin.agg(F.sum("upserted")).collect()[0][0] > 0
+    rej = eng.rejects()
+    assert rej.filter(F.col("status") != "STRUCTURE_ERRORS").count() == 0
+
+
+def test_determinism_across_parallelism(spark, events):
+    """The generator itself must be partitioning-independent (hash-derived,
+    no rand()/uuid()): same rows at any repartitioning."""
+    a = events.orderBy("lsn").select("event_id", "content_sha256").collect()
+    b = (
+        events.repartition(37)
+        .orderBy("lsn")
+        .select("event_id", "content_sha256")
+        .collect()
+    )
+    assert a == b

@@ -1,38 +1,106 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md
+section 2 (+ the training-data ops); ``oracle_sql()`` gives the DuckDB
+equivalent for the value-hash correctness gate. Implementation lives in
+``data_exchange_hl7_spark/queries*.py``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from data_exchange_hl7_spark import queries as q  # noqa: E402
+from data_exchange_hl7_spark import queries_text as qt  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC latest-state apply (A1 window dedup) on sf0.001."""
+    return q.cdc_latest_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # TPC-H-ish core: scan/filter/agg/join
+        "q1_pricing_summary": q.q1_pricing_summary,
+        "q3_shipping_priority": q.q3_shipping_priority,
+        "q5_region_revenue": q.q5_region_revenue,
+        # CDC ordering / dedup (A1, A2, A6)
+        "cdc_latest_state": q.cdc_latest_state,
+        "latest_flag_sequencing": q.latest_flag_sequencing,
+        "latest_state_salted": q.latest_state_salted,
+        "case_id_derivation": q.case_id_derivation,
+        "dup_detection": q.dup_detection,
+        # reports / aggregation / branch (A3, A4, A5, K2)
+        "error_summary": q.error_summary,
+        "errors_by_category": q.errors_by_category,
+        "receiver_file_report": q.receiver_file_report,
+        "branch_router": q.branch_router,
+        "distinct_profiles": q.distinct_profiles,
+        # scalar surface (2.8) + as-of / sessionize (J4, 2.9)
+        "scalar_functions": q.scalar_functions,
+        "name_normalization": q.name_normalization,
+        "nearest_preceding_anchor": q.nearest_preceding_anchor,
+        "sessionize": q.sessionize,
+        # debatch / segments (D2, T2)
+        "debatch_documents": q.debatch_documents,
+        "segment_rows": q.segment_rows,
+        # text analysis
+        "token_stats": qt.token_stats,
+        "lang_id_heuristic": qt.lang_id_heuristic,
+        "quality_score": qt.quality_score,
+        "doc_fingerprint": qt.doc_fingerprint,
+        # dedup family
+        "exact_dup_groups": qt.exact_dup_groups,
+        "minhash_signatures": qt.minhash_signatures,
+        "minhash_dup_pairs": qt.minhash_dup_pairs,
+        "ngram_jaccard_pairs": qt.ngram_jaccard_pairs,
+        "simhash_signatures": qt.simhash_signatures,
+        # similarity search
+        "ann_bruteforce_topk": qt.ann_bruteforce_topk,
+        "ivf_partition_assign": qt.ivf_partition_assign,
+        # multimodal plumbing
+        "multimodal_binary_meta": qt.multimodal_binary_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q.ORACLE_Q1,
+        "q3_shipping_priority": q.ORACLE_Q3,
+        "q5_region_revenue": q.ORACLE_Q5,
+        "cdc_latest_state": q.ORACLE_CDC_LATEST,
+        "latest_flag_sequencing": q.ORACLE_LATEST_FLAG,
+        "latest_state_salted": q.ORACLE_CDC_LATEST,  # salted == plain, by design
+        "case_id_derivation": q.ORACLE_CASE_ID,
+        "dup_detection": q.ORACLE_DUP,
+        "error_summary": q.ORACLE_ERROR_SUMMARY,
+        "errors_by_category": q.ORACLE_ERR_BY_CAT,
+        "receiver_file_report": q.ORACLE_RECEIVER,
+        "branch_router": q.ORACLE_BRANCH,
+        "distinct_profiles": q.ORACLE_DISTINCT,
+        "scalar_functions": q.ORACLE_SCALARS,
+        "name_normalization": q.ORACLE_NAME_NORM,
+        "nearest_preceding_anchor": q.ORACLE_ASOF,
+        "sessionize": q.ORACLE_SESSIONIZE,
+        "debatch_documents": q.ORACLE_DEBATCH,
+        "segment_rows": q.ORACLE_SEGMENTS,
+        "token_stats": qt.ORACLE_TOKEN_STATS,
+        "lang_id_heuristic": qt.ORACLE_LANG_ID,
+        "quality_score": qt.ORACLE_QUALITY,
+        "doc_fingerprint": qt.ORACLE_FINGERPRINT,
+        "exact_dup_groups": qt.ORACLE_EXACT_DUP,
+        "minhash_signatures": qt.ORACLE_MINHASH,
+        "minhash_dup_pairs": qt.ORACLE_MINHASH_PAIRS,
+        "ngram_jaccard_pairs": qt.ORACLE_JACCARD,
+        "simhash_signatures": qt.ORACLE_SIMHASH,
+        "ann_bruteforce_topk": qt.ORACLE_ANN,
+        "ivf_partition_assign": qt.ORACLE_IVF,
+        "multimodal_binary_meta": qt.ORACLE_MULTIMODAL,
+    }

@@ -1,0 +1,541 @@
+"""Driver-contract query library: SURVEY.md section 2 operators on testdata.
+
+Each query here is a (spark, sf_dir) -> DataFrame callable paired with an
+ANSI-SQL oracle (ORACLES) that DuckDB runs on the same parquet files. The
+pairs are value-hash compared by the driver, so every computed column is
+aliased identically on both sides and float determinism is engineered:
+
+  - money aggregates run in integer cents (exact), divided by 100.0 once at
+    the end (a single deterministic IEEE op);
+  - dot products fold left-to-right in both engines;
+  - timestamps are emitted as explicitly formatted strings (CAST-to-string
+    differs between engines).
+
+Query -> reference-operator map is in each docstring (SURVEY.md section 2
+ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("bigint")
+
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# ============================ TPC-H-ish core ==============================
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """Flagship batch agg (A3 report semantics; TPC-H Q1 shape).
+
+    Catalyst: scan w/ filter+column pruning pushed to parquet, partial
+    aggregation map-side, single shuffle on the 2 grouping keys.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2023-09-01"))
+    ep = _cents(F.col("l_extendedprice"))
+    disc = _cents(F.col("l_discount"))
+    tax = _cents(F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            (F.sum(ep) / 100.0).alias("sum_base_price"),
+            (F.sum(ep * (10000 - disc * 100)) / 1000000.0).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+            (F.sum(disc) / 100.0).alias("sum_discount"),
+            F.max(tax).alias("max_tax_cents"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+              * (10000 - CAST(ROUND(l_discount*100) AS BIGINT) * 100)) AS BIGINT) / 1000000.0 AS sum_disc_price,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_discount,
+       CAST(MAX(CAST(ROUND(l_tax*100) AS BIGINT)) AS BIGINT) AS max_tax_cents
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2023-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """Join pipeline (J2 broadcast-dim pattern): customer x orders x lineitem."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("2024-06-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(20)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2024-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 20
+"""
+
+
+def q5_region_revenue(spark, sf_dir):
+    """Star join through two broadcast dims (J2/J3 lookup semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE_Q5 = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# ====================== CDC / ordering / dedup (A1, A2) ===================
+
+
+def cdc_latest_state(spark, sf_dir):
+    """FLAGSHIP: the engine's A1 latest-flag dedup + CDC apply semantics on
+    the shared `events` WAL: signup=INSERT, click/view/purchase=UPDATE,
+    error=DELETE; latest op per user decides survival
+    (latest_flag_and_sequencing.scala:49-151 re-planned as one window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col("event_type") != "error")  # deleted users drop out
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_CDC_LATEST = """
+SELECT * FROM (
+  SELECT user_id,
+         event_type AS last_op,
+         STRFTIME(ts, '{tsf}') AS last_ts,
+         event_id AS last_event_id
+  FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+WHERE last_op <> 'error'
+ORDER BY user_id
+""".replace("{tsf}", TS_FMT_DUCK)
+
+
+def latest_flag_sequencing(spark, sf_dir):
+    """A1 full output shape: every event flagged (is_latest, order_position)
+    per user — no groupBy+collect_list+self-join (the reference plan that
+    scales superlinearly, BASELINE.md watch-item)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("order_position", F.row_number().over(w))
+        .withColumn("is_latest", F.col("order_position") == 1)
+        .select("event_id", "user_id", "order_position", "is_latest")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_LATEST_FLAG = """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS order_position,
+       (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1) AS is_latest
+FROM events
+ORDER BY event_id
+"""
+
+
+def latest_state_salted(spark, sf_dir):
+    """Salted two-phase variant of cdc_latest_state — must produce the SAME
+    rows (skew path equivalence proof, SURVEY.md section 4 skew row)."""
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key_salted
+
+    ev = _t(spark, sf_dir, "events").withColumn("lsn", F.col("event_id"))
+    out = latest_by_key_salted(ev, ["user_id"], ["ts", "event_id"], n_salts=8)
+    return (
+        out.filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def case_id_derivation(spark, sf_dir):
+    """A2 case-id derivation: concat_ws('~~', ...)
+    (fn_validate_hl7.scala:57-72)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.concat_ws(
+                "~~", F.col("user_id").cast("string"), F.col("event_type")
+            ).alias("case_id"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_CASE_ID = """
+SELECT event_id, CONCAT(CAST(user_id AS VARCHAR), '~~', event_type) AS case_id
+FROM events ORDER BY event_id
+"""
+
+
+def dup_detection(spark, sf_dir):
+    """A6 duplicate detection: groupBy(key).count().filter(>=2)
+    (MmgValidator.kt:128 sub-id uniqueness)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .orderBy("user_id", "event_type")
+    )
+
+
+ORACLE_DUP = """
+SELECT user_id, event_type, COUNT(*) AS n FROM events
+GROUP BY user_id, event_type HAVING COUNT(*) >= 2
+ORDER BY user_id, event_type
+"""
+
+
+# =================== reports / aggregation (A3, A4, K2) ===================
+
+
+def error_summary(spark, sf_dir):
+    """A3 batch error-summary: totals + conditional counts
+    (ValidationController.kt:376-434)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("total_messages"),
+        F.sum((F.col("event_type") != "error").cast("bigint")).alias("valid_messages"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("invalid_messages"),
+    )
+
+
+ORACLE_ERROR_SUMMARY = """
+SELECT COUNT(*) AS total_messages,
+       CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS valid_messages,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS invalid_messages
+FROM events
+"""
+
+
+def errors_by_category(spark, sf_dir):
+    """A3 by-category grouping (groupingBy{}.eachCount() analogue)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+
+
+ORACLE_ERR_BY_CAT = (
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
+)
+
+
+def receiver_file_report(spark, sf_dir):
+    """A4 per-file receiver report: counts + error share per source file
+    (ReceiverEventReport.kt:5-16)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_RECEIVER = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def branch_router(spark, sf_dir):
+    """K2 ok/err branch counts (fn-sc-branch Function.kt:35-69)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "route", F.when(F.col("event_type") == "error", "ERR").otherwise("OK")
+        )
+        .groupBy("route")
+        .agg(F.count("*").alias("n"), F.sum(_cents(F.col("value"))).alias("value_cents"))
+        .orderBy("route")
+    )
+
+
+ORACLE_BRANCH = """
+SELECT CASE WHEN event_type = 'error' THEN 'ERR' ELSE 'OK' END AS route,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1 ORDER BY route
+"""
+
+
+def distinct_profiles(spark, sf_dir):
+    """A5 distinct values (torework_merge_hl7_to_csv.scala:19)."""
+    return _t(spark, sf_dir, "documents").select("lang").distinct().orderBy("lang")
+
+
+ORACLE_DISTINCT = "SELECT DISTINCT lang FROM documents ORDER BY lang"
+
+
+# ======================= scalar surface (section 2.8) =====================
+
+
+def scalar_functions(spark, sf_dir):
+    """section 2.8 scalar surface on real rows: hash, json-path get (T9),
+    date formatting, metadata coalesce (S5)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.sha2(F.col("event_type"), 256).alias("type_sha256"),
+            F.md5(F.col("event_type")).alias("type_md5"),
+            F.get_json_object("props", "$.k").alias("prop_k"),
+            F.date_format("ts", "yyyy/MM/dd/HH").alias("date_folder"),
+            F.coalesce(
+                F.when(F.col("event_type") != "", F.col("event_type")), F.lit("UNKNOWN")
+            ).alias("stream_id"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_SCALARS = """
+SELECT event_id,
+       sha256(event_type) AS type_sha256,
+       md5(event_type) AS type_md5,
+       CAST(json_extract(props, '$.k') AS VARCHAR) AS prop_k,
+       STRFTIME(ts, '%Y/%m/%d/%H') AS date_folder,
+       COALESCE(CASE WHEN event_type <> '' THEN event_type END, 'UNKNOWN') AS stream_id
+FROM events ORDER BY event_id
+"""
+
+
+def name_normalization(spark, sf_dir):
+    """StringUtils.kt:8-22 name normalization on part names."""
+    from data_exchange_hl7_spark.functions.scalars import normalize_name, truncate_name
+
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        truncate_name(normalize_name(F.col("p_name")), 20).alias("norm_name"),
+    ).orderBy("p_partkey")
+
+
+ORACLE_NAME_NORM = """
+WITH n AS (
+  SELECT p_partkey,
+         REGEXP_REPLACE(
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(
+                 REGEXP_REPLACE(LOWER(p_name), '[ \\-./]', '_', 'g'),
+                 '&', '_and_', 'g'),
+               '#', '_nbr', 'g'),
+             '[^a-z0-9_]', '', 'g'),
+           '_+', '_', 'g') AS s
+  FROM part)
+SELECT p_partkey,
+       CASE WHEN LENGTH(s) > 20 THEN SUBSTR(s, 1, 17) || '_rg' ELSE s END AS norm_name
+FROM n ORDER BY p_partkey
+"""
+
+
+# ==================== window / as-of / sessionize (J4, T3) ================
+
+
+def nearest_preceding_anchor(spark, sf_dir):
+    """J4/T3 as-of semantics: each event joined to the nearest PRECEDING
+    'signup' of the same user (OBX -> nearest preceding OBR,
+    fn_hl7_to_obxs_and_segm.scala:26-34) via last(ignorenulls) window."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    anchor = F.last(
+        F.when(F.col("event_type") == "signup", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("anchor_event_id", anchor)
+        .select("event_id", "user_id", "anchor_event_id")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ASOF = """
+SELECT event_id, user_id,
+       LAST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anchor_event_id
+FROM events ORDER BY event_id
+"""
+
+
+def sessionize(spark, sf_dir):
+    """Streaming-at-rest sessionization: session = prefix-sum of gaps > 30min
+    per user (section 2.9: ordering resolved at rest, no state store)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC so the LTZ hop
+    # is identity, and NTZ has no direct bigint cast in Spark 4
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("session_no", F.sum(new_sess).over(wsum))
+        .select("event_id", "user_id", "session_no")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT event_id, user_id,
+         CASE WHEN EPOCH(ts) - LAG(EPOCH(ts)) OVER w IS NULL
+                OR EPOCH(ts) - LAG(EPOCH(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+       CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+FROM g ORDER BY event_id
+"""
+
+
+# ===================== debatch / segments (D2, T2) ========================
+
+
+def debatch_documents(spark, sf_dir):
+    """D2 debatch explode: text -> one row per token with 1-based index
+    (posexplode; fn_debatch_hl7.scala:52-73). Capped to first 8 tokens per
+    doc to keep row counts bounded."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.slice(F.split(F.col("text"), " "), 1, 8)).alias(
+                "pos0", "token"
+            ),
+        )
+        .select(
+            "doc_id", (F.col("pos0") + 1).cast("int").alias("message_index"), "token"
+        )
+        .orderBy("doc_id", "message_index")
+    )
+
+
+ORACLE_DEBATCH = """
+SELECT doc_id,
+       CAST(u.i AS INT) AS message_index,
+       l[u.i] AS token
+FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM documents),
+     LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEAST(LEN(l), 8))) AS i) u
+ORDER BY doc_id, message_index
+"""
+
+
+def segment_rows(spark, sf_dir):
+    """T2 lake-of-segments: per-token running counter within doc — segment_id
+    'TOKEN[n]' (TransformerSegments.kt:19-90, SegIdBuilder.kt:6-15)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split(F.col("text"), " "), 1, 20)).alias("pos0", "token"),
+    )
+    w = Window.partitionBy("doc_id", "token").orderBy("pos0")
+    return (
+        tok.withColumn("occ", F.row_number().over(w))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("int").alias("line_no"),
+            "token",
+            F.concat(F.col("token"), F.lit("["), F.col("occ"), F.lit("]")).alias(
+                "segment_id"
+            ),
+        )
+        .orderBy("doc_id", "line_no")
+    )
+
+
+ORACLE_SEGMENTS = """
+WITH t AS (
+  SELECT doc_id, CAST(u.i AS INT) AS line_no, l[u.i] AS token
+  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM documents),
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEAST(LEN(l), 20))) AS i) u)
+SELECT doc_id, line_no, token,
+       token || '[' || CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, token ORDER BY line_no) AS VARCHAR) || ']' AS segment_id
+FROM t ORDER BY doc_id, line_no
+"""

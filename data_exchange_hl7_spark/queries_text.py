@@ -1,0 +1,479 @@
+"""Training-data pipeline operators: text analysis, dedup, similarity.
+
+These are the large-scale corpus-prep operations (brief: dedup, ANN,
+text quality, fingerprinting) expressed Spark-first over the shared
+``documents`` / ``embeddings`` tables, each with a DuckDB oracle.
+
+Float discipline: embeddings are quantized to an integer milli-grid
+(round(x*1000)) before any arithmetic, so dot products and ranks are EXACT
+integer math in both engines — a legitimate quantized-retrieval baseline and
+the only way to make ANN value-hash reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "and", "of", "a", "to", "in", "is", "it"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ============================ text analysis ===============================
+
+
+def token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_bpe_pieces"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_bpe_pieces,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def lang_id_heuristic(spark, sf_dir):
+    """Language-ID n-gram heuristic: English stopword share of tokens.
+    Integer counts + one exact division."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("bigint")
+    n = F.size(toks).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            sw.alias("n_stopwords"),
+            n.alias("n_tokens"),
+            (sw.cast("double") / n).alias("stopword_ratio"),
+            F.when(sw.cast("double") / n > 0.05, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+ORACLE_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x IN ({_SW_LIST}))) AS BIGINT) AS n_stopwords,
+         CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_stopwords, n_tokens,
+       CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+       CASE WHEN CAST(n_stopwords AS DOUBLE) / n_tokens > 0.05 THEN 'en' ELSE 'other' END AS lang_guess
+FROM t ORDER BY doc_id
+"""
+
+
+def quality_score(spark, sf_dir):
+    """Quality scoring: length/punctuation/stopword components (integer),
+    combined score via exact arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("bigint")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[.,!?;:]"), F.lit(0))).cast("bigint")
+    n_sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            n_punct.alias("n_punct"),
+            n_sw.alias("n_stopwords"),
+            n_chars.alias("n_chars"),
+            (
+                (n_chars.cast("double") / n_tok)
+                + n_sw.cast("double") * 10 / n_tok
+                - n_punct.cast("double") * 5 / n_tok
+            ).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+         CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x IN ({_SW_LIST}))) AS BIGINT) AS n_stopwords,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars
+  FROM documents)
+SELECT doc_id, n_tokens, n_punct, n_stopwords, n_chars,
+       (CAST(n_chars AS DOUBLE) / n_tokens)
+         + CAST(n_stopwords AS DOUBLE) * 10 / n_tokens
+         - CAST(n_punct AS DOUBLE) * 5 / n_tokens AS quality
+FROM t ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of the normalized text + 16-hex prefix."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(norm).alias("fingerprint"),
+            F.substring(F.md5(norm), 1, 16).alias("fp16"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       MD5(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS fingerprint,
+       SUBSTR(MD5(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), 1, 16) AS fp16
+FROM documents ORDER BY doc_id
+"""
+
+
+# ============================== dedup =====================================
+
+
+def exact_dup_groups(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content hash, surviving-group counts."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n") >= 2)
+        .orderBy("content_hash")
+    )
+
+
+ORACLE_EXACT_DUP = """
+SELECT MD5(text) AS content_hash, COUNT(*) AS n,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM documents GROUP BY MD5(text) HAVING COUNT(*) >= 2
+ORDER BY content_hash
+"""
+
+
+N_BANDS = 4
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """3-word shingles per doc (distinct)."""
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 3), " "))
+    return d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+_SHINGLE_SQL = """
+  SELECT DISTINCT doc_id, s AS shingle
+  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM documents),
+       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(l) - 2, 0)),
+              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS u(s)
+"""
+
+
+def minhash_signatures(spark, sf_dir):
+    """MinHash: per doc, min over shingles of md5(shingle||':'||band) for
+    each of 4 bands (shingle -> minhash -> band signature)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{b}")))).alias(f"mh{b}")
+        for b in range(N_BANDS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+ORACLE_MINHASH = f"""
+WITH sh AS ({_SHINGLE_SQL})
+SELECT doc_id,
+       MIN(MD5(shingle || ':0')) AS mh0,
+       MIN(MD5(shingle || ':1')) AS mh1,
+       MIN(MD5(shingle || ':2')) AS mh2,
+       MIN(MD5(shingle || ':3')) AS mh3
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def minhash_dup_pairs(spark, sf_dir):
+    """MinHash LSH candidate pairs: docs sharing ANY band signature
+    (band -> bucket -> within-bucket join). The join is on (band, sig) —
+    buckets, not the cross product."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = None
+    for b in range(N_BANDS):
+        one = sig.select(
+            F.lit(b).alias("band"), F.col(f"mh{b}").alias("sig"), "doc_id"
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    return (
+        a.join(bb, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_MINHASH_PAIRS = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (
+  SELECT doc_id,
+         MIN(MD5(shingle || ':0')) AS mh0, MIN(MD5(shingle || ':1')) AS mh1,
+         MIN(MD5(shingle || ':2')) AS mh2, MIN(MD5(shingle || ':3')) AS mh3
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT 0 AS band, mh0 AS sig, doc_id FROM sig UNION ALL
+  SELECT 1, mh1, doc_id FROM sig UNION ALL
+  SELECT 2, mh2, doc_id FROM sig UNION ALL
+  SELECT 3, mh3, doc_id FROM sig)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """N-gram Jaccard near-dup: for same-source doc pairs, exact integer
+    |A∩B| and |A∪B| over 3-word shingle sets (division left to the reader —
+    exact IEEE anyway, emitted too)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingles(d).join(d.select("doc_id", "source"), "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).alias("uni"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("inter") >= 3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_JACCARD = f"""
+WITH sh AS (
+  SELECT s.doc_id, s.shingle, d.source
+  FROM ({_SHINGLE_SQL}) s JOIN documents d ON s.doc_id = d.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter >= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+def simhash_signatures(spark, sf_dir):
+    """SimHash: 16-bit signature; bit i is the majority vote of token-hash
+    bit i (token hash bit = high bit of the i-th md5 hex char)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    high = list("89abcdef")
+    aggs = [
+        F.sum(F.substring("h", i + 1, 1).isin(*high).cast("int")).alias(f"c{i}")
+        for i in range(16)
+    ]
+    counted = toks.groupBy("doc_id").agg(F.count("*").alias("n"), *aggs)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"c{i}") * 2 >= F.col("n"), F.lit("1")).otherwise(F.lit("0"))
+            for i in range(16)
+        ]
+    )
+    return counted.select("doc_id", bits.alias("simhash16")).orderBy("doc_id")
+
+
+_HIGH = "('8','9','a','b','c','d','e','f')"
+_SIM_COUNTS = ",\n".join(
+    f"SUM(CASE WHEN SUBSTR(h, {i + 1}, 1) IN {_HIGH} THEN 1 ELSE 0 END) AS c{i}"
+    for i in range(16)
+)
+_SIM_BITS = " || ".join(
+    f"(CASE WHEN c{i} * 2 >= n THEN '1' ELSE '0' END)" for i in range(16)
+)
+ORACLE_SIMHASH = f"""
+WITH t AS (
+  SELECT doc_id, MD5(u.tok) AS h
+  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM documents), UNNEST(l) AS u(tok)),
+c AS (SELECT doc_id, COUNT(*) AS n, {_SIM_COUNTS} FROM t GROUP BY doc_id)
+SELECT doc_id, {_SIM_BITS} AS simhash16 FROM c ORDER BY doc_id
+"""
+
+
+# ======================== similarity search (ANN) =========================
+
+
+def _quantized(spark, sf_dir):
+    """Embeddings on the integer milli-grid: array<bigint>."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("bigint"))
+    return e.select("vec_id", "label", q.alias("q"))
+
+
+def ann_bruteforce_topk(spark, sf_dir, k: int = 5, n_queries: int = 3):
+    """Brute-force top-k by quantized dot product: exact integer math,
+    rank ties broken by vec_id. The baseline every ANN variant is graded
+    against; the cross join broadcasts the (tiny) query side."""
+    e = _quantized(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_milli"), "vec_id")
+    return (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("dot_milli", dot)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dot_milli", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_ANN = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 3),
+e AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+d AS (
+  SELECT query_id, vec_id,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qv)), i -> qv[i] * q[i])) AS BIGINT) AS dot_milli
+  FROM q CROSS JOIN e WHERE query_id <> vec_id)
+SELECT query_id, vec_id, dot_milli,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot_milli DESC, vec_id) AS BIGINT) AS rank
+FROM d
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def ivf_partition_assign(spark, sf_dir):
+    """IVF-style coarse partition assignment: 4 deterministic 'centroids'
+    (sum of every 4th quantized dim); argmax decides the cell. The scale
+    path for ANN: search only the assigned cell."""
+    e = _quantized(spark, sf_dir)
+    sums = [
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: F.element_at(F.col("q"), i * 4 + j + 1),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias(f"s{j}")
+        for j in range(4)
+    ]
+    df = e.select("vec_id", "label", *sums)
+    best = F.greatest(*[F.col(f"s{j}") for j in range(4)])
+    cell = (
+        F.when(F.col("s0") == best, 0)
+        .when(F.col("s1") == best, 1)
+        .when(F.col("s2") == best, 2)
+        .otherwise(3)
+    )
+    return df.select(
+        "vec_id", F.col("label").cast("int").alias("label"), cell.cast("int").alias("cell")
+    ).orderBy("vec_id")
+
+
+_IVF_SUMS = ",\n".join(
+    "CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 15), "
+    f"i -> CAST(ROUND(embedding[i * 4 + {j} + 1] * 1000) AS BIGINT))) AS BIGINT) AS s{j}"
+    for j in range(4)
+)
+ORACLE_IVF = f"""
+WITH s AS (SELECT vec_id, label, {_IVF_SUMS} FROM embeddings)
+SELECT vec_id, CAST(label AS INT) AS label,
+       CAST(CASE WHEN s0 = GREATEST(s0, s1, s2, s3) THEN 0
+                 WHEN s1 = GREATEST(s0, s1, s2, s3) THEN 1
+                 WHEN s2 = GREATEST(s0, s1, s2, s3) THEN 2
+                 ELSE 3 END AS INT) AS cell
+FROM s ORDER BY vec_id
+"""
+
+
+# ========================= multimodal plumbing ============================
+
+
+def multimodal_binary_meta(spark, sf_dir):
+    """Multimodal columns as opaque binary + typed metadata: byte length and
+    sha256 of the payload (decode itself is stubbed — see
+    operators/multimodal.py)."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return (
+        d.select(
+            "doc_id",
+            F.octet_length(payload).cast("bigint").alias("n_bytes"),
+            F.sha2(payload, 256).alias("payload_sha256"),
+            F.lit("text/plain").alias("mime"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       CAST(STRLEN(text) AS BIGINT) AS n_bytes,
+       SHA256(text) AS payload_sha256,
+       'text/plain' AS mime
+FROM documents ORDER BY doc_id
+"""

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The flagship measure is the CDC upsert-apply: a deterministic synthetic WAL
+(materialized to parquet first — the tail of a log is stored data, so
+generation is setup, not workload) replayed through the exactly-once MoR
+apply pipeline; reported as seconds plus events/sec. The rest are
+representative operators from the query library at the benchmark SF.
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in bench_scaling.py
+-> BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# events in the CDC apply workload, scaled off the dir's sf tag
+CDC_EVENTS = {"0.001": 20_000, "0.01": 100_000, "0.1": 1_000_000}
+EPOCHS = 2
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "cdc_latest_state",
+    "latest_flag_sequencing",
+    "nearest_preceding_anchor",
+    "sessionize",
+    "segment_rows",
+    "minhash_dup_pairs",
+    "simhash_signatures",
+    "ann_bruteforce_topk",
+    "quality_score",
+]
+
+
+def _sf_tag(path: str) -> str:
+    base = os.path.basename(path.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from data_exchange_hl7_spark.datagen import change_events
+    from data_exchange_hl7_spark.engine import Engine
+    from data_exchange_hl7_spark.session import build_session
+    from data_exchange_hl7_spark.streaming.runner import MicroBatchRunner
+
+    spark = build_session("bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = _sf_tag(SF_DIR)
+    timings: dict[str, float] = {}
+
+    # ---- CDC upsert-apply flagship -------------------------------------
+    n_events = CDC_EVENTS.get(sf, 200_000)
+    tmp = tempfile.mkdtemp(prefix="dex_bench_")
+    try:
+        wal_path = os.path.join(tmp, "wal")
+        change_events(spark, n_events).write.mode("overwrite").parquet(wal_path)
+        wal = spark.read.parquet(wal_path)
+        eng = Engine(spark, os.path.join(tmp, "wh"), n_buckets=64, mode="mor")
+        table = eng.snapshot_table("repo_files")
+        t0 = time.time()
+        MicroBatchRunner(eng, epoch_size=n_events // EPOCHS).run(wal, table)
+        apply_s = time.time() - t0
+        timings["cdc_apply"] = round(apply_s, 3)
+        t0 = time.time()
+        n_rows = table.snapshot().count()
+        timings["cdc_read_resolve"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        table.compact()
+        timings["cdc_compact"] = round(time.time() - t0, 3)
+        events_per_sec = n_events / apply_s
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # ---- query library at benchmark SF ----------------------------------
+    queries = entrymod.queries()
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc-apply+headline-queries wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cdc_events": n_events,
+                "cdc_events_per_sec": round(events_per_sec, 1),
+                "cdc_final_rows": n_rows,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

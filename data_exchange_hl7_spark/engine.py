@@ -46,10 +46,24 @@ SCHEMA_OPS = ("SCHEMA_ADD", "SCHEMA_RENAME", "SCHEMA_WIDEN")
 class Engine:
     """Facade over the lake + operators (reference stage map in __init__.py)."""
 
-    def __init__(self, spark: SparkSession, warehouse: str, n_buckets: int = 64):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        n_buckets: int = 64,
+        mode: str = "cow",
+        salt_keys: int | None = None,
+    ):
+        """``mode``: "cow" (read-optimized) or "mor" (write-optimized
+        merge-on-read — the 10^10-event configuration; pair with periodic
+        compaction via MicroBatchRunner(compact_every=K)). ``salt_keys``:
+        use two-phase salted dedup with this many salts when individual
+        (repo, path) keys are hot (e.g. one file updated in most events)."""
         self.spark = spark
         self.warehouse = warehouse
         self.n_buckets = n_buckets
+        self.mode = mode
+        self.salt_keys = salt_keys
         os.makedirs(warehouse, exist_ok=True)
 
     # ------------------------------------------------------------ tables
@@ -61,7 +75,13 @@ class Engine:
         if LakeTable.exists(loc):
             return LakeTable(self.spark, loc)
         return LakeTable.create(
-            self.spark, loc, SNAPSHOT_SCHEMA, KEY_COLS, n_buckets=self.n_buckets
+            self.spark,
+            loc,
+            SNAPSHOT_SCHEMA,
+            KEY_COLS,
+            n_buckets=self.n_buckets,
+            mode=self.mode,
+            order_col="last_lsn" if self.mode == "mor" else None,
         )
 
     # ----------------------------------------------------- schema events
@@ -132,7 +152,7 @@ class Engine:
         if collect_metrics:
             rejected.select(
                 "event_id", "lsn", "op", "repo", "path", "status", "report_entries"
-            ).write.mode("overwrite").parquet(
+            ).coalesce(8).write.mode("overwrite").parquet(
                 os.path.join(self.warehouse, "_rejects", table_name(table), f"epoch={epoch}")
             )
 
@@ -166,7 +186,16 @@ class Engine:
             .unionByName(rename_upserts)
         )
 
-        latest = dedup_ops.latest_by_key_salted(flat, KEY_COLS, ["lsn", "ts", "event_id"])
+        # plain single-shuffle window: the dedup key is (repo, path), so a hot
+        # REPO spreads over its many paths — per-key skew stays mild. The
+        # salted two-phase variant (latest_by_key_salted) is for genuinely
+        # hot single keys; switchable via salt_keys.
+        if self.salt_keys:
+            latest = dedup_ops.latest_by_key_salted(
+                flat, KEY_COLS, ["lsn", "ts", "event_id"], n_salts=self.salt_keys
+            )
+        else:
+            latest = dedup_ops.latest_by_key(flat, KEY_COLS, ["lsn", "ts", "event_id"])
 
         # populate evolved extra columns from supporting_metadata
         snap = table.current_snapshot()
@@ -200,16 +229,18 @@ class Engine:
         )
 
         info = {"start_lsn": start_lsn, "end_lsn": end_lsn}
+        changes = changes.persist()  # feeds the merge write AND lineage
         try:
             result = table.merge(changes, epoch=epoch, epoch_info=info)
             stats = {"epoch": epoch, **result}
             if collect_metrics:
-                stats.update(self._write_metrics(table, ev, latest, epoch))
+                stats.update(self._write_metrics(table, ev, changes, epoch))
         finally:
             ev.unpersist()
+            changes.unpersist()
         return stats
 
-    def _write_metrics(self, table, validated: DataFrame, latest: DataFrame, epoch: int) -> dict:
+    def _write_metrics(self, table, validated: DataFrame, changes: DataFrame, epoch: int) -> dict:
         """Metrics + per-partition lineage tables (A3/A4/K5 semantics).
 
         One aggregation pass each; partition_id is the deterministic storage
@@ -233,12 +264,12 @@ class Engine:
             os.path.join(self.warehouse, "_metrics", name, f"epoch={epoch}")
         )
         bucket = F.pmod(F.xxhash64("repo", "path"), F.lit(self.n_buckets)).cast("int")
-        lineage = latest.groupBy(bucket.alias("partition_id")).agg(
+        lineage = changes.groupBy(bucket.alias("partition_id")).agg(
             F.count("*").alias("keys_changed"),
-            F.sum((F.col("op") == "DELETE").cast("int")).alias("deleted"),
-            F.sum((F.col("op") != "DELETE").cast("int")).alias("upserted"),
+            F.sum((F.col("__op") == "D").cast("int")).alias("deleted"),
+            F.sum((F.col("__op") == "U").cast("int")).alias("upserted"),
         )
-        lineage.write.mode("overwrite").parquet(
+        lineage.coalesce(8).write.mode("overwrite").parquet(
             os.path.join(self.warehouse, "_lineage", name, f"epoch={epoch}")
         )
         return metrics

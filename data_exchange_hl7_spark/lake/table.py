@@ -34,7 +34,7 @@ import shutil
 import time
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -86,8 +86,20 @@ class LakeTable:
         schema: list[tuple[str, str]],
         key_cols: list[str],
         n_buckets: int = 64,
+        mode: str = "cow",
+        order_col: str | None = None,
     ) -> "LakeTable":
-        """Create an empty table. ``schema`` is [(name, type_string), ...]."""
+        """Create an empty table. ``schema`` is [(name, type_string), ...].
+
+        ``mode``: "cow" rewrites touched buckets on every merge (read-
+        optimized); "mor" (merge-on-read, Iceberg MoR analogue) appends
+        bucketed delta files per merge and resolves latest-per-key at read
+        time ordered by ``order_col`` — write cost per epoch is O(changes),
+        not O(table), which is what survives a 10^10-event stream. Compact
+        periodically with ``compact()``.
+        """
+        if mode == "mor" and not order_col:
+            raise ValueError("mor mode requires order_col for read resolution")
         t = cls(spark, location)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -101,8 +113,11 @@ class LakeTable:
             "schemas": {"0": fields},
             "key_cols": key_cols,
             "n_buckets": n_buckets,
+            "mode": mode,
+            "order_col": order_col,
             "next_field_id": len(fields) + 1,
             "buckets": {},  # bucket -> {"files": [...], "schema_version": int}
+            "deltas": [],  # mor: [{"files": {bucket: [...]}, "schema_version": int}]
             "properties": {"epochs": {}},
             "committed_at": time.time(),
         }
@@ -156,10 +171,13 @@ class LakeTable:
         st = T.StructType([T.StructField(f["name"], _spark_type(f["type"])) for f in fields])
         return self.spark.createDataFrame([], st)
 
-    def _read_files(self, files: list[str], file_sv: int, snap: dict) -> DataFrame:
+    def _read_files(
+        self, files: list[str], file_sv: int, snap: dict, extra_cols: list[str] = ()
+    ) -> DataFrame:
         """Read data files written at schema version ``file_sv``, projected to
         the current schema: align columns by field ID (rename-safe), cast
-        widened types, null-fill added columns."""
+        widened types, null-fill added columns. ``extra_cols`` (e.g. __op in
+        delta files) pass through unmapped."""
         cur = self.schema_fields(snap)
         old = {f["id"]: f for f in snap["schemas"][str(file_sv)]}
         df = self.spark.read.parquet(*[os.path.join(self.data_dir, p) for p in files])
@@ -170,23 +188,66 @@ class LakeTable:
                 cols.append(F.lit(None).cast(_spark_type(f["type"])).alias(f["name"]))
             else:
                 cols.append(F.col(o["name"]).cast(_spark_type(f["type"])).alias(f["name"]))
+        cols += [F.col(c) for c in extra_cols]
         return df.select(*cols)
 
-    def snapshot(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current table state as a DataFrame (optionally selected buckets)."""
-        snap = self.current_snapshot()
+    def _base_df(self, snap: dict, buckets: list[int] | None) -> DataFrame | None:
         groups: dict[int, list[str]] = {}
         for b, entry in snap["buckets"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
             groups.setdefault(entry["schema_version"], []).extend(entry["files"])
         if not groups:
-            return self._empty_df(self.schema_fields(snap))
+            return None
         dfs = [self._read_files(fs, sv, snap) for sv, fs in groups.items()]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    def snapshot(self, buckets: list[int] | None = None) -> DataFrame:
+        """Current table state as a DataFrame (optionally selected buckets).
+
+        In MoR mode this resolves base + delta files: one window over
+        (key) ordered by (order_col desc, file sequence desc), keep first,
+        drop tombstones — the same latest-flag plan as the A1 operator.
+        """
+        snap = self.current_snapshot()
+        base = self._base_df(snap, buckets)
+        deltas = snap.get("deltas", [])
+        if not deltas:
+            return base if base is not None else self._empty_df(self.schema_fields(snap))
+
+        parts = []
+        if base is not None:
+            parts.append(base.withColumn("__op", F.lit("U")).withColumn("__seq", F.lit(-1)))
+        for seq, d in enumerate(deltas):
+            files = []
+            for b, fs in d["files"].items():
+                if buckets is not None and int(b) not in buckets:
+                    continue
+                files.extend(fs)
+            if not files:
+                continue
+            parts.append(
+                self._read_files(files, d["schema_version"], snap, extra_cols=["__op"])
+                .withColumn("__seq", F.lit(seq))
+            )
+        if not parts:
+            return self._empty_df(self.schema_fields(snap))
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        keys = snap["key_cols"]
+        oc = snap["order_col"]
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(oc).desc_nulls_last(), F.col("__seq").desc()
+        )
+        return (
+            allp.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col("__op") == "U"))
+            .drop("__rn", "__op", "__seq")
+        )
 
     # ------------------------------------------------------------ merge
     def _bucket_expr(self, snap: dict):
@@ -216,6 +277,8 @@ class LakeTable:
                 "snapshot_id": snap["snapshot_id"],
                 "buckets_rewritten": 0,
             }
+        if snap.get("mode") == "mor":
+            return self._merge_mor(changes, snap, epoch, epoch_info)
 
         cur_fields = self.schema_fields(snap)
         cur_names = [f["name"] for f in cur_fields]
@@ -306,6 +369,100 @@ class LakeTable:
             "snapshot_id": new_sid,
             "buckets_rewritten": len(changed_buckets),
         }
+
+    def _merge_mor(self, changes: DataFrame, snap: dict, epoch, epoch_info) -> dict:
+        """Merge-on-read apply: append the deduped changes (upserts AND delete
+        tombstones) as bucketed delta files — O(changes) write cost per epoch.
+        Read-side resolution happens in ``snapshot()``; ``compact()`` folds
+        deltas back into base buckets."""
+        cur_names = [f["name"] for f in self.schema_fields(snap)]
+        new_sid = snap["snapshot_id"] + 1
+        out_rel = f"d{new_sid:08d}"
+        out_abs = os.path.join(self.data_dir, out_rel)
+        # repartition on the bucket key first: without it every upstream task
+        # writes a sliver into every bucket dir (tasks x buckets tiny files);
+        # with it each bucket lands in exactly one task -> one file per bucket
+        (
+            changes.withColumn("__bucket", self._bucket_expr(snap))
+            .select(*cur_names, "__op", "__bucket")
+            .repartition(snap["n_buckets"], "__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(out_abs)
+        )
+        files: dict[str, list[str]] = {}
+        n_rows = 0
+        for d in os.listdir(out_abs):
+            if not d.startswith("__bucket="):
+                continue
+            b = d.split("=")[1]
+            files[b] = [
+                os.path.join(out_rel, d, f)
+                for f in os.listdir(os.path.join(out_abs, d))
+                if f.endswith(".parquet")
+            ]
+        if not files:
+            return self._commit_manifest_only(snap, new_sid, epoch, epoch_info)
+        new_snap = dict(snap)
+        new_snap["snapshot_id"] = new_sid
+        new_snap["parent"] = snap["snapshot_id"]
+        new_snap["deltas"] = list(snap.get("deltas", [])) + [
+            {"files": files, "schema_version": snap["schema_version"]}
+        ]
+        props = json.loads(json.dumps(snap["properties"]))
+        if epoch is not None:
+            props["epochs"][str(epoch)] = epoch_info or {}
+        new_snap["properties"] = props
+        new_snap["committed_at"] = time.time()
+        self._write_snapshot(new_snap, expected_parent=snap["snapshot_id"])
+        return {
+            "applied": True,
+            "snapshot_id": new_sid,
+            "buckets_rewritten": 0,
+            "delta_files": sum(len(v) for v in files.values()),
+        }
+
+    def compact(self) -> dict:
+        """Fold MoR deltas into base buckets (one resolved rewrite).
+
+        Equivalent to Iceberg's rewrite_data_files maintenance action; run it
+        every K epochs or when delta count crosses a threshold so read
+        amplification stays bounded while writes stay O(changes)."""
+        snap = self.current_snapshot()
+        if not snap.get("deltas"):
+            return {"compacted": False, "snapshot_id": snap["snapshot_id"]}
+        resolved = self.snapshot()
+        new_sid = snap["snapshot_id"] + 1
+        out_rel = f"s{new_sid:08d}"
+        out_abs = os.path.join(self.data_dir, out_rel)
+        (
+            resolved.withColumn("__bucket", self._bucket_expr(snap))
+            .repartition(snap["n_buckets"], "__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(out_abs)
+        )
+        buckets = {}
+        for d in os.listdir(out_abs):
+            if not d.startswith("__bucket="):
+                continue
+            b = d.split("=")[1]
+            buckets[b] = {
+                "files": [
+                    os.path.join(out_rel, d, f)
+                    for f in os.listdir(os.path.join(out_abs, d))
+                    if f.endswith(".parquet")
+                ],
+                "schema_version": snap["schema_version"],
+            }
+        new_snap = dict(snap)
+        new_snap["snapshot_id"] = new_sid
+        new_snap["parent"] = snap["snapshot_id"]
+        new_snap["buckets"] = buckets
+        new_snap["deltas"] = []
+        new_snap["committed_at"] = time.time()
+        self._write_snapshot(new_snap, expected_parent=snap["snapshot_id"])
+        return {"compacted": True, "snapshot_id": new_sid, "n_buckets": len(buckets)}
 
     def _commit_manifest_only(self, snap, new_sid, epoch, epoch_info) -> dict:
         new_snap = dict(snap)

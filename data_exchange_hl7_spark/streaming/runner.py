@@ -26,9 +26,14 @@ from data_exchange_hl7_spark.lake.table import LakeTable
 
 
 class MicroBatchRunner:
-    def __init__(self, engine: Engine, epoch_size: int = 100_000):
+    def __init__(
+        self, engine: Engine, epoch_size: int = 100_000, compact_every: int | None = None
+    ):
         self.engine = engine
         self.epoch_size = epoch_size
+        # mor maintenance cadence: fold deltas into base every K applied
+        # epochs (bounds read amplification at K delta layers)
+        self.compact_every = compact_every
 
     def run(
         self,
@@ -72,6 +77,8 @@ class MicroBatchRunner:
                 table.set_properties({"epochs": snap["properties"]["epochs"]})
             stats.append(info)
             n_run += 1
+            if self.compact_every and n_run % self.compact_every == 0:
+                info["compaction"] = table.compact()
             if fail_after_epoch is not None and epoch >= fail_after_epoch:
                 break
             if max_epochs is not None and n_run >= max_epochs:

@@ -44,10 +44,13 @@ def _assert_matches_oracle(table, oracle_state):
             assert got.get(f) == orc["extra"].get(f), (key, f)
 
 
-def test_full_replay_matches_oracle(spark, events, oracle_state, tmp_path):
-    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=16)
+@pytest.mark.parametrize("mode,compact_every", [("cow", None), ("mor", None), ("mor", 2)])
+def test_full_replay_matches_oracle(spark, events, oracle_state, tmp_path, mode, compact_every):
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=16, mode=mode)
     table = eng.snapshot_table("repo_files")
-    stats = MicroBatchRunner(eng, epoch_size=EPOCH).run(events, table)
+    stats = MicroBatchRunner(eng, epoch_size=EPOCH, compact_every=compact_every).run(
+        events, table
+    )
     assert len(stats) == N_EVENTS // EPOCH
     assert all(s.get("applied") for s in stats)
     assert oracle_state.rows, "oracle produced empty state — generator broken"

@@ -205,7 +205,7 @@ class Engine:
             extra_cols.append(
                 F.when(
                     F.col("lsn") > m["add_lsn"],
-                    F.element_at(F.col("supporting_metadata"), m["src"]),
+                    F.try_element_at(F.col("supporting_metadata"), F.lit(m["src"])),
                 ).alias(fld)
             )
 

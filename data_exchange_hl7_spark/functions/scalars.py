@@ -56,8 +56,9 @@ def date_folder(ts_col) -> Column:
 
 def field(col, sep: str, index: int) -> Column:
     """1-based delimited field access — the HL7 split idiom
-    (HL7JsonTransformer.kt:61,78,99,108). index may be negative (from end)."""
-    return F.element_at(F.split(col, sep), index)
+    (HL7JsonTransformer.kt:61,78,99,108). index may be negative (from end);
+    out-of-range yields null (ANSI-safe)."""
+    return F.try_element_at(F.split(col, sep), F.lit(index))
 
 
 def path_get(col, dotted: str) -> Column:
@@ -67,13 +68,14 @@ def path_get(col, dotted: str) -> Column:
 
 def filename_of(path_col) -> Column:
     """Basename of a path (fn_load_hl7.scala:7)."""
-    return F.element_at(F.split(path_col, "/"), -1)
+    return F.try_element_at(F.split(path_col, "/"), F.lit(-1))
 
 
 def first_line_with_prefix(content_col, prefix: str) -> Column:
     """First line starting with prefix (fn_debatch_hl7.scala:16-20)."""
-    return F.element_at(
-        F.filter(F.split(content_col, "\r?\n"), lambda x: x.startswith(prefix)), 1
+    return F.try_element_at(
+        F.filter(F.split(content_col, "\r?\n"), lambda x: x.startswith(prefix)),
+        F.lit(1),
     )
 
 

@@ -59,7 +59,7 @@ def debatch(
     msgs = F.filter(F.split(body, f"(?={msg_start}\\|)"), lambda m: F.trim(m) != "")
 
     df = (
-        df.withColumn("__batch_header", F.element_at(headers, 1))
+        df.withColumn("__batch_header", F.try_element_at(headers, F.lit(1)))
         .withColumn("__msgs", msgs)
         .withColumn(
             "single_or_batch",

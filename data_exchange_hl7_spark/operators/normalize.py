@@ -102,6 +102,9 @@ def redact(
     else:
         new_col, new_rep = apply_rules(col, rules)
 
-    return df.withColumn(
+    # report FIRST: both expressions reference content_col by name, and
+    # withColumn re-resolves names against the updated frame — writing the
+    # redacted content first would make the report count the redacted text
+    return df.withColumn("redaction_report", new_rep).withColumn(
         content_col, F.when(F.col(content_col).isNotNull(), new_col)
-    ).withColumn("redaction_report", new_rep)
+    )

@@ -1,0 +1,238 @@
+"""Unit tests per operator, mirroring the reference's per-function unit tests
+(SURVEY.md section 5: debatcher FunctionTest.kt:22-58, TestLineCleanup.kt,
+StringUtilsTest.kt etc.)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_exchange_hl7_spark.functions import scalars
+from data_exchange_hl7_spark.operators import debatch as D
+from data_exchange_hl7_spark.operators import dedup as DD
+from data_exchange_hl7_spark.operators import normalize as N
+from data_exchange_hl7_spark.operators import validate as V
+
+# ----------------------------------------------------------------- debatch
+
+BATCH = "FHS|batchhdr\nBHS|x\nMSH|^~\\&|one\nPID|1\nMSH|^~\\&|two\nOBX|2\nBTS|1\nFTS|1"
+
+
+def test_debatch_batch_file(spark):
+    df = spark.createDataFrame([("f1", BATCH)], "file_id string, content string")
+    out = D.debatch(df).collect()
+    assert len(out) == 2
+    assert [r["message_index"] for r in out] == [1, 2]
+    assert all(r["single_or_batch"] == "BATCH" for r in out)
+    assert out[0]["message_content"].startswith("MSH|^~\\&|one")
+    assert "PID|1" in out[0]["message_content"]
+    assert out[1]["message_content"].startswith("MSH|^~\\&|two")
+    assert out[0]["batch_header"] == "FHS|batchhdr"
+    assert all(r["debatch_status"] == "RECEIVED" for r in out)
+
+
+def test_debatch_single(spark):
+    df = spark.createDataFrame(
+        [("f1", "MSH|^~\\&|solo\nPID|9")], "file_id string, content string"
+    )
+    out = D.debatch(df).collect()
+    assert len(out) == 1
+    assert out[0]["single_or_batch"] == "SINGLE"
+    assert out[0]["message_index"] == 1
+
+
+def test_debatch_empty_rejected(spark):
+    """Zero-MSH file survives as one REJECTED row (Function.kt:150-170)."""
+    df = spark.createDataFrame(
+        [("bad", "FHS|only\nBTS|0"), ("empty", "")], "file_id string, content string"
+    )
+    out = {r["file_id"]: r for r in D.debatch(df).collect()}
+    assert out["bad"]["debatch_status"] == "REJECTED"
+    assert out["bad"]["message_index"] == 0
+    assert out["empty"]["debatch_status"] == "REJECTED"
+
+
+def test_debatch_bom_and_blank_lines(spark):
+    """CovidELRWithBlanks fixture analogue: BOM + blank lines cleaned."""
+    content = "﻿MSH|^~\\&|a\n\n   \nOBX|1\n"
+    df = spark.createDataFrame([("f", content)], "file_id string, content string")
+    out = D.debatch(df).collect()
+    assert len(out) == 1
+    assert out[0]["message_content"] == "MSH|^~\\&|a\nOBX|1"
+
+
+def test_debatch_deterministic_ids(spark):
+    df = spark.createDataFrame([("f1", BATCH)], "file_id string, content string")
+    a = [r["message_id"] for r in D.debatch(df).collect()]
+    b = [r["message_id"] for r in D.debatch(df.repartition(3)).collect()]
+    assert sorted(a) == sorted(b)  # content-derived, not uuid()
+
+
+def test_coalesce_metadata(spark):
+    df = spark.createDataFrame(
+        [("", "tus-1"), ("up-2", "x"), ("", "")], "upload_id string, tus_tguid string"
+    )
+    out = df.select(
+        D.coalesce_metadata("upload_id", "tus_tguid").alias("v")
+    ).collect()
+    assert [r["v"] for r in out] == ["tus-1", "up-2", "UNKNOWN"]
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def _events(spark):
+    rows = [
+        # key A: clean order
+        ("A", 1, 10, "e1"), ("A", 2, 20, "e2"), ("A", 3, 30, "e3"),
+        # key B: same ts tie -> lsn breaks it
+        ("B", 5, 100, "e4"), ("B", 6, 100, "e5"),
+        # key C: same lsn+ts (pathological) -> event_id breaks it
+        ("C", 7, 50, "e6"), ("C", 7, 50, "e7"),
+    ]
+    return spark.createDataFrame(rows, "k string, lsn long, ts long, event_id string")
+
+
+def test_latest_by_key_cascade(spark):
+    out = {r["k"]: r for r in DD.latest_by_key(_events(spark), ["k"]).collect()}
+    assert out["A"]["event_id"] == "e3"
+    assert out["B"]["event_id"] == "e5"  # higher lsn wins the ts tie
+    assert out["C"]["event_id"] == "e7"  # event_id is the total-order fallback
+
+
+def test_salted_equals_plain(spark):
+    df = _events(spark)
+    plain = sorted(tuple(r) for r in DD.latest_by_key(df, ["k"]).collect())
+    for n_salts in (2, 16):
+        salted = sorted(
+            tuple(r) for r in DD.latest_by_key_salted(df, ["k"], n_salts=n_salts).collect()
+        )
+        assert salted == plain
+
+
+def test_sequence_by_key(spark):
+    out = DD.sequence_by_key(_events(spark), ["k"]).collect()
+    a_rows = sorted(
+        [(r["order_position"], r["event_id"]) for r in out if r["k"] == "A"]
+    )
+    assert a_rows == [(1, "e3"), (2, "e2"), (3, "e1")]
+    assert sum(r["is_latest"] for r in out) == 3  # one per key
+
+
+# ---------------------------------------------------------------- validate
+
+
+def _mk_event(spark, **over):
+    base = dict(
+        op="UPDATE", commit="c1", new_path=None, content="def f(): pass",
+        repo="r", path="p",
+    )
+    base.update(over)
+    return spark.createDataFrame(
+        [tuple(base.values())], "op string, commit string, new_path string, content string, repo string, path string"
+    )
+
+
+@pytest.mark.parametrize(
+    "over,status",
+    [
+        (dict(), "VALID_MESSAGE"),
+        (dict(commit=""), "STRUCTURE_ERRORS"),
+        (dict(op="FROB"), "STRUCTURE_ERRORS"),
+        (dict(op="RENAME"), "STRUCTURE_ERRORS"),  # no new_path
+        (dict(content=None), "STRUCTURE_ERRORS"),  # upsert without content
+        (dict(content="x" * 20), "VALID_MESSAGE"),
+        (dict(content="  padded  "), "CONTENT_ERRORS_OR_WARN"),
+    ],
+)
+def test_validate_statuses(spark, over, status):
+    out = V.validate(_mk_event(spark, **over)).collect()[0]
+    if status == "CONTENT_ERRORS_OR_WARN":
+        # whitespace is a Warning, not an error: stays VALID
+        assert out["status"] == "VALID_MESSAGE"
+        assert out["warning_count"]["content"] == 1
+    else:
+        assert out["status"] == status
+
+
+def test_validate_structure_precedence(spark):
+    """Structure errors win over content errors (ProfileManager.kt:158-163)."""
+    df = _mk_event(spark, commit="", content="x" * 2_000_000)
+    out = V.validate(df, max_content_bytes=100).collect()[0]
+    assert out["status"] == "STRUCTURE_ERRORS"
+    assert out["error_count"]["structure"] >= 1
+    assert out["error_count"]["content"] >= 1
+
+
+def test_validate_schema_event_exempt_from_commit(spark):
+    df = _mk_event(spark, op="SCHEMA_ADD", commit="", content=None)
+    out = V.validate(df).collect()[0]
+    assert out["status"] == "VALID_MESSAGE"
+
+
+def test_branch(spark):
+    df = V.validate(
+        _mk_event(spark).unionByName(_mk_event(spark, commit=""))
+    )
+    ok, err = V.branch(df)
+    assert ok.count() == 1 and err.count() == 1
+
+
+# --------------------------------------------------------------- normalize
+
+
+def test_redact_default_rules(spark):
+    df = spark.createDataFrame(
+        [("x", "email bob@x.io ip 10.0.0.1 password: hunter2 ok")],
+        "id string, content string",
+    )
+    out = N.redact(df).collect()[0]
+    assert "bob@x.io" not in out["content"]
+    assert "<redacted:email>" in out["content"]
+    assert "<redacted:ip>" in out["content"]
+    assert "hunter2" not in out["content"]
+    rules_hit = {r["rule"] for r in out["redaction_report"]}
+    assert rules_hit == {"email", "ipv4", "secret_assign"}
+
+
+def test_redact_profile_fallback(spark):
+    """Per-profile rules with DEFAULT fallback (Helper.kt:29-39)."""
+    prof = {"strict": [N.RedactRule("digits", r"\d+", "#")]}
+    df = spark.createDataFrame(
+        [("strict", "a1b22"), ("other", "a1b22 x@y.zz")],
+        "stream string, content string",
+    )
+    out = {r["stream"]: r for r in N.redact(df, profiles=prof, profile_col="stream").collect()}
+    assert out["strict"]["content"] == "a#b#"
+    assert "<redacted:email>" in out["other"]["content"]  # DEFAULT applied
+
+
+def test_clean_content_null_safe(spark):
+    df = spark.createDataFrame([(None,), ("﻿ hi \n",)], "content string")
+    out = [r["content"] for r in N.clean_content(df).collect()]
+    assert out == [None, "hi"]
+
+
+# ----------------------------------------------------------------- scalars
+
+
+def test_scalar_functions(spark):
+    df = spark.createDataFrame(
+        [("My Col-Name.x&y#2 !", "2024-03-01 10:20:30")], "name string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = df.select(
+        scalars.normalize_name(F.col("name")).alias("norm"),
+        scalars.truncate_name(F.lit("a" * 40), 10).alias("trunc"),
+        scalars.iso_ts(F.col("ts")).alias("iso"),
+        scalars.date_folder(F.col("ts")).alias("folder"),
+        scalars.field(F.lit("a|b|c"), r"\|", 2).alias("fld"),
+        scalars.filename_of(F.lit("x/y/z.txt")).alias("base"),
+        scalars.first_line_with_prefix(F.lit("AAA|1\nBBB|2"), "BBB").alias("line"),
+        scalars.deterministic_key(F.lit("a"), F.lit("b")).alias("key"),
+    ).collect()[0]
+    assert row["norm"] == "my_col_name_x_and_y_nbr2_"
+    assert row["trunc"] == "a" * 7 + "_rg"
+    assert row["iso"].startswith("2024-03-01T10:20:30.000")
+    assert row["folder"] == "2024/03/01/10"
+    assert row["fld"] == "b"
+    assert row["base"] == "z.txt"
+    assert row["line"] == "BBB|2"
+    assert len(row["key"]) == 64

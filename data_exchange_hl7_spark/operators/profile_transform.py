@@ -1,0 +1,156 @@
+"""Profile-driven structural transform (reference T1/T2): config -> columns.
+
+The reference's HL7JsonTransformer (lib-bumblebee HL7JsonTransformer.kt:30-146)
+walks a two-level profile (segment cardinality + per-segment field list,
+Profile.kt:3-24, instance PhinGuideProfile_v2.json) and emits nested JSON:
+cardinality [0..1] -> object, [0..*] -> array; fields split on | ^ & with
+repeats on ~.
+
+Spark-first re-expression: the profile is compiled ONCE into a nested
+named_struct / transform() column expression — config-driven schema
+generation with zero Python in the hot path (SURVEY.md section 7.4 item 5).
+
+Also here: the T2 lake-of-segments flatten (TransformerSegments.kt:19-90) and
+the T3 nearest-preceding-anchor attach (fn_hl7_to_obxs_and_segm.scala:26-34).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_exchange_hl7_spark.functions.hl7path import _field_from_line, segments_of
+
+# Profile shape:
+# {
+#   "SEG": {
+#     "cardinality": "[0..1]" | "[0..*]",
+#     "fields": [
+#        {"name": "patient_id", "field": 3},
+#        {"name": "name_family", "field": 5, "component": 1},
+#        {"name": "ts", "field": 7, "repeats": True},   # keep all ~ repeats
+#     ],
+#   }, ...
+# }
+
+EXAMPLE_PROFILE = {
+    "MSH": {
+        "cardinality": "[0..1]",
+        "fields": [
+            {"name": "sending_app", "field": 3, "component": 1},
+            {"name": "message_type", "field": 9, "component": 1},
+            {"name": "message_ts", "field": 7},
+        ],
+    },
+    "PID": {
+        "cardinality": "[0..1]",
+        "fields": [
+            {"name": "patient_id", "field": 3, "component": 1},
+            {"name": "family_name", "field": 5, "component": 1},
+            {"name": "given_name", "field": 5, "component": 2},
+        ],
+    },
+    "OBX": {
+        "cardinality": "[0..*]",
+        "fields": [
+            {"name": "set_id", "field": 1},
+            {"name": "value_type", "field": 2},
+            {"name": "observation_id", "field": 3, "component": 1},
+            {"name": "value", "field": 5},
+        ],
+    },
+}
+
+
+def _field_expr(line: Column, seg: str, spec: dict) -> Column:
+    v = _field_from_line(line, seg, spec["field"])
+    if spec.get("repeats"):
+        reps = F.split(v, "~")
+        if "component" in spec:
+            return F.transform(
+                reps, lambda r: F.try_element_at(F.split(r, r"\^"), F.lit(spec["component"]))
+            ).alias(spec["name"])
+        return reps.alias(spec["name"])
+    v = F.try_element_at(F.split(v, "~"), F.lit(1))
+    if "component" in spec:
+        v = F.try_element_at(F.split(v, r"\^"), F.lit(spec["component"]))
+        if "subcomponent" in spec:
+            v = F.try_element_at(F.split(v, "&"), F.lit(spec["subcomponent"]))
+    return v.alias(spec["name"])
+
+
+def _seg_struct(line: Column, seg: str, fields: list[dict]) -> Column:
+    return F.struct(*[_field_expr(line, seg, f) for f in fields])
+
+
+def profile_column(content, profile: dict) -> Column:
+    """Compile a profile into ONE nested struct column.
+
+    [0..1] segments become a struct (first occurrence, like the reference's
+    object case, HL7JsonTransformer.kt:65-69); [0..*] become array<struct>
+    over every occurrence."""
+    content = F.col(content) if isinstance(content, str) else content
+    def _mk(seg_name, fields):
+        return lambda line: _seg_struct(line, seg_name, fields)
+
+    members = []
+    for seg, spec in profile.items():
+        segs = segments_of(content, seg)
+        if spec.get("cardinality", "[0..1]") == "[0..*]":
+            col = F.transform(segs, _mk(seg, spec["fields"]))
+        else:
+            line = F.try_element_at(segs, F.lit(1))
+            col = F.when(line.isNotNull(), _seg_struct(line, seg, spec["fields"]))
+        members.append(col.alias(seg.lower()))
+    return F.struct(*members)
+
+
+def to_json_lake(df: DataFrame, profile: dict, content_col: str = "content") -> DataFrame:
+    """T1 json-lake stage: add the parsed struct + its JSON rendering, drop
+    raw content (fn-hl7-json-lake Function.kt:169 removes content after
+    transform)."""
+    out = df.withColumn("parsed", profile_column(content_col, profile))
+    return out.withColumn("json_lake", F.to_json("parsed")).drop(content_col)
+
+
+def segment_lake(df: DataFrame, content_col: str = "content", id_cols: list[str] | None = None) -> DataFrame:
+    """T2 lake-of-segments: one row per segment with per-type running counter
+    segment_id 'OBX[3]' (TransformerSegments.kt:19-90, SegIdBuilder.kt:6-15)."""
+    id_cols = id_cols or ["message_id"]
+    lines = F.filter(
+        F.split(F.col(content_col), "\r?\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    ex = df.select(*id_cols, F.posexplode(lines).alias("line_no0", "segment_line"))
+    seg_type = F.substring("segment_line", 1, 3)
+    w = Window.partitionBy(*id_cols, "segment_type").orderBy("line_no0")
+    return (
+        ex.withColumn("segment_type", seg_type)
+        .withColumn("segment_number", F.row_number().over(w))
+        .withColumn(
+            "segment_id",
+            F.concat(F.col("segment_type"), F.lit("["), F.col("segment_number"), F.lit("]")),
+        )
+        .withColumn("line_no", (F.col("line_no0") + 1).cast("int"))
+        .drop("line_no0")
+    )
+
+
+def attach_nearest_preceding(
+    df: DataFrame,
+    anchor_type: str = "OBR",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """T3/J4: attach each segment row to the nearest PRECEDING anchor segment
+    within the message (OBX -> parent OBR, fn_hl7_to_obxs_and_segm.scala:26-34)
+    — as-of join expressed as last(ignorenulls) over an ordered window."""
+    id_cols = id_cols or ["message_id"]
+    w = (
+        Window.partitionBy(*id_cols)
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    anchor = F.last(
+        F.when(F.col("segment_type") == anchor_type, F.col("segment_id")),
+        ignorenulls=True,
+    ).over(w)
+    return df.withColumn("parent_anchor", anchor)

@@ -142,9 +142,25 @@ class Engine:
             return {"epoch": epoch, "applied": False}
 
         # persist the validated slice: it feeds the reject write, the schema
-        # collect, the metrics agg, and the merge — one shared computation
-        # per epoch (scoped: unpersisted before return)
+        # collect, and the merge — one shared computation per epoch (scoped:
+        # unpersisted before return)
         ev = validate_ops.validate(clean_content(events)).persist()
+
+        # metrics ride along as an Observation: collected during the reject
+        # write's pass over ev — zero extra jobs (replaces a separate agg)
+        obs = None
+        if collect_metrics:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"epoch_{epoch}")
+            ev = ev.observe(
+                obs,
+                F.count(F.lit(1)).alias("events_in"),
+                F.sum(
+                    (F.col("status") == validate_ops.STRUCTURE_ERRORS).cast("long")
+                ).alias("rejected"),
+                F.sum(F.col("op").isin(*SCHEMA_OPS).cast("long")).alias("schema_changes"),
+            )
         accepted, rejected = validate_ops.branch(ev)
 
         # rejected branch -> queryable reject table (K2/K4); per-epoch dir
@@ -234,28 +250,25 @@ class Engine:
             result = table.merge(changes, epoch=epoch, epoch_info=info)
             stats = {"epoch": epoch, **result}
             if collect_metrics:
-                stats.update(self._write_metrics(table, ev, changes, epoch))
+                stats.update(self._write_metrics(table, obs, changes, epoch))
         finally:
             ev.unpersist()
             changes.unpersist()
         return stats
 
-    def _write_metrics(self, table, validated: DataFrame, changes: DataFrame, epoch: int) -> dict:
+    def _write_metrics(self, table, obs, changes: DataFrame, epoch: int) -> dict:
         """Metrics + per-partition lineage tables (A3/A4/K5 semantics).
 
-        One aggregation pass each; partition_id is the deterministic storage
-        bucket (not spark_partition_id, which varies with parallelism).
+        Metrics come from the Observation collected during the reject write
+        (no extra job); partition_id is the deterministic storage bucket (not
+        spark_partition_id, which varies with parallelism).
         """
         name = table_name(table)
-        agg = validated.agg(
-            F.count("*").alias("events_in"),
-            F.sum((F.col("status") == validate_ops.STRUCTURE_ERRORS).cast("int")).alias("rejected"),
-            F.sum(F.col("op").isin(*SCHEMA_OPS).cast("int")).alias("schema_changes"),
-        ).collect()[0]
+        got = obs.get
         metrics = {
-            "events_in": agg["events_in"] or 0,
-            "rejected": agg["rejected"] or 0,
-            "schema_changes": agg["schema_changes"] or 0,
+            "events_in": got["events_in"] or 0,
+            "rejected": got["rejected"] or 0,
+            "schema_changes": got["schema_changes"] or 0,
         }
         self.spark.createDataFrame(
             [(epoch, metrics["events_in"], metrics["rejected"], metrics["schema_changes"])],

@@ -60,32 +60,41 @@ def redact(
     content_col: str = "content",
     profiles: dict[str, list[RedactRule]] | None = None,
     profile_col: str | None = None,
+    with_report: bool = True,
 ) -> DataFrame:
     """Apply redaction rules; emit ``redaction_report`` array<struct<rule,n>>.
 
     With ``profiles`` + ``profile_col`` set, each row uses its profile's rule
     list with DEFAULT fallback (Helper.kt:29-39); rule lists are tiny config,
     compiled into the plan (the Catalyst equivalent of a broadcast).
+    ``with_report=False`` skips the per-rule match counting — half the regex
+    passes — when only the redacted content is needed.
     """
     rules = rules or DEFAULT_RULES
 
     def apply_rules(col, rule_list):
-        report = F.array(
-            *[
-                F.struct(
-                    F.lit(r.name).alias("rule"),
-                    F.coalesce(
-                        F.size(F.regexp_extract_all(col, F.lit(r.pattern), F.lit(0))),
-                        F.lit(0),
-                    ).alias("n"),
-                )
-                for r in rule_list
-            ]
-        )
+        if with_report:
+            report = F.array(
+                *[
+                    F.struct(
+                        F.lit(r.name).alias("rule"),
+                        F.coalesce(
+                            F.size(F.regexp_extract_all(col, F.lit(r.pattern), F.lit(0))),
+                            F.lit(0),
+                        ).alias("n"),
+                    )
+                    for r in rule_list
+                ]
+            )
+            report = F.filter(report, lambda x: x["n"] > 0)
+        else:
+            report = F.array().cast(
+                "array<struct<rule string, n int>>"
+            )
         out = col
         for r in rule_list:
             out = F.regexp_replace(out, r.pattern, r.replacement)
-        return out, F.filter(report, lambda x: x["n"] > 0)
+        return out, report
 
     col = F.coalesce(F.col(content_col), F.lit(""))
     if profiles and profile_col:

@@ -1,0 +1,74 @@
+"""Plan-shape regression tests: the scale contracts of SURVEY.md section 4.
+
+These assert the PHYSICAL plan, not the result: pushdown reaches the parquet
+scan, dim joins broadcast, the A1 dedup is a single shuffle, and no
+row-at-a-time Python appears anywhere."""
+
+from pyspark.sql import functions as F
+
+from data_exchange_hl7_spark import queries as q
+from data_exchange_hl7_spark import queries_text as qt
+from data_exchange_hl7_spark.operators.dedup import latest_by_key
+from data_exchange_hl7_spark.plans import (
+    assert_broadcast_join,
+    assert_no_python_udf,
+    assert_pushed_filters,
+    assert_single_shuffle,
+    n_exchanges,
+    read_schema_columns,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= "2023-09-01"
+    ).select("l_quantity")
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_column_pruning(spark):
+    df = q.q1_pricing_summary(spark, SF)
+    cols = read_schema_columns(df)
+    assert "l_comment" not in cols  # not that it exists, but guard the idea:
+    # only the 7 needed columns are read
+    assert set(cols) <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }
+
+
+def test_latest_by_key_is_single_shuffle(spark):
+    """The BASELINE.md watch-item: the reference's dedup plan
+    (groupBy+collect_list+self-join) is 2+ shuffles and degrades
+    superlinearly; ours must stay ONE."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn("lsn", F.col("event_id"))
+    out = latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+    assert_single_shuffle(out)
+
+
+def test_dim_joins_broadcast(spark):
+    assert_broadcast_join(q.q5_region_revenue(spark, SF), at_least=3)
+    assert_broadcast_join(q.q3_shipping_priority(spark, SF), at_least=1)
+
+
+def test_no_python_udf_anywhere(spark):
+    for fn in [
+        q.q1_pricing_summary, q.cdc_latest_state, q.sessionize,
+        qt.minhash_signatures, qt.simhash_signatures, qt.ann_bruteforce_topk,
+        qt.quality_score,
+    ]:
+        assert_no_python_udf(fn(spark, SF))
+
+
+def test_engine_apply_plan_is_narrow_until_window(spark):
+    """The epoch pipeline before the per-key window must not shuffle:
+    validate/clean/rename-explode are narrow."""
+    from data_exchange_hl7_spark.datagen import change_events
+    from data_exchange_hl7_spark.operators.normalize import clean_content
+    from data_exchange_hl7_spark.operators.validate import validate
+
+    ev = validate(clean_content(change_events(spark, 1000)))
+    assert n_exchanges(ev) == 0
+    assert_no_python_udf(ev)

@@ -202,16 +202,23 @@ class Engine:
             .unionByName(rename_upserts)
         )
 
-        # plain single-shuffle window: the dedup key is (repo, path), so a hot
-        # REPO spreads over its many paths — per-key skew stays mild. The
-        # salted two-phase variant (latest_by_key_salted) is for genuinely
-        # hot single keys; switchable via salt_keys.
+        # single-shuffle dedup, pre-partitioned on the storage bucket so the
+        # MERGE write below is shuffle-free (bucket = f(key), so one hash
+        # exchange serves both the per-key window and the bucketed layout).
+        # The dedup key is (repo, path): a hot REPO spreads over its many
+        # paths, so per-key skew stays mild; the salted two-phase variant is
+        # for genuinely hot single keys (salt_keys option).
+        order_cols = ["lsn", "ts", "event_id"]
         if self.salt_keys:
             latest = dedup_ops.latest_by_key_salted(
-                flat, KEY_COLS, ["lsn", "ts", "event_id"], n_salts=self.salt_keys
+                flat, KEY_COLS, order_cols, n_salts=self.salt_keys
             )
+            latest = latest.withColumn("__bucket", table.bucket_expr())
         else:
-            latest = dedup_ops.latest_by_key(flat, KEY_COLS, ["lsn", "ts", "event_id"])
+            flat = flat.withColumn("__bucket", table.bucket_expr())
+            latest = dedup_ops.latest_by_key_bucketed(
+                flat, KEY_COLS, order_cols, n_buckets=self.n_buckets
+            )
 
         # populate evolved extra columns from supporting_metadata
         snap = table.current_snapshot()
@@ -227,6 +234,7 @@ class Engine:
 
         cleaned = F.coalesce(F.col("content"), F.lit(""))
         changes = latest.select(
+            F.col("__bucket"),
             F.col("repo"),
             F.col("path"),
             F.col("commit"),
@@ -276,7 +284,11 @@ class Engine:
         ).write.mode("overwrite").parquet(
             os.path.join(self.warehouse, "_metrics", name, f"epoch={epoch}")
         )
-        bucket = F.pmod(F.xxhash64("repo", "path"), F.lit(self.n_buckets)).cast("int")
+        bucket = (
+            F.col("__bucket")
+            if "__bucket" in changes.columns
+            else F.pmod(F.xxhash64("repo", "path"), F.lit(self.n_buckets)).cast("int")
+        )
         lineage = changes.groupBy(bucket.alias("partition_id")).agg(
             F.count("*").alias("keys_changed"),
             F.sum((F.col("__op") == "D").cast("int")).alias("deleted"),

@@ -254,6 +254,11 @@ class LakeTable:
         keys = [F.col(c) for c in snap["key_cols"]]
         return F.pmod(F.xxhash64(*keys), F.lit(snap["n_buckets"])).cast("int")
 
+    def bucket_expr(self):
+        """Public storage-bucket expression — upstream stages can pre-partition
+        on it so the MERGE write needs no extra shuffle."""
+        return self._bucket_expr(self.current_snapshot())
+
     def merge(
         self,
         changes: DataFrame,
@@ -287,7 +292,9 @@ class LakeTable:
 
         # persist: changes feed the bucket-list collect, the anti-join key
         # broadcast, and the upsert union — compute the window once
-        changes = changes.withColumn("__bucket", self._bucket_expr(snap)).persist()
+        if "__bucket" not in changes.columns:
+            changes = changes.withColumn("__bucket", self._bucket_expr(snap))
+        changes = changes.persist()
         # bounded by n_buckets — metadata-sized collect, never data-sized
         changed_buckets = sorted(
             r["__bucket"]
@@ -381,12 +388,19 @@ class LakeTable:
         out_abs = os.path.join(self.data_dir, out_rel)
         # repartition on the bucket key first: without it every upstream task
         # writes a sliver into every bucket dir (tasks x buckets tiny files);
-        # with it each bucket lands in exactly one task -> one file per bucket
+        # with it each bucket lands in exactly one task -> one file per
+        # bucket. If the caller pre-partitioned on __bucket (the engine's
+        # bucketed dedup does), the write is shuffle-free.
+        if "__bucket" in changes.columns:
+            to_write = changes.select(*cur_names, "__op", "__bucket")
+        else:
+            to_write = (
+                changes.withColumn("__bucket", self._bucket_expr(snap))
+                .select(*cur_names, "__op", "__bucket")
+                .repartition(snap["n_buckets"], "__bucket")
+            )
         (
-            changes.withColumn("__bucket", self._bucket_expr(snap))
-            .select(*cur_names, "__op", "__bucket")
-            .repartition(snap["n_buckets"], "__bucket")
-            .write.partitionBy("__bucket")
+            to_write.write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(out_abs)
         )

@@ -86,6 +86,40 @@ def latest_by_key_salted(
     )
 
 
+def latest_by_key_bucketed(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str] | None = None,
+    bucket_col: str = "__bucket",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Latest-per-key that leaves the data partitioned by storage bucket.
+
+    The plain window shuffles on (key); the bucketed MERGE write then needs a
+    SECOND full-content shuffle back to the bucket. Since bucket = f(key),
+    one shuffle suffices: hash-partition by bucket, sort within the bucket by
+    (key, order desc), and keep a row iff its key differs from the previous
+    row's key (lag) — the first row of each key group IS the latest. Output
+    rows keep ``bucket_col`` and arrive already partitioned by it, so the
+    downstream partitionBy write is shuffle-free.
+
+    Halves the wide-stage bytes of every epoch; same total order semantics
+    as latest_by_key (tested equivalent).
+    """
+    order_cols = order_cols or DEFAULT_ORDER
+    key_sig = F.concat_ws("\x1f", *[F.col(c) for c in key_cols])
+    w = Window.partitionBy(bucket_col).orderBy(
+        *[F.col(c) for c in key_cols], *_order_desc(order_cols)
+    )
+    out = (
+        df.repartition(n_buckets, bucket_col)
+        .withColumn("__prev_key", F.lag(key_sig).over(w))
+        .filter(F.col("__prev_key").isNull() | (F.col("__prev_key") != key_sig))
+        .drop("__prev_key")
+    )
+    return out
+
+
 def sequence_by_key(
     df: DataFrame, key_cols: list[str], order_cols: list[str] | None = None
 ) -> DataFrame:

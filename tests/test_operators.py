@@ -108,6 +108,24 @@ def test_salted_equals_plain(spark):
         assert salted == plain
 
 
+def test_bucketed_equals_plain(spark):
+    """latest_by_key_bucketed must match latest_by_key exactly (same total
+    order), while leaving rows partitioned by the storage bucket."""
+    df = _events(spark).withColumn(
+        "__bucket", F.pmod(F.xxhash64("k"), F.lit(4)).cast("int")
+    )
+    plain = sorted(
+        tuple(r) for r in DD.latest_by_key(df, ["k"]).select("k", "event_id").collect()
+    )
+    bucketed = sorted(
+        tuple(r)
+        for r in DD.latest_by_key_bucketed(df, ["k"], n_buckets=4)
+        .select("k", "event_id")
+        .collect()
+    )
+    assert bucketed == plain
+
+
 def test_sequence_by_key(spark):
     out = DD.sequence_by_key(_events(spark), ["k"]).collect()
     a_rows = sorted(

@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_bruteforce_topk": qt.ann_bruteforce_topk,
         "ivf_partition_assign": qt.ivf_partition_assign,
+        "ivf_topk": qt.ivf_topk,
+        "embedding_cosine_dups": qt.embedding_cosine_dups,
         # multimodal plumbing
         "multimodal_binary_meta": qt.multimodal_binary_meta,
     }
@@ -102,5 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": qt.ORACLE_SIMHASH,
         "ann_bruteforce_topk": qt.ORACLE_ANN,
         "ivf_partition_assign": qt.ORACLE_IVF,
+        "ivf_topk": qt.ORACLE_IVF_TOPK,
+        "embedding_cosine_dups": qt.ORACLE_COSINE_DUPS,
         "multimodal_binary_meta": qt.ORACLE_MULTIMODAL,
     }

@@ -72,6 +72,17 @@ def main() -> None:
         wal_path = os.path.join(tmp, "wal")
         change_events(spark, n_events).write.mode("overwrite").parquet(wal_path)
         wal = spark.read.parquet(wal_path)
+
+        # warmup: a miniature apply compiles every codegen path (validate,
+        # window dedup, bucketed parquet write) before the timed run — the
+        # first JVM run otherwise pays ~35s of JIT that no steady-state
+        # micro-batch ever sees (cold vs warm measured 44s vs 9.6s)
+        warm_eng = Engine(spark, os.path.join(tmp, "wh_warm"), n_buckets=64, mode="mor")
+        warm_table = warm_eng.snapshot_table("repo_files")
+        warm_wal = wal.filter(wal["lsn"] < 20_000)
+        MicroBatchRunner(warm_eng, epoch_size=20_000).run(warm_wal, warm_table)
+        warm_table.snapshot().count()
+        warm_table.compact()
         eng = Engine(spark, os.path.join(tmp, "wh"), n_buckets=64, mode="mor")
         table = eng.snapshot_table("repo_files")
         t0 = time.time()

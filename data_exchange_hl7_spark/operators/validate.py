@@ -91,7 +91,10 @@ def validate(df: DataFrame, max_content_bytes: int = 1_000_000) -> DataFrame:
             "structure",
         ),
         (
-            F.coalesce(F.col("content"), F.lit("")).rlike("^[﻿\\s]+|[﻿\\s]+$"),
+            # equivalent to rlike("^[BOM\s]+|[BOM\s]+$") but without the regex
+            # engine: polluted iff trimming the char set changes the string
+            F.coalesce(F.col("content"), F.lit(""))
+            != F.btrim(F.coalesce(F.col("content"), F.lit("")), F.lit("﻿ \t\n\x0b\f\r")),
             _entry("content", "leading/trailing whitespace or BOM", "Format", "Warning"),
             "content",
         ),

@@ -450,6 +450,150 @@ FROM s ORDER BY vec_id
 """
 
 
+def embedding_cosine_dups(spark, sf_dir):
+    """Embedding-cosine near-dup, LSH-bucketed (the scale path): candidates
+    are generated by an 8-bit signed-random-projection bucket (sign of the
+    first 8 dims — deterministic hyperplanes), joined WITHIN bucket only,
+    then filtered by an exact integer cosine predicate
+    ``dot > 0 AND dot^2 * 10^4 >= thr^2_e4 * |a|^2 * |b|^2`` (cos >= 0.30).
+    At 100 TB the bucket join replaces the O(n^2) cross product with
+    per-bucket blocks; all arithmetic is exact bigint on the milli-grid."""
+    e = _quantized(spark, sf_dir)
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("q", i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(1, 9)
+        ]
+    )
+    nrm = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    b = e.select("vec_id", bucket.alias("bucket"), nrm.alias("nrm"), "q")
+    a, bb = b.alias("a"), b.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(bb, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            dot.alias("dot_milli"),
+            F.col("a.nrm").alias("norm_a"),
+            F.col("b.nrm").alias("norm_b"),
+        )
+        .filter(
+            (F.col("dot_milli") > 0)
+            & (
+                F.col("dot_milli") * F.col("dot_milli") * 10000
+                >= 900 * F.col("norm_a") * F.col("norm_b")
+            )
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+ORACLE_COSINE_DUPS = """
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+b AS (
+  SELECT vec_id, q,
+    (SELECT STRING_AGG(CASE WHEN q[i] >= 0 THEN '1' ELSE '0' END, '' ORDER BY i)
+     FROM GENERATE_SERIES(1, 8) AS g(i)) AS bucket,
+    CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(q)), i -> q[i] * q[i])) AS BIGINT) AS nrm
+  FROM e)
+SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.q)), i -> a.q[i] * b2.q[i])) AS BIGINT) AS dot_milli,
+       a.nrm AS norm_a, b2.nrm AS norm_b
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.q)), i -> a.q[i] * b2.q[i])) AS BIGINT) > 0
+  AND POW(CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.q)), i -> a.q[i] * b2.q[i])) AS BIGINT), 2) * 10000
+      >= 900 * a.nrm * b2.nrm
+ORDER BY vec_a, vec_b
+"""
+
+
+def _ivf_cells(spark, sf_dir):
+    e = _quantized(spark, sf_dir)
+    sums = [
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: F.element_at(F.col("q"), i * 4 + j + 1),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias(f"s{j}")
+        for j in range(4)
+    ]
+    df = e.select("vec_id", "q", *sums)
+    best = F.greatest(*[F.col(f"s{j}") for j in range(4)])
+    cell = (
+        F.when(F.col("s0") == best, 0)
+        .when(F.col("s1") == best, 1)
+        .when(F.col("s2") == best, 2)
+        .otherwise(3)
+    )
+    return df.select("vec_id", "q", cell.cast("int").alias("cell"))
+
+
+def ivf_topk(spark, sf_dir, k: int = 5, n_queries: int = 3):
+    """IVF-restricted top-k (ANN scale path): each query searches ONLY its
+    coarse cell (argmax centroid from ``ivf_partition_assign``), so the probe
+    touches ~1/n_cells of the corpus — a partition-pruned equi-join on cell
+    instead of ann_bruteforce_topk's broadcast cross join. Exact integer
+    dot-product ranking within the cell, ties by vec_id."""
+    cells = _ivf_cells(spark, sf_dir)
+    q = cells.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv"), "cell"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_milli"), "vec_id")
+    return (
+        F.broadcast(q)
+        .join(cells, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("dot_milli", dot)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("cell").cast("int").alias("cell"), "dot_milli", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_IVF_CELL_SQL = f"""
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q,
+         CAST(CASE WHEN s0 = GREATEST(s0, s1, s2, s3) THEN 0
+                   WHEN s1 = GREATEST(s0, s1, s2, s3) THEN 1
+                   WHEN s2 = GREATEST(s0, s1, s2, s3) THEN 2
+                   ELSE 3 END AS INT) AS cell
+  FROM (SELECT vec_id, embedding, {_IVF_SUMS} FROM embeddings) s
+"""
+ORACLE_IVF_TOPK = f"""
+WITH c AS ({_IVF_CELL_SQL}),
+q AS (SELECT vec_id AS query_id, q AS qv, cell FROM c WHERE vec_id < 3),
+d AS (
+  SELECT q.query_id, c.vec_id, c.cell,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qv)), i -> qv[i] * c.q[i])) AS BIGINT) AS dot_milli
+  FROM q JOIN c ON q.cell = c.cell WHERE q.query_id <> c.vec_id)
+SELECT query_id, vec_id, cell, dot_milli,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot_milli DESC, vec_id) AS BIGINT) AS rank
+FROM d
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 # ========================= multimodal plumbing ============================
 
 

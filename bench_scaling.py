@@ -79,6 +79,44 @@ print(json.dumps({"cpus": cpus, "wall_s": round(best, 2),
 """
 
 
+# --- latest-flag data-scaling (BASELINE.md watch-item) ---------------------
+# The reference's dedup plan degrades superlinearly (10M->20M rows: 2x data,
+# 2.7x time, latest_flag_and_sequencing.scala:199-203). Our single-window
+# plan must hold near-linear. Same operator semantics (every row kept,
+# is_latest + order_position flags), measured at local[32] over 1M..20M rows.
+DEDUP_SIZES = [1_000_000, 5_000_000, 10_000_000, 20_000_000]
+
+_DEDUP_CHILD = r"""
+import json, sys, tempfile, time
+from pyspark.sql import functions as F
+from data_exchange_hl7_spark.session import build_session
+from data_exchange_hl7_spark.datagen import change_events
+from data_exchange_hl7_spark.operators.dedup import sequence_by_key
+
+spark = build_session("dedup_scale", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+sizes = json.loads(sys.argv[1])
+out = []
+for n in sizes:
+    path = tempfile.mkdtemp(prefix="dedup_wal_") + "/wal"
+    change_events(spark, n).write.mode("overwrite").parquet(path)
+    wal = spark.read.parquet(path)
+    best = None
+    for trial in range(2):
+        t0 = time.time()
+        sequence_by_key(
+            wal.select("repo", "path", "lsn", "ts", "event_id"),
+            ["repo", "path"], ["lsn", "ts", "event_id"],
+        ).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    out.append({"rows": n, "wall_s": round(best, 2),
+                "rows_per_sec": round(n / best, 1)})
+    print(json.dumps(out[-1]), file=sys.stderr)
+print(json.dumps(out))
+"""
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     # materialize the WAL once; both runs read the same input
@@ -106,6 +144,12 @@ def main() -> None:
         results.append(res)
         print(res)
 
+    dd = subprocess.run(
+        [sys.executable, "-c", _DEDUP_CHILD, json.dumps(DEDUP_SIZES)],
+        cwd=repo, check=True, capture_output=True, text=True,
+    )
+    dedup_rows = json.loads(dd.stdout.strip().splitlines()[-1])
+
     lo, hi = results[0], results[-1]
     factor = LEVELS[-1] / LEVELS[0]
     ratio = hi["events_per_sec"] / lo["events_per_sec"]
@@ -121,6 +165,7 @@ def main() -> None:
         "transform_speedup": round(t_ratio, 2),
         "transform_scaling_efficiency": round(t_eff, 3),
         "determinism": f"identical final row count at both levels ({lo['rows']})",
+        "dedup_data_scaling": dedup_rows,
     }
     print(json.dumps(summary))
 
@@ -148,6 +193,31 @@ def main() -> None:
         md.append(
             f"| transform | local[{r['cpus']}] | {r['transform_wall_s']} | {r['transform_events_per_sec']:,} |"
         )
+    d_lo, d_hi = dedup_rows[0], dedup_rows[-1]
+    data_ratio = d_hi["rows"] / d_lo["rows"]
+    time_ratio = d_hi["wall_s"] / d_lo["wall_s"]
+    md += [
+        "",
+        "## Latest-flag data-scaling (the reference's degradation watch-item)",
+        "",
+        "Reference plan (groupBy+collect_list+self-join+UDF) on a 10x16-core",
+        "cluster: 1M rows in 2.07-3.05 min, 20M in 33.51 min — 20x data, ~13x",
+        "time vs the 1M midpoint, degrading superlinearly past 10M",
+        "(latest_flag_and_sequencing.scala:178-203). Our single-window plan,",
+        "SAME semantics (every row kept, is_latest + order_position), one box",
+        "local[32], min of 2 trials:",
+        "",
+        "| rows | wall (s) | rows/sec |",
+        "|---|---|---|",
+    ]
+    for r in dedup_rows:
+        md.append(f"| {r['rows']:,} | {r['wall_s']} | {r['rows_per_sec']:,} |")
+    md += [
+        "",
+        f"- {d_lo['rows'] // 1_000_000}M -> {d_hi['rows'] // 1_000_000}M rows:"
+        f" **{data_ratio:.0f}x data, {time_ratio:.1f}x time** —"
+        " near-linear where the reference's plan went superlinear.",
+    ]
     md += [
         "",
         f"- transform-stage speedup {LEVELS[0]}->{LEVELS[-1]}: **{t_ratio:.2f}x**,"

@@ -549,6 +549,70 @@ class LakeTable:
 
         self._evolve(mutate)
 
+    # ------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Expire old snapshots and delete their unreferenced data files —
+        the Iceberg ``expire_snapshots`` + ``remove_orphan_files`` analogue.
+
+        Keeps the current snapshot plus ``keep_last - 1`` ancestors (time
+        travel window); every data file not referenced by a kept snapshot is
+        deleted, as is the metadata of expired snapshots. At 10^10 events a
+        MoR table accretes one delta layer per epoch and one rewrite per
+        compaction; without expiry, storage is unbounded even though the
+        live state is not. Run after ``compact()``.
+
+        Readers of the CURRENT snapshot are unaffected (its files are all
+        kept); concurrent time-travel readers of expired snapshots would
+        break — same contract as Iceberg's maintenance action.
+        """
+        snap = self.current_snapshot()
+        kept_ids = []
+        s = snap
+        for _ in range(max(keep_last, 1)):
+            kept_ids.append(s["snapshot_id"])
+            if s["parent"] is None:
+                break
+            parent_path = os.path.join(self.meta_dir, f"v{s['parent']:08d}.json")
+            if not os.path.exists(parent_path):
+                break
+            with open(parent_path) as f:
+                s = json.load(f)
+
+        referenced: set[str] = set()
+        for sid in kept_ids:
+            with open(os.path.join(self.meta_dir, f"v{sid:08d}.json")) as f:
+                ks = json.load(f)
+            for entry in ks["buckets"].values():
+                referenced.update(entry["files"])
+            for d in ks.get("deltas", []):
+                for fs in d["files"].values():
+                    referenced.update(fs)
+
+        removed_files = 0
+        for root, _dirs, files in os.walk(self.data_dir, topdown=False):
+            for fname in files:
+                abs_p = os.path.join(root, fname)
+                rel = os.path.relpath(abs_p, self.data_dir)
+                if fname.endswith(".parquet") and rel not in referenced:
+                    os.remove(abs_p)
+                    removed_files += 1
+            if not os.listdir(root) and root != self.data_dir:
+                os.rmdir(root)
+
+        removed_snaps = 0
+        kept = set(kept_ids)
+        for fname in os.listdir(self.meta_dir):
+            if fname.startswith("v") and fname.endswith(".json"):
+                sid = int(fname[1:-5])
+                if sid not in kept:
+                    os.remove(os.path.join(self.meta_dir, fname))
+                    removed_snaps += 1
+        return {
+            "kept_snapshots": sorted(kept),
+            "removed_snapshots": removed_snaps,
+            "removed_files": removed_files,
+        }
+
     # ------------------------------------------------------------ misc
     def drop(self) -> None:
         shutil.rmtree(self.location, ignore_errors=True)

@@ -27,13 +27,21 @@ from data_exchange_hl7_spark.lake.table import LakeTable
 
 class MicroBatchRunner:
     def __init__(
-        self, engine: Engine, epoch_size: int = 100_000, compact_every: int | None = None
+        self,
+        engine: Engine,
+        epoch_size: int = 100_000,
+        compact_every: int | None = None,
+        expire_keep_last: int | None = None,
     ):
         self.engine = engine
         self.epoch_size = epoch_size
         # mor maintenance cadence: fold deltas into base every K applied
         # epochs (bounds read amplification at K delta layers)
         self.compact_every = compact_every
+        # when set, expire old snapshots after each compaction (bounds
+        # storage: without it a 10^10-event stream accretes a delta layer
+        # per epoch forever); keep_last > 1 retains a time-travel window
+        self.expire_keep_last = expire_keep_last
 
     def run(
         self,
@@ -79,6 +87,8 @@ class MicroBatchRunner:
             n_run += 1
             if self.compact_every and n_run % self.compact_every == 0:
                 info["compaction"] = table.compact()
+                if self.expire_keep_last:
+                    info["expiry"] = table.expire_snapshots(self.expire_keep_last)
             if fail_after_epoch is not None and epoch >= fail_after_epoch:
                 break
             if max_epochs is not None and n_run >= max_epochs:

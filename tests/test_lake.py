@@ -110,3 +110,37 @@ def test_bucket_pruned_read(spark, tmp_path):
     some_bucket = int(list(snap["buckets"].keys())[0])
     part = t.snapshot(buckets=[some_bucket])
     assert 0 < part.count() < 50  # reads only the selected bucket's files
+
+
+def test_expire_snapshots_removes_orphans(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t7", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U"), ("b", "2", 2, 2, "U")]), epoch=0)
+    t.merge(_changes(spark, [("a", "3", 3, 3, "U")]), epoch=1)
+    t.compact()
+    before = sorted(tuple(r) for r in t.snapshot().collect())
+    import os
+
+    def parquet_count():
+        n = 0
+        for root, _d, files in os.walk(t.data_dir):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    n_before = parquet_count()
+    res = t.expire_snapshots(keep_last=1)
+    assert res["removed_files"] > 0 and parquet_count() < n_before
+    # current state unaffected; manifest + epochs survive
+    assert sorted(tuple(r) for r in t.snapshot().collect()) == before
+    assert set(t.committed_epochs()) == {"0", "1"}
+    # expired metadata gone, current still loadable by a fresh handle
+    t2 = LakeTable(spark, t.location)
+    assert sorted(tuple(r) for r in t2.snapshot().collect()) == before
+
+
+def test_expire_snapshots_keep_last_preserves_ancestor(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t8")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    t.merge(_changes(spark, [("a", "2", 2, 2, "U")]), epoch=1)
+    res = t.expire_snapshots(keep_last=2)
+    assert len(res["kept_snapshots"]) == 2
+    assert t.snapshot().collect()[0]["v"] == "2"

@@ -71,3 +71,31 @@ def test_batch_summary_and_groupings(spark):
     by_msg = sinks.errors_by_message(ev)
     assert by_msg.count() > 0
     assert by_msg.agg(F.sum("n_entries")).collect()[0][0] == s["total_errors"] + s["total_warnings"]
+
+
+def test_runner_compact_and_expire_cadence(spark, tmp_path):
+    """compact_every + expire_keep_last bound both read amplification and
+    storage while preserving exactly-once manifests."""
+    import os
+
+    from data_exchange_hl7_spark.datagen import change_events
+    from data_exchange_hl7_spark.engine import Engine
+    from data_exchange_hl7_spark.streaming.runner import MicroBatchRunner
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=4, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    events = change_events(spark, 4000)
+    stats = MicroBatchRunner(
+        eng, epoch_size=1000, compact_every=2, expire_keep_last=1
+    ).run(events, table)
+    assert len([s for s in stats if s.get("applied")]) == 4
+    assert any("expiry" in s for s in stats)
+    # post-run: deltas folded at last compaction boundary, manifest intact
+    assert set(table.committed_epochs()) == {"0", "1", "2", "3"}
+    # state equals an un-maintained replay of the same WAL
+    eng2 = Engine(spark, str(tmp_path / "wh2"), n_buckets=4, mode="mor")
+    t2 = eng2.snapshot_table("repo_files")
+    MicroBatchRunner(eng2, epoch_size=1000).run(events, t2)
+    a = sorted(tuple(r) for r in table.snapshot().collect())
+    b = sorted(tuple(r) for r in t2.snapshot().collect())
+    assert a == b

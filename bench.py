@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "minhash_dup_pairs",
     "simhash_signatures",
     "ann_bruteforce_topk",
+    "ivf_topk",
+    "embedding_cosine_dups",
     "quality_score",
 ]
 

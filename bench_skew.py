@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Hot-key skew benchmark: plain vs salted two-phase latest-per-key dedup.
+
+The north rule calls out hot-repo skew explicitly. The generator's default
+hot repo spreads over ~200 paths, so per-(repo, path) dedup keys stay mild;
+this benchmark builds the genuinely pathological WAL — ONE (repo, path) key
+holding ~30% of all events — and measures the A1 dedup operator:
+
+  - plain   : row_number() over a single per-key window — the hot key's rows
+              all land on one reducer (straggler = wall clock)
+  - salted  : two-phase (within-salt window on (key, salt), then a tiny
+              cross-salt window over <= n_salts survivors per key)
+
+Updates the "## Hot-key skew" section of BENCH.md in place (marker-delimited;
+the rest of the file — written by bench_scaling.py — is untouched).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+N_EVENTS = 5_000_000
+HOT_SHARE_PCT = 30
+N_SALTS = 32
+
+_CHILD = r"""
+import json, sys, tempfile, time
+from pyspark.sql import functions as F
+from data_exchange_hl7_spark.session import build_session
+from data_exchange_hl7_spark.datagen import change_events
+from data_exchange_hl7_spark.operators.dedup import latest_by_key, latest_by_key_salted
+
+n_events, hot_pct, n_salts = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+spark = build_session("skew", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+
+# WAL with one pathological key: hot_pct% of events hit ONE (repo, path)
+ev = change_events(spark, n_events)
+hot = F.pmod(F.xxhash64("lsn", F.lit(999)), F.lit(100)) < hot_pct
+ev = (
+    ev.withColumn("repo", F.when(hot, F.lit("org-hot/proj")).otherwise(F.col("repo")))
+    .withColumn("path", F.when(hot, F.lit("src/hot.py")).otherwise(F.col("path")))
+)
+path = tempfile.mkdtemp(prefix="skew_wal_") + "/wal"
+ev.select("repo", "path", "lsn", "ts", "event_id").write.mode("overwrite").parquet(path)
+wal = spark.read.parquet(path)
+
+out = {}
+for name, fn in [
+    ("plain", lambda df: latest_by_key(df, ["repo", "path"], ["lsn", "ts", "event_id"])),
+    ("salted", lambda df: latest_by_key_salted(df, ["repo", "path"], ["lsn", "ts", "event_id"], n_salts=n_salts)),
+]:
+    best = None
+    for trial in range(2):
+        t0 = time.time()
+        fn(wal).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    out[name] = round(best, 2)
+
+# sanity: identical survivor sets
+a = latest_by_key(wal, ["repo", "path"], ["lsn", "ts", "event_id"]).agg(
+    F.count("*"), F.sum(F.xxhash64("repo", "path", "lsn"))).collect()[0]
+b = latest_by_key_salted(wal, ["repo", "path"], ["lsn", "ts", "event_id"], n_salts=n_salts).agg(
+    F.count("*"), F.sum(F.xxhash64("repo", "path", "lsn"))).collect()[0]
+out["equal_results"] = (tuple(a) == tuple(b))
+out["survivors"] = a[0]
+print(json.dumps(out))
+"""
+
+BEGIN = "<!-- skew:begin -->"
+END = "<!-- skew:end -->"
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    r = subprocess.run(
+        [sys.executable, "-c", _CHILD, str(N_EVENTS), str(HOT_SHARE_PCT), str(N_SALTS)],
+        cwd=repo, check=True, capture_output=True, text=True,
+    )
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    print(json.dumps(res))
+    assert res["equal_results"], "salted dedup diverged from plain!"
+
+    speedup = res["plain"] / res["salted"]
+    section = "\n".join([
+        BEGIN,
+        "## Hot-key skew (salted two-phase dedup)",
+        "",
+        f"Pathological WAL: {N_EVENTS:,} events, ONE (repo, path) key holding",
+        f"~{HOT_SHARE_PCT}% of them ({int(N_EVENTS * HOT_SHARE_PCT / 100):,} rows on one reducer in the",
+        "plain per-key window). local[32], min of 2 trials, identical survivor",
+        "sets verified:",
+        "",
+        "| plan | wall (s) |",
+        "|---|---|",
+        f"| plain single window | {res['plain']} |",
+        f"| salted two-phase ({N_SALTS} salts) | {res['salted']} |",
+        "",
+        f"- salting speedup on the skewed WAL: **{speedup:.2f}x** "
+        f"(straggler reducer eliminated; phase 2 sees <= {N_SALTS} rows/key).",
+        END,
+    ])
+
+    bench_md = os.path.join(repo, "BENCH.md")
+    with open(bench_md) as f:
+        txt = f.read()
+    if BEGIN in txt:
+        pre = txt.split(BEGIN)[0]
+        post = txt.split(END)[1]
+        txt = pre + section + post
+    else:
+        txt = txt.rstrip() + "\n\n" + section + "\n"
+    with open(bench_md, "w") as f:
+        f.write(txt)
+
+
+if __name__ == "__main__":
+    main()

@@ -72,3 +72,18 @@ def test_engine_apply_plan_is_narrow_until_window(spark):
     ev = validate(clean_content(change_events(spark, 1000)))
     assert n_exchanges(ev) == 0
     assert_no_python_udf(ev)
+
+
+def test_ann_scale_paths_plan_shape(spark):
+    """ivf_topk probes via a broadcast join on cell (no cross product);
+    embedding_cosine_dups joins within LSH bucket (shuffle join on the
+    bucket key, not a cartesian); both stay JVM-side."""
+    ivf = qt.ivf_topk(spark, SF)
+    assert_broadcast_join(ivf, at_least=1)
+    assert_no_python_udf(ivf)
+    from data_exchange_hl7_spark.plans import explain_str
+
+    dups = qt.embedding_cosine_dups(spark, SF)
+    plan = explain_str(dups)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert_no_python_udf(dups)

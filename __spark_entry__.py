@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_partition_assign": qt.ivf_partition_assign,
         "ivf_topk": qt.ivf_topk,
         "embedding_cosine_dups": qt.embedding_cosine_dups,
+        # composed corpus-prep pipeline
+        "corpus_prep_pipeline": qt.corpus_prep_pipeline,
         # multimodal plumbing
         "multimodal_binary_meta": qt.multimodal_binary_meta,
     }
@@ -106,5 +108,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_partition_assign": qt.ORACLE_IVF,
         "ivf_topk": qt.ORACLE_IVF_TOPK,
         "embedding_cosine_dups": qt.ORACLE_COSINE_DUPS,
+        "corpus_prep_pipeline": qt.ORACLE_CORPUS_PREP,
         "multimodal_binary_meta": qt.ORACLE_MULTIMODAL,
     }

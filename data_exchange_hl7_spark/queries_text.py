@@ -594,6 +594,58 @@ ORDER BY query_id, rank
 """
 
 
+def corpus_prep_pipeline(spark, sf_dir):
+    """The composed training-data prep pipeline in one plan: exact dedup
+    (keep lowest doc_id per content hash) -> quality gate (>= 5 tokens and
+    non-negative quality score) -> per-source corpus stats. One window (hash
+    key) + one aggregation; at 100 TB both shuffle on well-spread keys."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("bigint")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[.,!?;:]"), F.lit(0))).cast("bigint")
+    n_sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    quality = (
+        (n_chars.cast("double") / n_tok)
+        + n_sw.cast("double") * 10 / n_tok
+        - n_punct.cast("double") * 5 / n_tok
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("quality", quality)
+        .filter((F.col("n_tokens") >= 5) & (F.col("quality") >= 0))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CORPUS_PREP = f"""
+WITH dedup AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
+  FROM documents),
+scored AS (
+  SELECT source, lang,
+         CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         (CAST(LENGTH(text) AS BIGINT) * 1.0 / LEN(STR_SPLIT(text, ' ')))
+           + CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x IN ({_SW_LIST}))) AS BIGINT) * 10.0 / LEN(STR_SPLIT(text, ' '))
+           - CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.,!?;:]')) AS BIGINT) * 5.0 / LEN(STR_SPLIT(text, ' ')) AS quality
+  FROM dedup WHERE rn = 1)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT lang) AS n_langs
+FROM scored WHERE n_tokens >= 5 AND quality >= 0
+GROUP BY source ORDER BY source
+"""
+
+
 # ========================= multimodal plumbing ============================
 
 

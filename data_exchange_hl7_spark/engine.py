@@ -299,6 +299,46 @@ class Engine:
         )
         return metrics
 
+    # ----------------------------------------------- stage facades (7.5)
+    # Thin 1:1 surface over the operator library, mirroring the reference's
+    # stage map (SURVEY.md section 7.5): ingest (S1-S5), validate (V1-V3 +
+    # K2), transform (T1/T2), replay (section 2.9). Each is the same callable
+    # the pipeline composes internally — exposed so a user of the reference
+    # finds the familiar verbs on the engine object.
+
+    def ingest(self, source_dir: str, table: LakeTable, checkpoint_dir: str, **kw):
+        """Tail a directory of WAL files into ``table`` exactly once
+        (receiver-debatcher S1 + autoloader S2 analogue). Returns the
+        StreamingQuery."""
+        from data_exchange_hl7_spark.streaming.stream_ingest import stream_apply
+
+        return stream_apply(self.spark, self, source_dir, table, checkpoint_dir, **kw)
+
+    def validate(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Verdict columns + ok/err branch: returns (accepted, rejected)
+        (structure-validator V1-V3 + branch sidecar K2)."""
+        return validate_ops.branch(validate_ops.validate(clean_content(df)))
+
+    def transform(self, df: DataFrame, profile: dict, content_col: str = "content") -> DataFrame:
+        """Profile-driven structural transform (json-lake T1): compiles the
+        profile into nested struct column expressions."""
+        from data_exchange_hl7_spark.operators.profile_transform import to_json_lake
+
+        return to_json_lake(df, profile, content_col=content_col)
+
+    def segments(self, df: DataFrame, content_col: str = "content", **kw) -> DataFrame:
+        """Lake-of-segments flatten (T2)."""
+        from data_exchange_hl7_spark.operators.profile_transform import segment_lake
+
+        return segment_lake(df, content_col=content_col, **kw)
+
+    def replay(self, events: DataFrame, **kw) -> LakeTable:
+        """Deterministic full/selective replay into a fresh table
+        (svc-hl7-replay semantics)."""
+        from data_exchange_hl7_spark.streaming.runner import replay as _replay
+
+        return _replay(self, events, **kw)
+
     # ------------------------------------------------------------- reads
     def metrics(self, name: str = "repo_files") -> DataFrame:
         return self.spark.read.option("basePath", os.path.join(self.warehouse, "_metrics", name)).parquet(

@@ -254,3 +254,28 @@ def test_scalar_functions(spark):
     assert row["base"] == "z.txt"
     assert row["line"] == "BBB|2"
     assert len(row["key"]) == 64
+
+
+def test_engine_stage_facades(spark, tmp_path):
+    """SURVEY 7.5 public API: the engine exposes the reference's verbs and
+    they equal the operator-library results."""
+    from data_exchange_hl7_spark.datagen import change_events
+    from data_exchange_hl7_spark.engine import Engine
+    from data_exchange_hl7_spark.operators.profile_transform import EXAMPLE_PROFILE
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=4)
+    ev = change_events(spark, 500)
+    ok, err = eng.validate(ev)
+    assert ok.count() + err.count() == 500 and err.count() > 0
+
+    hl7 = spark.createDataFrame(
+        [("m1", "MSH|^~\\&|APP|FAC\nPID|1||PAT1^^X\nOBX|1|TX|CODE1|1|V1")],
+        "message_id string, content string",
+    )
+    t = eng.transform(hl7, EXAMPLE_PROFILE)
+    assert "json_lake" in t.columns
+    segs = eng.segments(hl7)
+    assert segs.filter(segs.segment_type == "OBX").count() == 1
+
+    rep = eng.replay(ev, table_name="facade_replay", epoch_size=250, reason="t")
+    assert rep.snapshot().count() > 0

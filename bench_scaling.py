@@ -153,9 +153,12 @@ def main() -> None:
     for _pass in range(TRIALS):
         for cpus in LEVELS:
             load1 = os.getloadavg()[0]
+            # 2 in-JVM trials per child, min taken: the first big trial still
+            # tier-compiles hot loops even after the mini-apply warmup; the
+            # second runs fully C2-compiled (observed 2-3x on trial 1)
             out = subprocess.run(
                 [sys.executable, "-c", _CHILD, str(cpus), str(N_EVENTS), wal_path,
-                 "1", str(N_TRANSFORM)],
+                 str(TRIALS), str(N_TRANSFORM)],
                 cwd=repo, check=True, capture_output=True, text=True,
             )
             res = json.loads(out.stdout.strip().splitlines()[-1])

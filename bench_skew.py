@@ -61,11 +61,12 @@ for name, fn in [
         best = dt if best is None else min(best, dt)
     out[name] = round(best, 2)
 
-# sanity: identical survivor sets
+# sanity: identical survivor sets (bit_xor: order-independent, no ANSI
+# overflow — sum of 64-bit hashes overflows bigint at this row count)
 a = latest_by_key(wal, ["repo", "path"], ["lsn", "ts", "event_id"]).agg(
-    F.count("*"), F.sum(F.xxhash64("repo", "path", "lsn"))).collect()[0]
+    F.count("*"), F.bit_xor(F.xxhash64("repo", "path", "lsn"))).collect()[0]
 b = latest_by_key_salted(wal, ["repo", "path"], ["lsn", "ts", "event_id"], n_salts=n_salts).agg(
-    F.count("*"), F.sum(F.xxhash64("repo", "path", "lsn"))).collect()[0]
+    F.count("*"), F.bit_xor(F.xxhash64("repo", "path", "lsn"))).collect()[0]
 out["equal_results"] = (tuple(a) == tuple(b))
 out["survivors"] = a[0]
 print(json.dumps(out))

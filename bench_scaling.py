@@ -33,8 +33,9 @@ from data_exchange_hl7_spark.datagen import change_events
 from data_exchange_hl7_spark.engine import Engine
 from data_exchange_hl7_spark.streaming.runner import MicroBatchRunner
 
-cpus, n_events, wal_path, trials, n_transform = (
-    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], int(sys.argv[4]), int(sys.argv[5]))
+cpus, n_events, wal_path, trials, n_transform, twal_path = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], int(sys.argv[4]),
+    int(sys.argv[5]), sys.argv[6])
 spark = build_session("scaling", master=f"local[{cpus}]")
 spark.sparkContext.setLogLevel("ERROR")
 wal = spark.read.parquet(wal_path)
@@ -61,7 +62,11 @@ shutil.rmtree(warm.warehouse, ignore_errors=True)
 # sink writes; this is the part a bigger cluster actually multiplies
 from data_exchange_hl7_spark.operators.normalize import clean_content, redact
 from data_exchange_hl7_spark.operators.validate import validate
-twal = wal.filter(F.col("lsn") < n_transform)
+# dedicated WAL, NOT a filter of the big one: a selective filter over the
+# 4M files concentrates surviving rows in ~1/4 of the input splits (file
+# layout follows the larger set), collapsing task parallelism and tripling
+# wall — measured and root-caused, see BENCH.md
+twal = spark.read.parquet(twal_path)
 best_t = None
 for trial in range(trials):
     toks = F.split(F.coalesce(F.col("content"), F.lit("")), "\n")
@@ -143,6 +148,12 @@ def main() -> None:
         [sys.executable, "-c", gen, wal_path], cwd=repo, check=True,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
+    tgen = gen.replace(str(N_EVENTS), str(N_TRANSFORM))
+    twal_path = os.path.join(tempfile.mkdtemp(prefix="dex_twal_"), "wal")
+    subprocess.run(
+        [sys.executable, "-c", tgen, twal_path], cwd=repo, check=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
 
     # Interleave the levels (8, 32, 8, 32, ...) rather than running all of
     # one level then all of the other: the box has noisy neighbors whose load
@@ -158,7 +169,7 @@ def main() -> None:
             # second runs fully C2-compiled (observed 2-3x on trial 1)
             out = subprocess.run(
                 [sys.executable, "-c", _CHILD, str(cpus), str(N_EVENTS), wal_path,
-                 str(TRIALS), str(N_TRANSFORM)],
+                 str(TRIALS), str(N_TRANSFORM), twal_path],
                 cwd=repo, check=True, capture_output=True, text=True,
             )
             res = json.loads(out.stdout.strip().splitlines()[-1])
@@ -186,6 +197,7 @@ def main() -> None:
     )
     dedup_rows = json.loads(dd.stdout.strip().splitlines()[-1])
     shutil.rmtree(os.path.dirname(wal_path), ignore_errors=True)
+    shutil.rmtree(os.path.dirname(twal_path), ignore_errors=True)
 
     lo, hi = results[0], results[-1]
     factor = LEVELS[-1] / LEVELS[0]

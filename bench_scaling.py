@@ -170,8 +170,14 @@ def main() -> None:
             out = subprocess.run(
                 [sys.executable, "-c", _CHILD, str(cpus), str(N_EVENTS), wal_path,
                  str(TRIALS), str(N_TRANSFORM), twal_path],
-                cwd=repo, check=True, capture_output=True, text=True,
+                cwd=repo, check=False, capture_output=True, text=True,
             )
+            if out.returncode != 0:
+                # a transient child failure (the sandbox host occasionally
+                # kills JVMs) must not void the surviving passes
+                print(f"child local[{cpus}] pass {_pass} failed:",
+                      out.stderr[-500:], file=sys.stderr)
+                continue
             res = json.loads(out.stdout.strip().splitlines()[-1])
             res["loadavg_at_start"] = round(load1, 1)
             by_level[cpus].append(res)
@@ -179,6 +185,8 @@ def main() -> None:
     results = []
     for cpus in LEVELS:
         runs = by_level[cpus]
+        if not runs:
+            raise RuntimeError(f"every local[{cpus}] pass failed — no data")
         best_apply = min(r["wall_s"] for r in runs)
         best_t = min(r["transform_wall_s"] for r in runs)
         results.append({

@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "receiver_file_report": q.receiver_file_report,
         "branch_router": q.branch_router,
         "distinct_profiles": q.distinct_profiles,
+        # validation reports (V2 three-category NistReport, V4/V6 vocab)
+        "vocab_validation": q.vocab_validation,
+        "nist_report_counts": q.nist_report_counts,
         # scalar surface (2.8) + as-of / sessionize (J4, 2.9)
         "scalar_functions": q.scalar_functions,
         "name_normalization": q.name_normalization,
@@ -89,6 +92,8 @@ def oracle_sql() -> dict[str, str]:
         "receiver_file_report": q.ORACLE_RECEIVER,
         "branch_router": q.ORACLE_BRANCH,
         "distinct_profiles": q.ORACLE_DISTINCT,
+        "vocab_validation": q.ORACLE_VOCAB,
+        "nist_report_counts": q.ORACLE_NIST_COUNTS,
         "scalar_functions": q.ORACLE_SCALARS,
         "name_normalization": q.ORACLE_NAME_NORM,
         "nearest_preceding_anchor": q.ORACLE_ASOF,

@@ -1,9 +1,12 @@
 """Validation verdicts + accept/reject branch (reference V1-V3, K2).
 
-The reference validates each record against a profile and attaches a report
-(lib-nist-validator ProfileManager.kt:135-172) with entries
-{line, column, path, description, category, classification}, per-category
-error counts, and a status derived with structure-errors-take-precedence
+The reference validates each record against a profile and attaches a
+NistReport (lib-nist-validator NistReport.kt:13-55): THREE entry arrays —
+``structure``, ``content``, ``value-set`` — each entry
+{line, column, path, description, category, classification}, plus
+``error-count`` / ``warning-count`` structs {structure, value-set, content}
+(SummaryCount, NistReport.kt:41-47) and a ``status`` derived with
+structure-errors-take-precedence, then content OR value-set errors
 (ProfileManager.kt:158-163). A sidecar branches records to OK vs ERR
 destinations on summary.problem == null (fns-sidecars/fn-sc-branch
 Function.kt:35-69).
@@ -21,11 +24,13 @@ path):
   content checks (warn, still applied):
     - BOM/whitespace pollution (CovidELRWithBlanks fixture analogue)
     - oversized content
+  value-set checks (from operators.vocab.check_vocab, V4/V6):
+    - coded-column membership in a broadcast vocab dim
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -56,15 +61,37 @@ def _entry(path: str, description: str, category: str, classification: str):
     )
 
 
-def validate(df: DataFrame, max_content_bytes: int = 1_000_000) -> DataFrame:
+def _entries_of(checks) -> Column:
+    return F.filter(
+        F.array(*[F.when(cond, e).otherwise(F.lit(None)) for cond, e in checks]),
+        lambda x: x.isNotNull(),
+    ).cast(ENTRY_TYPE)
+
+
+def _n(entries: Column, classification: str) -> Column:
+    return F.size(F.filter(entries, lambda x: x["classification"] == classification))
+
+
+def validate(
+    df: DataFrame,
+    max_content_bytes: int = 1_000_000,
+    value_set_entries: Column | None = None,
+) -> DataFrame:
     """Attach NistReport-shaped verdict columns.
 
-    Adds ``report_entries`` (array<struct>), ``error_count`` /
-    ``warning_count`` structs {structure, content}, and ``status`` with the
-    reference's precedence rule (structure errors win,
-    ProfileManager.kt:158-163).
+    Adds ``report`` — the full NistReport struct
+    {entries: {structure[], content[], value_set[]},
+     error_count: {structure, value_set, content},
+     warning_count: {structure, value_set, content}, status}
+    (NistReport.kt:13-55) — plus flattened conveniences: ``report_entries``
+    (all three arrays concatenated), ``error_count`` / ``warning_count``
+    structs, and ``status`` with the reference's precedence rule (structure
+    errors win, else content OR value-set errors, ProfileManager.kt:158-163).
+
+    ``value_set_entries``: an ENTRY_TYPE column of vocab verdicts (from
+    operators.vocab.check_vocab) folded into the value-set section.
     """
-    checks = [
+    structure_checks = [
         (
             # schema-change events are metadata-only: exempt from the
             # required-provenance check (a real WAL's DDL records carry no
@@ -72,80 +99,85 @@ def validate(df: DataFrame, max_content_bytes: int = 1_000_000) -> DataFrame:
             (F.coalesce(F.trim("commit"), F.lit("")) == "")
             & ~F.col("op").startswith("SCHEMA"),
             _entry("commit", "required metadata 'commit' missing", "Usage", "Error"),
-            "structure",
         ),
         (
             ~F.col("op").isin(*KNOWN_OPS),
             _entry("op", "unknown operation", "Format", "Error"),
-            "structure",
         ),
         (
             (F.col("op") == "RENAME") & F.col("new_path").isNull(),
             _entry("new_path", "RENAME without new_path", "Usage", "Error"),
-            "structure",
         ),
         (
             (~F.col("op").isin("DELETE", "SCHEMA_ADD", "SCHEMA_RENAME", "SCHEMA_WIDEN"))
             & (F.coalesce(F.col("content"), F.lit("")) == ""),
             _entry("content", "missing content for upsert", "Usage", "Error"),
-            "structure",
         ),
+    ]
+    content_checks = [
         (
             # equivalent to rlike("^[BOM\s]+|[BOM\s]+$") but without the regex
             # engine: polluted iff trimming the char set changes the string
             F.coalesce(F.col("content"), F.lit(""))
             != F.btrim(F.coalesce(F.col("content"), F.lit("")), F.lit("﻿ \t\n\x0b\f\r")),
             _entry("content", "leading/trailing whitespace or BOM", "Format", "Warning"),
-            "content",
         ),
         (
             F.length(F.coalesce(F.col("content"), F.lit(""))) > max_content_bytes,
             _entry("content", "content exceeds size budget", "Constraint Failure", "Error"),
-            "content",
         ),
     ]
 
-    entries = F.filter(
-        F.array(
-            *[F.when(cond, e).otherwise(F.lit(None)) for cond, e, _ in checks]
-        ),
-        lambda x: x.isNotNull(),
-    ).cast(ENTRY_TYPE)
-
-    # counts derive from the materialized entries (exact by construction)
-    entries_col = F.col("report_entries")
-    out = df.withColumn("report_entries", entries)
-    struct_errors = F.size(
-        F.filter(
-            entries_col,
-            lambda x: (x["classification"] == "Error")
-            & x["path"].isin("commit", "op", "new_path")
-            | ((x["path"] == "content") & (x["description"] == "missing content for upsert") & (x["classification"] == "Error")),
-        )
+    vs = (
+        value_set_entries
+        if value_set_entries is not None
+        else F.array().cast(ENTRY_TYPE)
     )
-    content_errors = F.size(
-        F.filter(
-            entries_col,
-            lambda x: (x["classification"] == "Error")
-            & (x["path"] == "content")
-            & (x["description"] != "missing content for upsert"),
-        )
-    )
-    warnings = F.size(F.filter(entries_col, lambda x: x["classification"] == "Warning"))
     out = (
-        out.withColumn(
-            "error_count",
+        df.withColumn("__e_structure", _entries_of(structure_checks))
+        .withColumn("__e_content", _entries_of(content_checks))
+        .withColumn("__e_value_set", vs.cast(ENTRY_TYPE))
+    )
+
+    es, ec, ev = F.col("__e_structure"), F.col("__e_content"), F.col("__e_value_set")
+    err = F.struct(
+        _n(es, "Error").alias("structure"),
+        _n(ev, "Error").alias("value_set"),
+        _n(ec, "Error").alias("content"),
+    )
+    warn = F.struct(
+        _n(es, "Warning").alias("structure"),
+        _n(ev, "Warning").alias("value_set"),
+        _n(ec, "Warning").alias("content"),
+    )
+    # ProfileManager.kt:158-163: structure errors -> STRUCTURE_ERRORS, else
+    # content OR value-set errors -> CONTENT_ERRORS, else VALID_MESSAGE
+    status = (
+        F.when(F.col("error_count")["structure"] > 0, F.lit(STRUCTURE_ERRORS))
+        .when(
+            (F.col("error_count")["content"] > 0)
+            | (F.col("error_count")["value_set"] > 0),
+            F.lit(CONTENT_ERRORS),
+        )
+        .otherwise(F.lit(VALID))
+    )
+    out = (
+        out.withColumn("error_count", err)
+        .withColumn("warning_count", warn)
+        .withColumn("status", status)
+        .withColumn(
+            "report",
             F.struct(
-                struct_errors.alias("structure"), content_errors.alias("content")
+                F.struct(
+                    es.alias("structure"), ec.alias("content"), ev.alias("value_set")
+                ).alias("entries"),
+                F.col("error_count").alias("error_count"),
+                F.col("warning_count").alias("warning_count"),
+                F.col("status").alias("status"),
             ),
         )
-        .withColumn("warning_count", F.struct(warnings.alias("content")))
-        .withColumn(
-            "status",
-            F.when(struct_errors > 0, F.lit(STRUCTURE_ERRORS))
-            .when(content_errors > 0, F.lit(CONTENT_ERRORS))
-            .otherwise(F.lit(VALID)),
-        )
+        .withColumn("report_entries", F.concat(es, ec, ev))
+        .drop("__e_structure", "__e_content", "__e_value_set")
     )
     return out
 

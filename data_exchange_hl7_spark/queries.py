@@ -539,3 +539,122 @@ SELECT doc_id, line_no, token,
        token || '[' || CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, token ORDER BY line_no) AS VARCHAR) || ']' AS segment_id
 FROM t ORDER BY doc_id, line_no
 """
+
+
+# ================= validation reports (V2, V4/V6) =========================
+
+EVENT_TYPE_VOCAB = ["signup", "click", "view", "purchase"]  # 'error' absent
+
+
+def vocab_validation(spark, sf_dir):
+    """V4/V6 vocabulary membership validation: each event's coded type is
+    checked against a broadcast vocab dim (MmgValidator.kt:289-310 checkVocab,
+    runHL7GoldContentValidation.scala:107-136); misses become value-set
+    report entries and flip status to CONTENT_ERRORS via the NistReport
+    precedence (ProfileManager.kt:158-163). 'error' is deliberately absent
+    from the value set, so ~1/5 of rows carry a real vocab issue."""
+    from data_exchange_hl7_spark.operators import validate as V
+    from data_exchange_hl7_spark.operators.vocab import VocabCheck, check_vocab, vocab_table
+
+    ev = _t(spark, sf_dir, "events")
+    vocab = vocab_table(
+        spark, [("EVENT_TYPE", t, t.upper()) for t in EVENT_TYPE_VOCAB]
+    )
+    df = ev.select(
+        "event_id",
+        "event_type",
+        F.lit("UPDATE").alias("op"),
+        F.col("user_id").cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("new_path"),
+        F.col("props").alias("content"),
+    )
+    checked = check_vocab(
+        df, vocab, [VocabCheck("event_type", "EVENT_TYPE", path="event_type")]
+    )
+    out = V.validate(checked, value_set_entries=F.col("value_set_entries"))
+    return out.select(
+        "event_id",
+        "event_type",
+        (F.col("error_count")["value_set"] == 0).alias("vocab_ok"),
+        F.col("error_count")["value_set"].alias("n_value_set_errors"),
+        F.try_element_at(F.col("report")["entries"]["value_set"], F.lit(1))[
+            "description"
+        ].alias("issue"),
+        "status",
+    ).orderBy("event_id")
+
+
+_VOCAB_VALUES = ", ".join(f"('{t}')" for t in EVENT_TYPE_VOCAB)
+ORACLE_VOCAB = f"""
+WITH vocab(concept_code) AS (VALUES {_VOCAB_VALUES}),
+j AS (
+  SELECT e.event_id, e.event_type, v.concept_code
+  FROM events e LEFT JOIN vocab v ON e.event_type = v.concept_code)
+SELECT event_id, event_type,
+       concept_code IS NOT NULL AS vocab_ok,
+       CAST(CASE WHEN concept_code IS NULL THEN 1 ELSE 0 END AS INT) AS n_value_set_errors,
+       CASE WHEN concept_code IS NULL
+            THEN 'Unable to find ''' || event_type || ''' on ''EVENT_TYPE''' END AS issue,
+       CASE WHEN concept_code IS NULL THEN 'CONTENT_ERRORS' ELSE 'VALID_MESSAGE' END AS status
+FROM j ORDER BY event_id
+"""
+
+
+def nist_report_counts(spark, sf_dir):
+    """V2 three-category NistReport over a synthesized change-event frame:
+    structure (missing commit, RENAME without new_path), content (whitespace
+    pollution warning), value-set (empty here) — counts from the entries
+    struct (NistReport.kt:33-55) and status from the precedence rule."""
+    from data_exchange_hl7_spark.operators import validate as V
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "signup", F.lit("INSERT"))
+        .when(F.col("event_type") == "view", F.lit("RENAME"))
+        .when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.when(F.col("user_id") % 7 == 0, F.lit(""))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("commit"),
+        F.when(
+            (F.col("event_type") == "view") & (F.col("user_id") % 3 == 0),
+            F.lit("renamed/path"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("new_path"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .when(F.col("user_id") % 5 == 0, F.concat(F.lit(" "), F.col("props")))
+        .otherwise(F.col("props"))
+        .alias("content"),
+    )
+    out = V.validate(df)
+    return out.select(
+        "event_id",
+        "status",
+        F.col("error_count")["structure"].alias("err_structure"),
+        F.col("error_count")["value_set"].alias("err_value_set"),
+        F.col("error_count")["content"].alias("err_content"),
+        F.col("warning_count")["content"].alias("warn_content"),
+        F.size(F.col("report")["entries"]["structure"]).alias("n_structure_entries"),
+    ).orderBy("event_id")
+
+
+ORACLE_NIST_COUNTS = """
+WITH v AS (
+  SELECT event_id,
+         CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END AS commit_err,
+         CASE WHEN event_type = 'view' AND user_id % 3 <> 0 THEN 1 ELSE 0 END AS rename_err,
+         CASE WHEN event_type <> 'error' AND user_id % 5 = 0 THEN 1 ELSE 0 END AS ws_warn
+  FROM events)
+SELECT event_id,
+       CASE WHEN commit_err + rename_err > 0 THEN 'STRUCTURE_ERRORS'
+            ELSE 'VALID_MESSAGE' END AS status,
+       CAST(commit_err + rename_err AS INT) AS err_structure,
+       CAST(0 AS INT) AS err_value_set,
+       CAST(0 AS INT) AS err_content,
+       CAST(ws_warn AS INT) AS warn_content,
+       CAST(commit_err + rename_err AS INT) AS n_structure_entries
+FROM v ORDER BY event_id
+"""

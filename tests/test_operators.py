@@ -194,6 +194,102 @@ def test_branch(spark):
     assert ok.count() == 1 and err.count() == 1
 
 
+def test_nist_report_three_category_golden(spark):
+    """Full NistReport struct golden (NistReport.kt:13-55): three entry
+    arrays, 3-field error/warning counts, precedence status."""
+    out = V.validate(
+        _mk_event(spark, commit="", content="  padded  ")
+    ).collect()[0]
+    rep = out["report"]
+    # entries bucketed per section
+    assert [e["path"] for e in rep["entries"]["structure"]] == ["commit"]
+    assert [e["description"] for e in rep["entries"]["content"]] == [
+        "leading/trailing whitespace or BOM"
+    ]
+    assert list(rep["entries"]["value_set"]) == []
+    # SummaryCount shape {structure, value_set, content}
+    assert rep["error_count"].asDict() == {"structure": 1, "value_set": 0, "content": 0}
+    assert rep["warning_count"].asDict() == {"structure": 0, "value_set": 0, "content": 1}
+    assert rep["status"] == "STRUCTURE_ERRORS"
+    # flat view concatenates all three sections
+    assert len(out["report_entries"]) == 2
+
+
+# ------------------------------------------------------------------- vocab
+
+
+def _vocab_fixture(spark):
+    from data_exchange_hl7_spark.operators.vocab import vocab_table
+
+    return vocab_table(
+        spark,
+        [
+            ("YNU", "Y", "Yes"),
+            ("YNU", "N", "No"),
+            ("YNU", "U", "Unknown"),
+            ("RACE", "1002-5", "American Indian or Alaska Native"),
+        ],
+    )
+
+
+def test_check_vocab_membership(spark):
+    """MmgValidator.kt:289-310 checkVocab semantics: populated value absent
+    from its value set -> VOCAB entry with the reference's message text."""
+    from data_exchange_hl7_spark.operators.vocab import VocabCheck, check_vocab
+
+    df = spark.createDataFrame(
+        [("e1", "Y"), ("e2", "MAYBE"), ("e3", None), ("e4", "")],
+        "event_id string, yn string",
+    )
+    out = check_vocab(
+        df, _vocab_fixture(spark), [VocabCheck("yn", "YNU", path="OBX-5")]
+    )
+    rows = {r["event_id"]: r["value_set_entries"] for r in out.collect()}
+    assert rows["e1"] == []
+    assert len(rows["e2"]) == 1
+    e = rows["e2"][0]
+    assert e["description"] == "Unable to find 'MAYBE' on 'YNU'"
+    assert e["category"] == "VOCAB" and e["classification"] == "Error"
+    assert e["path"] == "OBX-5"
+    # null/empty values are skipped (cardinality's job, not vocab's)
+    assert rows["e3"] == [] and rows["e4"] == []
+
+
+def test_check_vocab_usage_warning_and_status(spark):
+    """usage != 'R' -> Warning (getCategory); Error misses flip status to
+    CONTENT_ERRORS through the value-set branch of the precedence rule."""
+    from data_exchange_hl7_spark.operators.vocab import VocabCheck, check_vocab
+
+    df = _mk_event(spark).withColumn("yn", F.lit("MAYBE")).withColumn(
+        "race", F.lit("9999-9")
+    )
+    checked = check_vocab(
+        df,
+        _vocab_fixture(spark),
+        [VocabCheck("yn", "YNU"), VocabCheck("race", "RACE", usage="O")],
+    )
+    out = V.validate(
+        checked, value_set_entries=F.col("value_set_entries")
+    ).collect()[0]
+    assert out["error_count"]["value_set"] == 1
+    assert out["warning_count"]["value_set"] == 1
+    assert out["status"] == "CONTENT_ERRORS"
+
+
+def test_check_vocab_is_broadcast_join(spark):
+    """The vocab dim must join as a broadcast (no shuffle of the fact side)."""
+    from data_exchange_hl7_spark.operators.vocab import VocabCheck, check_vocab
+
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("event_id"),
+        F.when(F.col("id") % 2 == 0, "Y").otherwise("MAYBE").alias("yn"),
+    )
+    out = check_vocab(df, _vocab_fixture(spark), [VocabCheck("yn", "YNU")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 # --------------------------------------------------------------- normalize
 
 

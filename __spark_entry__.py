@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # validation reports (V2 three-category NistReport, V4/V6 vocab)
         "vocab_validation": q.vocab_validation,
         "nist_report_counts": q.nist_report_counts,
+        "profile_resolution": q.profile_resolution,
+        "embedded_binary_strip": q.embedded_binary_strip,
+        "sql_model_child": q.sql_model_child,
         # scalar surface (2.8) + as-of / sessionize (J4, 2.9)
         "scalar_functions": q.scalar_functions,
         "name_normalization": q.name_normalization,
@@ -94,6 +97,9 @@ def oracle_sql() -> dict[str, str]:
         "distinct_profiles": q.ORACLE_DISTINCT,
         "vocab_validation": q.ORACLE_VOCAB,
         "nist_report_counts": q.ORACLE_NIST_COUNTS,
+        "profile_resolution": q.ORACLE_PROFILE_RESOLUTION,
+        "embedded_binary_strip": q.ORACLE_EMBEDDED_STRIP,
+        "sql_model_child": q.ORACLE_SQL_MODEL_CHILD,
         "scalar_functions": q.ORACLE_SCALARS,
         "name_normalization": q.ORACLE_NAME_NORM,
         "nearest_preceding_anchor": q.ORACLE_ASOF,

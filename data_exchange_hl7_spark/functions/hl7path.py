@@ -13,11 +13,14 @@ Supported grammar (the subset the reference exercises):
     SEG-3.2                  component 2 of field 3
     SEG-3.2.1                subcomponent 1
     SEG[2]-3                 2nd occurrence of SEG
+    SEG-21[1].1              1st ~-repeat of field 21, component 1
+                             (profile_config.json identifier-path shape)
     SEG[@3.1='X']-5.1        first SEG whose field3.comp1 == 'X'
 
 Field numbering follows HL7: for MSH, field N lives at split index N-1
 (MSH-1 is the field separator itself); for every other segment at index N.
-Repeats (~) resolve to the first repeat, as getFirstValue does.
+Repeats (~) resolve to the first repeat, as getFirstValue does, unless an
+explicit field-repeat index ``[r]`` is given.
 """
 
 from __future__ import annotations
@@ -31,7 +34,7 @@ from pyspark.sql import functions as F
 _PATH_RE = re.compile(
     r"^(?P<seg>[A-Z0-9]{3})"
     r"(?:\[(?:(?P<idx>\d+)|@(?P<pf>\d+)(?:\.(?P<pc>\d+))?='(?P<pv>[^']*)')\])?"
-    r"(?:-(?P<field>\d+)(?:\.(?P<comp>\d+)(?:\.(?P<sub>\d+))?)?)?$"
+    r"(?:-(?P<field>\d+)(?:\[(?P<frep>\d+)\])?(?:\.(?P<comp>\d+)(?:\.(?P<sub>\d+))?)?)?$"
 )
 
 
@@ -43,6 +46,7 @@ class HL7Path:
     pred_comp: int | None
     pred_value: str | None
     field: int | None
+    field_repeat: int | None  # 1-based ~-repeat of the field
     comp: int | None
     sub: int | None
 
@@ -59,6 +63,7 @@ def parse_path(path: str) -> HL7Path:
         pred_comp=int(g["pc"]) if g["pc"] else None,
         pred_value=g["pv"],
         field=int(g["field"]) if g["field"] else None,
+        field_repeat=int(g["frep"]) if g["frep"] else None,
         comp=int(g["comp"]) if g["comp"] else None,
         sub=int(g["sub"]) if g["sub"] else None,
     )
@@ -72,9 +77,9 @@ def _field_from_line(line: Column, seg: str, field: int) -> Column:
     return F.try_element_at(F.split(line, r"\|"), F.lit(idx + 1))
 
 
-def _narrow(val: Column, comp: int | None, sub: int | None) -> Column:
-    # first repeat, then component, then subcomponent
-    val = F.try_element_at(F.split(val, "~"), F.lit(1))
+def _narrow(val: Column, comp: int | None, sub: int | None, repeat: int = 1) -> Column:
+    # field repeat (default first), then component, then subcomponent
+    val = F.try_element_at(F.split(val, "~"), F.lit(repeat))
     if comp is not None:
         val = F.try_element_at(F.split(val, r"\^"), F.lit(comp))
         if sub is not None:
@@ -103,7 +108,9 @@ def hl7_get(content, path: str) -> Column:
     line = F.try_element_at(segs, F.lit(p.occurrence or 1))
     if p.field is None:
         return line
-    return _narrow(_field_from_line(line, p.seg, p.field), p.comp, p.sub)
+    return _narrow(
+        _field_from_line(line, p.seg, p.field), p.comp, p.sub, p.field_repeat or 1
+    )
 
 
 def hl7_get_all(content, path: str) -> Column:
@@ -120,7 +127,10 @@ def hl7_get_all(content, path: str) -> Column:
     if p.field is None:
         return segs
     return F.transform(
-        segs, lambda line: _narrow(_field_from_line(line, p.seg, p.field), p.comp, p.sub)
+        segs,
+        lambda line: _narrow(
+            _field_from_line(line, p.seg, p.field), p.comp, p.sub, p.field_repeat or 1
+        ),
     )
 
 

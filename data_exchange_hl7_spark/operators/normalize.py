@@ -116,3 +116,105 @@ def redact(
     return df.withColumn("redaction_report", new_rep).withColumn(
         content_col, F.when(F.col(content_col).isNotNull(), new_col)
     )
+
+
+# ---------------------------------------------------------------- D5 strip
+
+# ED-typed OBX payload marker (HL7Transformer.kt:92 "^Base64^"); payload runs
+# from after the marker to the end of the field/segment line
+_ED_PAYLOAD_RE = r"(\^Base64\^)[^|\r\n]*"
+
+
+def _obx_field(line, n: int):
+    """OBX field n, first ~-repeat (HL7 numbering: split index n)."""
+    v = F.try_element_at(F.split(line, r"\|"), F.lit(n + 1))
+    return F.try_element_at(F.split(v, "~"), F.lit(1))
+
+
+def _obx_comp(line, field: int, comp: int):
+    return F.try_element_at(F.split(_obx_field(line, field), r"\^"), F.lit(comp))
+
+
+def strip_embedded_binary(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "message_id",
+    uri_prefix: str = "attachment://",
+) -> tuple[DataFrame, DataFrame]:
+    """D5 embedded-binary strip (fn-receiver-debatcher HL7Transformer.kt:17-112).
+
+    Detects base64 payloads at the reference's BINARY_PATH
+    ``OBX[@2='ED']-5[1].5`` (marker component 4 == 'Base64'), replaces each
+    inline payload with a deterministic reference URI
+    ``{prefix}{id}/{line_no}[.ext]`` (extension from FILE_TYPE_PATH
+    ``OBX[@2='ED']-5[1].3``; the reference uploads to
+    "$dirPath/$lineNumber$extension", HL7Transformer.kt:80-82 — its random
+    UUID dirPath becomes the content-derived id here, replay-deterministic),
+    and side-outputs the payloads.
+
+    Returns ``(stripped_df, attachments_df)``; attachments has one row per
+    embedded payload (the reference handles only the first ED segment —
+    this generalizes to all of them) with the decoded payload's sha256 and
+    byte size. All pure column expressions; payload bytes never cross into
+    Python. Messages with embedded data get their line endings normalized to
+    '\\n' by the rebuild (the reference joins on '\\n' too,
+    HL7Transformer.kt:46); untouched messages pass through byte-identical.
+    """
+    lines = F.split(F.col(content_col), "\r?\n")
+    pairs = F.transform(
+        lines, lambda x, i: F.struct(x.alias("line"), (i + 1).alias("n"))
+    )
+
+    def is_ed(line):
+        payload = _obx_comp(line, 5, 5)
+        return (
+            line.startswith("OBX|")
+            & (_obx_field(line, 2) == "ED")
+            & (_obx_comp(line, 5, 4) == "Base64")
+            & payload.isNotNull()
+            & (payload != "")
+        )
+
+    def uri(p):
+        ext = _obx_comp(p["line"], 5, 3)
+        dot_ext = F.when(
+            ext.isNotNull() & (ext != ""), F.concat(F.lit("."), ext)
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit(uri_prefix), F.col(id_col), F.lit("/"), p["n"].cast("string"), dot_ext
+        )
+
+    eds = F.filter(pairs, lambda p: is_ed(p["line"]))
+    attachments = (
+        df.select(F.col(id_col), F.explode(eds).alias("p"))
+        .select(
+            F.col(id_col),
+            F.col("p")["n"].cast("int").alias("line_no"),
+            _obx_comp(F.col("p")["line"], 5, 3).alias("extension"),
+            _obx_comp(F.col("p")["line"], 5, 5).alias("payload_b64"),
+            F.sha2(F.unbase64(_obx_comp(F.col("p")["line"], 5, 5)), 256).alias(
+                "payload_sha256"
+            ),
+            F.octet_length(F.unbase64(_obx_comp(F.col("p")["line"], 5, 5)))
+            .cast("bigint")
+            .alias("n_bytes"),
+            uri(F.col("p")).alias("ref_uri"),
+        )
+    )
+
+    new_lines = F.transform(
+        pairs,
+        lambda p: F.when(
+            is_ed(p["line"]),
+            F.regexp_replace(
+                p["line"], F.lit(_ED_PAYLOAD_RE), F.concat(F.lit("$1"), uri(p))
+            ),
+        ).otherwise(p["line"]),
+    )
+    stripped = df.withColumn(
+        content_col,
+        F.when(F.size(eds) > 0, F.array_join(new_lines, "\n")).otherwise(
+            F.col(content_col)
+        ),
+    ).withColumn("n_embedded", F.size(eds))
+    return stripped, attachments

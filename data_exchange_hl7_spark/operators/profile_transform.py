@@ -135,6 +135,80 @@ def segment_lake(df: DataFrame, content_col: str = "content", id_cols: list[str]
     )
 
 
+def _sql_name(name: str, max_len: int = 30) -> str:
+    """Driver-side mirror of functions.scalars normalize_name + truncate_name
+    (lib-dex-commons StringUtils.kt:8-22 normalizeString, 33-62
+    getNormalizedShortName) for column/table names generated from config."""
+    import re
+
+    s = name.lower()
+    s = re.sub(r"[ \-./]", "_", s)
+    s = s.replace("&", "_and_").replace("#", "_nbr")
+    s = re.sub(r"[^a-z0-9_]", "", s)
+    s = re.sub(r"_+", "_", s)
+    if len(s) > max_len:
+        s = s[: max_len - 3] + "_rg"
+    return s
+
+
+def to_sql_model(
+    df: DataFrame,
+    profile: dict,
+    parent_key_col: str = "message_id",
+    content_col: str = "content",
+) -> dict[str, DataFrame]:
+    """T5 MMG SQL normalization (deprecated/fn-mmg-sql-transformer
+    TransformerSql.kt:137-214): singles -> one wide parent table; each
+    repeating block -> a child table named '{seg} repeating group'
+    (normalized, TransformerSql.kt:128-135) whose rows carry a surrogate id
+    column '{table}_id' (TransformerSql.kt:157,179-180) linking back to the
+    parent. Column names go through normalize/truncate
+    (StringUtils.kt:8-22,33-62).
+
+    The reference keys child rows with UUID.randomUUID (TransformerSql.kt:179)
+    which breaks replay byte-equality (SURVEY.md section 4e); here the id is
+    content-derived: sha256(parent_key | segment | position).
+
+    Returns {"singles": wide_df, child_table_name: child_df, ...}. All tables
+    derive from ONE parse of the content column; each child is a narrow
+    posexplode — no shuffle anywhere in the model build.
+    """
+    from data_exchange_hl7_spark.functions.scalars import deterministic_key
+
+    parsed_df = df.withColumn("__parsed", profile_column(content_col, profile))
+    singles_sel = [F.col(parent_key_col)]
+    tables: dict[str, DataFrame] = {}
+    for seg, spec in profile.items():
+        fields = spec["fields"]
+        if spec.get("cardinality", "[0..1]") != "[0..*]":
+            for f in fields:
+                singles_sel.append(
+                    F.col("__parsed")[seg.lower()][f["name"]].alias(
+                        _sql_name(f"{seg}_{f['name']}")
+                    )
+                )
+        else:
+            tbl = _sql_name(f"{seg} repeating group")
+            idc = _sql_name(f"{tbl}_id")
+            ex = parsed_df.select(
+                F.col(parent_key_col),
+                F.posexplode(F.col("__parsed")[seg.lower()]).alias("__pos", "__row"),
+            )
+            tables[tbl] = ex.select(
+                F.col(parent_key_col),
+                deterministic_key(
+                    F.col(parent_key_col), F.lit(seg), F.col("__pos").cast("string")
+                ).alias(idc),
+                (F.col("__pos") + 1).cast("int").alias("seq"),
+                *[
+                    F.col("__row")[f["name"]].alias(_sql_name(f["name"]))
+                    for f in fields
+                ],
+            )
+    tables["singles"] = parsed_df.select(*singles_sel)
+    return tables
+
+
 def attach_nearest_preceding(
     df: DataFrame,
     anchor_type: str = "OBR",

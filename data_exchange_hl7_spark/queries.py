@@ -641,6 +641,186 @@ def nist_report_counts(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def profile_resolution(spark, sf_dir):
+    """V1 message-driven profile resolution (Function.kt:133-158) over an
+    HL7-shaped content column synthesized in-plan: MSH-4 carries the
+    identifier (with ~-repeats), MSH-6 the facility, MSH-12 the version.
+    Streams rotate NNDSS (1 path) / 'daart ' (2 paths, exercising
+    uppercase+trim matching) / '' (unconfigured -> MSH-12 default, no
+    prefix). The Spark side runs the real resolve_profile operator — the
+    oracle re-parses the same content with string ops."""
+    from data_exchange_hl7_spark.operators.profile_resolve import (
+        load_profile_config,
+        resolve_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("MSH|^~\\&|app|"),
+            F.col("event_type"),
+            F.lit("^x~other^y|f5|FAC6|f7|f8|f9|f10|f11|2.5.1"),
+        ).alias("content"),
+        F.when(F.col("user_id") % 3 == 0, F.lit("NNDSS"))
+        .when(F.col("user_id") % 3 == 1, F.lit(" daart "))
+        .otherwise(F.lit(""))
+        .alias("data_stream_id"),
+    )
+    cfg = load_profile_config(
+        {
+            "profile_identifiers": [
+                {"data_stream_id": "NNDSS", "identifier_paths": ["MSH-4[1].1"]},
+                {
+                    "data_stream_id": "DAART",
+                    "identifier_paths": ["MSH-4[1].1", "MSH-6.1"],
+                },
+            ]
+        }
+    )
+    out = resolve_profile(df, cfg)
+    return out.select(
+        "event_id",
+        "data_stream_id",
+        "profile_name",
+        F.array_join("profile_paths", ",").alias("paths_used"),
+    ).orderBy("event_id")
+
+
+ORACLE_PROFILE_RESOLUTION = r"""
+WITH m AS (
+  SELECT event_id,
+         'MSH|^~\&|app|' || event_type || '^x~other^y|f5|FAC6|f7|f8|f9|f10|f11|2.5.1' AS content,
+         CASE WHEN user_id % 3 = 0 THEN 'NNDSS'
+              WHEN user_id % 3 = 1 THEN ' daart '
+              ELSE '' END AS data_stream_id
+  FROM events),
+f AS (
+  SELECT event_id, data_stream_id, STR_SPLIT(content, '|') AS p FROM m),
+x AS (
+  SELECT event_id, data_stream_id,
+         UPPER(STR_SPLIT(STR_SPLIT(p[4], '~')[1], '^')[1]) AS id1,
+         UPPER(STR_SPLIT(STR_SPLIT(p[6], '~')[1], '^')[1]) AS fac,
+         UPPER(STR_SPLIT(STR_SPLIT(p[12], '~')[1], '^')[1]) AS ver
+  FROM f)
+SELECT event_id, data_stream_id,
+       CASE WHEN UPPER(TRIM(data_stream_id)) = 'NNDSS' THEN 'NNDSS-' || id1
+            WHEN UPPER(TRIM(data_stream_id)) = 'DAART' THEN 'DAART-' || id1 || '-' || fac
+            ELSE ver END AS profile_name,
+       CASE WHEN UPPER(TRIM(data_stream_id)) = 'NNDSS' THEN 'MSH-4[1].1'
+            WHEN UPPER(TRIM(data_stream_id)) = 'DAART' THEN 'MSH-4[1].1,MSH-6.1'
+            ELSE 'MSH-12' END AS paths_used
+FROM x ORDER BY event_id
+"""
+
+
+def embedded_binary_strip(spark, sf_dir):
+    """D5 embedded-binary strip (HL7Transformer.kt:17-112) over HL7-shaped
+    content synthesized in-plan: each message carries one OBX|..|ED segment
+    whose OBX-5.5 is a base64 payload (base64 of the event_type). The Spark
+    side runs the real strip operator; the oracle reconstructs the stripped
+    message + payload columns with string ops."""
+    from data_exchange_hl7_spark.operators.normalize import strip_embedded_binary
+
+    ev = _t(spark, sf_dir, "events")
+    payload = F.base64(F.col("event_type").cast("binary"))
+    df = ev.select(
+        F.col("event_id").cast("string").alias("message_id"),
+        "event_type",
+        F.concat(
+            F.lit("MSH|^~\\&|app|fac\nOBX|1|ED|18836-6^doc||app^image^png^Base64^"),
+            payload,
+            F.lit("|\nOBX|2|NM|30525-0||42"),
+        ).alias("content"),
+    )
+    stripped, att = strip_embedded_binary(df)
+    return (
+        stripped.join(att, "message_id")
+        .select(
+            F.col("message_id").cast("bigint").alias("event_id"),
+            "content",
+            "line_no",
+            "extension",
+            "payload_b64",
+            "payload_sha256",
+            "n_bytes",
+            "ref_uri",
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_EMBEDDED_STRIP = """
+SELECT event_id,
+       'MSH|^~\\&|app|fac' || CHR(10) ||
+       'OBX|1|ED|18836-6^doc||app^image^png^Base64^attachment://' ||
+       CAST(event_id AS VARCHAR) || '/2.png|' || CHR(10) ||
+       'OBX|2|NM|30525-0||42' AS content,
+       CAST(2 AS INT) AS line_no,
+       'png' AS extension,
+       TO_BASE64(ENCODE(event_type)) AS payload_b64,
+       SHA256(event_type) AS payload_sha256,
+       CAST(STRLEN(event_type) AS BIGINT) AS n_bytes,
+       'attachment://' || CAST(event_id AS VARCHAR) || '/2.png' AS ref_uri
+FROM events ORDER BY event_id
+"""
+
+
+def sql_model_child(spark, sf_dir):
+    """T5 parent/child SQL normalization (TransformerSql.kt:137-214) over
+    HL7-shaped content synthesized in-plan: every message carries two OBX
+    repeats; the child table keys each repeat with the deterministic
+    surrogate sha256(parent|OBX|pos) that replaces the reference's uuid()
+    (TransformerSql.kt:179). The Spark side runs the real to_sql_model
+    operator; the oracle rebuilds the child rows with UNNEST."""
+    from data_exchange_hl7_spark.operators.profile_transform import to_sql_model
+
+    ev = _t(spark, sf_dir, "events")
+    cents = _cents(F.col("value")).cast("string")
+    df = ev.select(
+        F.col("event_id").cast("string").alias("message_id"),
+        F.concat(
+            F.lit("MSH|^~\\&|app\nOBX|1|NM|30525-0||"),
+            cents,
+            F.lit("\nOBX|2|ST|77968-6||"),
+            F.col("event_type"),
+        ).alias("content"),
+    )
+    profile = {
+        "OBX": {
+            "cardinality": "[0..*]",
+            "fields": [
+                {"name": "set_id", "field": 1},
+                {"name": "value_type", "field": 2},
+                {"name": "value", "field": 5},
+            ],
+        }
+    }
+    child = to_sql_model(df, profile)["obx_repeating_group"]
+    return child.select(
+        F.col("message_id").cast("bigint").alias("event_id"),
+        "obx_repeating_group_id",
+        "seq",
+        "set_id",
+        "value_type",
+        "value",
+    ).orderBy("event_id", "seq")
+
+
+ORACLE_SQL_MODEL_CHILD = """
+SELECT event_id,
+       SHA256(CAST(event_id AS VARCHAR) || '|OBX|' || CAST(u.i - 1 AS VARCHAR))
+         AS obx_repeating_group_id,
+       CAST(u.i AS INT) AS seq,
+       CAST(u.i AS VARCHAR) AS set_id,
+       CASE WHEN u.i = 1 THEN 'NM' ELSE 'ST' END AS value_type,
+       CASE WHEN u.i = 1 THEN CAST(CAST(ROUND(value*100) AS BIGINT) AS VARCHAR)
+            ELSE event_type END AS value
+FROM events, (SELECT UNNEST([1, 2]) AS i) u
+ORDER BY event_id, seq
+"""
+
+
 ORACLE_NIST_COUNTS = """
 WITH v AS (
   SELECT event_id,

@@ -125,3 +125,158 @@ def test_segment_lake_and_anchor(spark):
     assert by_line[5] == "OBR[1]"
     assert by_line[7] == "OBR[2]"  # OBX 3 under second OBR
     assert by_line[1] is None  # MSH precedes any OBR
+
+
+# --------------------------------------------------- profile resolution (V1)
+
+
+def test_hl7_get_field_repeat_index(spark):
+    """SEG-F[r].C grammar: explicit ~-repeat of a field
+    (profile_config.json path shape 'MSH-21[1].1')."""
+    df = _df(spark)
+    row = df.select(
+        hl7_get("content", "PID-3[1].1").alias("rep1"),
+        hl7_get("content", "PID-3[2].1").alias("rep2"),
+        hl7_get("content", "PID-3[3].1").alias("rep3"),
+    ).collect()[0]
+    assert row["rep1"] == "PAT-7"
+    assert row["rep2"] == "ALT-9"
+    assert row["rep3"] is None
+
+
+# MSH-21 carries the profile identifier (two ~-repeats); MSH-6 the receiving
+# facility — the two paths profile_config.json names for NNDSS / DAART
+PROFILE_MSG = (
+    "MSH|^~\\&|App|Fac|Recv|RFAC6|20240301||ORU^R01|X1|P|2.5.1||||||||"
+    "|Gen_Case_Map_v1.0^^x~NotThis^^y\nPID|1||P1"
+)
+
+REFERENCE_CONFIG = {
+    "profile_identifiers": [
+        {"data_stream_id": "NNDSS", "identifier_paths": ["MSH-21[1].1"]},
+        {"data_stream_id": "DAART", "identifier_paths": ["MSH-21[1].1", "MSH-6.1"]},
+    ]
+}
+
+
+def _resolve(spark, data_stream, content=PROFILE_MSG):
+    from data_exchange_hl7_spark.operators.profile_resolve import (
+        load_profile_config,
+        resolve_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(data_stream, content)], "data_stream_id string, content string"
+    )
+    return resolve_profile(df, load_profile_config(REFERENCE_CONFIG)).collect()[0]
+
+
+def test_resolve_profile_single_path(spark):
+    """NNDSS -> MSH-21[1].1 (Function.kt:133-158): stream prefix + uppercased
+    first-repeat component."""
+    row = _resolve(spark, "NNDSS")
+    assert row["profile_name"] == "NNDSS-GEN_CASE_MAP_V1.0"
+    assert row["profile_error"] is None
+
+
+def test_resolve_profile_two_paths_and_case_trim(spark):
+    """DAART joins both path values; stream id matching is uppercase+trim."""
+    row = _resolve(spark, "  daart ")
+    assert row["profile_name"] == "DAART-GEN_CASE_MAP_V1.0-RFAC6"
+
+
+def test_resolve_profile_default_msh12(spark):
+    """Unconfigured stream falls back to MSH-12 (DEFAULT_SPEC_PROFILE)."""
+    row = _resolve(spark, "OTHER")
+    assert row["profile_name"] == "OTHER-2.5.1"
+    assert list(row["profile_paths"]) == ["MSH-12"]
+
+
+def test_resolve_profile_empty_stream_no_prefix(spark):
+    row = _resolve(spark, "")
+    assert row["profile_name"] == "2.5.1"
+
+
+def test_resolve_profile_missing_value_errors(spark):
+    """Missing identifier value -> null profile + InvalidMessageException
+    text (the reject-branch analogue of Function.kt's throw)."""
+    no_msh21 = "MSH|^~\\&|App|Fac|Recv|RFAC6|20240301||ORU^R01|X1|P|2.5.1"
+    row = _resolve(spark, "NNDSS", content=no_msh21)
+    assert row["profile_name"] is None
+    assert "Unable to load validation profile" in row["profile_error"]
+    assert "MSH-21[1].1" in row["profile_error"]
+
+
+# ------------------------------------------------- SQL model (T5)
+
+
+def test_to_sql_model_two_blocks_golden(spark):
+    """TransformerSql.kt:137-214 semantics on a 2-block profile: singles
+    wide table + one child table per repeating block, deterministic
+    surrogate ids, normalized/truncated column names."""
+    import hashlib
+
+    from data_exchange_hl7_spark.operators.profile_transform import to_sql_model
+
+    profile = {
+        "MSH": {
+            "cardinality": "[0..1]",
+            "fields": [{"name": "sending_app", "field": 3, "component": 1}],
+        },
+        "OBX": {
+            "cardinality": "[0..*]",
+            "fields": [
+                {"name": "set_id", "field": 1},
+                {"name": "Observation Value & Result-Of Long Name", "field": 5},
+            ],
+        },
+        "NTE": {
+            "cardinality": "[0..*]",
+            "fields": [{"name": "comment", "field": 3}],
+        },
+    }
+    msg = "\n".join(
+        ["MSH|^~\\&|LabApp", "OBX|1|ST|a||v1", "NTE|1||note-a", "OBX|2|NM|b||v2"]
+    )
+    df = spark.createDataFrame([("m1", msg)], "message_id string, content string")
+    model = to_sql_model(df, profile)
+
+    assert set(model) == {"singles", "obx_repeating_group", "nte_repeating_group"}
+    singles = model["singles"].collect()[0]
+    assert singles["msh_sending_app"] == "LabApp"
+
+    obx = sorted(model["obx_repeating_group"].collect(), key=lambda r: r["seq"])
+    # long element name normalized then truncated at 30 with _rg marker
+    # (StringUtils.kt:33-62)
+    long_col = "observation_value_and_resul_rg"
+    assert long_col in model["obx_repeating_group"].columns
+    assert len(long_col) == 30
+    assert [r["set_id"] for r in obx] == ["1", "2"]
+    assert [r[long_col] for r in obx] == ["v1", "v2"]
+    # deterministic surrogate key replaces TransformerSql.kt:179's uuid()
+    expected_id = hashlib.sha256(b"m1|OBX|0").hexdigest()
+    assert obx[0]["obx_repeating_group_id"] == expected_id
+
+    nte = model["nte_repeating_group"].collect()
+    assert len(nte) == 1 and nte[0]["comment"] == "note-a"
+    assert nte[0]["nte_repeating_group_id"] == hashlib.sha256(b"m1|NTE|0").hexdigest()
+
+
+def test_to_sql_model_deterministic_across_partitions(spark):
+    from data_exchange_hl7_spark.operators.profile_transform import to_sql_model
+
+    profile = {
+        "OBX": {"cardinality": "[0..*]", "fields": [{"name": "set_id", "field": 1}]}
+    }
+    msg = "OBX|1\nOBX|2"
+    df = spark.createDataFrame(
+        [(f"m{i}", msg) for i in range(10)], "message_id string, content string"
+    )
+    a = sorted(map(tuple, to_sql_model(df, profile)["obx_repeating_group"].collect()))
+    b = sorted(
+        map(
+            tuple,
+            to_sql_model(df.repartition(5), profile)["obx_repeating_group"].collect(),
+        )
+    )
+    assert a == b

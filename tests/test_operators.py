@@ -375,3 +375,72 @@ def test_engine_stage_facades(spark, tmp_path):
 
     rep = eng.replay(ev, table_name="facade_replay", epoch_size=250, reason="t")
     assert rep.snapshot().count() > 0
+
+
+# ------------------------------------------------- embedded binary (D5)
+
+ED_MSG = "\n".join(
+    [
+        "MSH|^~\\&|App|Fac",
+        "PID|1||P1",
+        "OBX|1|ED|18836-6^doc||app^image^png^Base64^aGVsbG8gYmluYXJ5|",
+        "OBX|2|NM|30525-0||42",
+    ]
+)
+
+
+def test_strip_embedded_binary_roundtrip(spark):
+    """HL7Transformer.kt:17-112 semantics: payload replaced by a
+    deterministic URI at $dir/$line.$ext; side table carries the blob;
+    re-injecting the payload restores the original message."""
+    from data_exchange_hl7_spark.operators.normalize import strip_embedded_binary
+
+    df = spark.createDataFrame([("m1", ED_MSG)], "message_id string, content string")
+    stripped, att = strip_embedded_binary(df)
+    s = stripped.collect()[0]
+    a = att.collect()
+    assert len(a) == 1
+    assert a[0]["line_no"] == 3 and a[0]["extension"] == "png"
+    assert a[0]["payload_b64"] == "aGVsbG8gYmluYXJ5"
+    assert a[0]["n_bytes"] == len(b"hello binary")
+    assert a[0]["ref_uri"] == "attachment://m1/3.png"
+    assert s["n_embedded"] == 1
+    assert "aGVsbG8gYmluYXJ5" not in s["content"]
+    assert "^Base64^attachment://m1/3.png|" in s["content"]
+    # round-trip: re-inject the side-channel payload -> original message
+    restored = s["content"].replace(a[0]["ref_uri"], a[0]["payload_b64"])
+    assert restored == ED_MSG
+
+
+def test_strip_embedded_binary_no_ed_passthrough(spark):
+    """Messages without embedded data are byte-identical (incl. \\r\\n)."""
+    from data_exchange_hl7_spark.operators.normalize import strip_embedded_binary
+
+    msg = "MSH|^~\\&|App\r\nOBX|1|NM|x||1"
+    df = spark.createDataFrame([("m2", msg)], "message_id string, content string")
+    stripped, att = strip_embedded_binary(df)
+    assert att.count() == 0
+    row = stripped.collect()[0]
+    assert row["content"] == msg and row["n_embedded"] == 0
+
+
+def test_strip_embedded_binary_multiple(spark):
+    """Generalization beyond the reference: every ED payload is stripped,
+    one side row each, URIs keyed by line number."""
+    from data_exchange_hl7_spark.operators.normalize import strip_embedded_binary
+
+    msg = "\n".join(
+        [
+            "MSH|^~\\&|App",
+            "OBX|1|ED|a||x^img^jpg^Base64^QUFB|",
+            "OBX|2|ED|b||x^img^^Base64^QkJC|",
+        ]
+    )
+    df = spark.createDataFrame([("m3", msg)], "message_id string, content string")
+    stripped, att = strip_embedded_binary(df)
+    rows = sorted(att.collect(), key=lambda r: r["line_no"])
+    assert [r["line_no"] for r in rows] == [2, 3]
+    assert rows[0]["ref_uri"] == "attachment://m3/2.jpg"
+    assert rows[1]["ref_uri"] == "attachment://m3/3"  # empty extension -> no dot
+    c = stripped.collect()[0]["content"]
+    assert "QUFB" not in c and "QkJC" not in c

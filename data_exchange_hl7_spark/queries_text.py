@@ -150,9 +150,30 @@ FROM documents ORDER BY doc_id
 # ============================== dedup =====================================
 
 
+def _with_synth_dups(d: DataFrame) -> DataFrame:
+    """The sf* documents corpus contains zero duplicate texts (verified via
+    DuckDB), which made the dedup gates pass vacuously on 0 rows. Union a
+    derived copy of every 10th doc (same text, shifted id) IN-PLAN — both
+    engines do the same — so the duplicate-group output is non-empty and the
+    hash gate actually certifies the operator."""
+    dup = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return d.unionByName(dup)
+
+
+_SYNTH_DUP_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
 def exact_dup_groups(spark, sf_dir):
-    """Exact dedup: hash-groupBy on content hash, surviving-group counts."""
-    d = _t(spark, sf_dir, "documents")
+    """Exact dedup: hash-groupBy on content hash, surviving-group counts.
+    Runs over the corpus + synthesized duplicates (see _with_synth_dups) so
+    every 10th text forms a real group of 2."""
+    d = _with_synth_dups(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return (
         d.groupBy(F.md5("text").alias("content_hash"))
         .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper_doc_id"))
@@ -161,10 +182,11 @@ def exact_dup_groups(spark, sf_dir):
     )
 
 
-ORACLE_EXACT_DUP = """
+ORACLE_EXACT_DUP = f"""
+WITH corpus AS ({_SYNTH_DUP_SQL})
 SELECT MD5(text) AS content_hash, COUNT(*) AS n,
        CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
-FROM documents GROUP BY MD5(text) HAVING COUNT(*) >= 2
+FROM corpus GROUP BY MD5(text) HAVING COUNT(*) >= 2
 ORDER BY content_hash
 """
 
@@ -188,36 +210,41 @@ _SHINGLE_SQL = """
 """
 
 
-def minhash_signatures(spark, sf_dir):
+def minhash_signatures(spark, sf_dir, n_bands: int = N_BANDS):
     """MinHash: per doc, min over shingles of md5(shingle||':'||band) for
-    each of 4 bands (shingle -> minhash -> band signature)."""
+    each band (shingle -> minhash -> band signature). ``n_bands`` is the LSH
+    width knob — real pipelines run ~128 permutations / 16+ bands; the
+    module default keeps the parity oracle small. The oracle SQL is
+    generated from the same N_BANDS constant, so the default cannot drift."""
     d = _t(spark, sf_dir, "documents")
     sh = _shingles(d)
     aggs = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{b}")))).alias(f"mh{b}")
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     ]
     return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
+_MINHASH_AGGS = ",\n       ".join(
+    f"MIN(MD5(shingle || ':{b}')) AS mh{b}" for b in range(N_BANDS)
+)
 ORACLE_MINHASH = f"""
 WITH sh AS ({_SHINGLE_SQL})
 SELECT doc_id,
-       MIN(MD5(shingle || ':0')) AS mh0,
-       MIN(MD5(shingle || ':1')) AS mh1,
-       MIN(MD5(shingle || ':2')) AS mh2,
-       MIN(MD5(shingle || ':3')) AS mh3
+       {_MINHASH_AGGS}
 FROM sh GROUP BY doc_id ORDER BY doc_id
 """
 
 
-def minhash_dup_pairs(spark, sf_dir):
+def minhash_dup_pairs(spark, sf_dir, n_bands: int = N_BANDS):
     """MinHash LSH candidate pairs: docs sharing ANY band signature
     (band -> bucket -> within-bucket join). The join is on (band, sig) —
-    buckets, not the cross product."""
-    sig = minhash_signatures(spark, sf_dir)
+    buckets, not the cross product. More bands = higher recall at
+    proportionally more bucket rows; the join stays band-bucketed at any
+    width."""
+    sig = minhash_signatures(spark, sf_dir, n_bands)
     bands = None
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         one = sig.select(
             F.lit(b).alias("band"), F.col(f"mh{b}").alias("sig"), "doc_id"
         )
@@ -233,18 +260,22 @@ def minhash_dup_pairs(spark, sf_dir):
     )
 
 
+_MINHASH_BAND_UNION = " UNION ALL\n  ".join(
+    (
+        f"SELECT {b} AS band, mh{b} AS sig, doc_id FROM sig"
+        if b == 0
+        else f"SELECT {b}, mh{b}, doc_id FROM sig"
+    )
+    for b in range(N_BANDS)
+)
 ORACLE_MINHASH_PAIRS = f"""
 WITH sh AS ({_SHINGLE_SQL}),
 sig AS (
   SELECT doc_id,
-         MIN(MD5(shingle || ':0')) AS mh0, MIN(MD5(shingle || ':1')) AS mh1,
-         MIN(MD5(shingle || ':2')) AS mh2, MIN(MD5(shingle || ':3')) AS mh3
+         {_MINHASH_AGGS}
   FROM sh GROUP BY doc_id),
 bands AS (
-  SELECT 0 AS band, mh0 AS sig, doc_id FROM sig UNION ALL
-  SELECT 1, mh1, doc_id FROM sig UNION ALL
-  SELECT 2, mh2, doc_id FROM sig UNION ALL
-  SELECT 3, mh3, doc_id FROM sig)
+  {_MINHASH_BAND_UNION})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
 WHERE a.doc_id < b.doc_id
@@ -252,19 +283,44 @@ ORDER BY doc_a, doc_b
 """
 
 
+# document-frequency cap for Jaccard shingles: a shingle appearing in more
+# than MAX_SHINGLE_DF docs of one source is dropped BEFORE the self-join
+# (standard DF pruning, as in CCNet-style dedup). Without it one hot shingle
+# ("the end of the") makes the join O(n_docs^2) in its bucket — the 100 TB
+# scale-killer flagged in round 1. With it the per-(source, shingle) block is
+# bounded at MAX_SHINGLE_DF^2 rows.
+MAX_SHINGLE_DF = 20
+
+
 def ngram_jaccard_pairs(spark, sf_dir):
     """N-gram Jaccard near-dup: for same-source doc pairs, exact integer
-    |A∩B| and |A∪B| over 3-word shingle sets (division left to the reader —
-    exact IEEE anyway, emitted too)."""
+    |A∩B| and |A∪B| over DF-pruned 3-word shingle sets.
+
+    Scale shape: shingles are xxhash64-hashed (join on 8-byte longs, not
+    strings), document-frequency counted per (source, shingle), and shingles
+    with df > MAX_SHINGLE_DF removed from both sides — intersection AND
+    union — before the self-join. The oracle applies the identical pruning
+    on raw shingles, so the output (over the pruned sets) is exact."""
     d = _t(spark, sf_dir, "documents")
-    sh = _shingles(d).join(d.select("doc_id", "source"), "doc_id")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sh = (
+        _shingles(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", F.xxhash64("shingle").alias("sh"))
+    )
+    keep = (
+        sh.groupBy("source", "sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("source", "sh")
+    )
+    pruned = sh.join(keep, ["source", "sh"])
+    sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.source") == F.col("b.source")),
         )
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -295,10 +351,14 @@ ORACLE_JACCARD = f"""
 WITH sh AS (
   SELECT s.doc_id, s.shingle, d.source
   FROM ({_SHINGLE_SQL}) s JOIN documents d ON s.doc_id = d.doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+keep AS (
+  SELECT source, shingle FROM sh
+  GROUP BY source, shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+pruned AS (SELECT sh.* FROM sh JOIN keep USING (source, shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM pruned GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.source = b.source
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT doc_a, doc_b, inter,
        CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni,
@@ -358,10 +418,17 @@ def _quantized(spark, sf_dir):
     return e.select("vec_id", "label", q.alias("q"))
 
 
-def ann_bruteforce_topk(spark, sf_dir, k: int = 5, n_queries: int = 3):
+# ANN harness constants — oracles are generated from these, so the Python
+# defaults and the parity SQL cannot drift (ADVICE round 1)
+ANN_K = 5
+ANN_QUERIES = 3
+
+
+def ann_bruteforce_topk(spark, sf_dir, k: int = ANN_K, n_queries: int = ANN_QUERIES):
     """Brute-force top-k by quantized dot product: exact integer math,
     rank ties broken by vec_id. The baseline every ANN variant is graded
-    against; the cross join broadcasts the (tiny) query side."""
+    against; the cross join broadcasts the (tiny) query side. The oracle
+    pins the module-constant defaults."""
     e = _quantized(spark, sf_dir)
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
@@ -384,11 +451,11 @@ def ann_bruteforce_topk(spark, sf_dir, k: int = 5, n_queries: int = 3):
     )
 
 
-ORACLE_ANN = """
+ORACLE_ANN = f"""
 WITH q AS (
   SELECT vec_id AS query_id,
          LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
-  FROM embeddings WHERE vec_id < 3),
+  FROM embeddings WHERE vec_id < {ANN_QUERIES}),
 e AS (
   SELECT vec_id,
          LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q
@@ -400,7 +467,7 @@ d AS (
 SELECT query_id, vec_id, dot_milli,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot_milli DESC, vec_id) AS BIGINT) AS rank
 FROM d
-QUALIFY rank <= 5
+QUALIFY rank <= {ANN_K}
 ORDER BY query_id, rank
 """
 
@@ -450,11 +517,18 @@ FROM s ORDER BY vec_id
 """
 
 
-def embedding_cosine_dups(spark, sf_dir):
+# SRP (signed-random-projection) bucket width. 2^SRP_BITS buckets: at 100 TB
+# raise this so per-bucket block joins stay bounded (bits should grow ~log of
+# corpus size; 8 bits/256 buckets is the parity-oracle default — the oracle
+# is generated from this constant, so the default cannot drift).
+SRP_BITS = 8
+
+
+def embedding_cosine_dups(spark, sf_dir, n_bits: int = SRP_BITS):
     """Embedding-cosine near-dup, LSH-bucketed (the scale path): candidates
-    are generated by an 8-bit signed-random-projection bucket (sign of the
-    first 8 dims — deterministic hyperplanes), joined WITHIN bucket only,
-    then filtered by an exact integer cosine predicate
+    are generated by an ``n_bits``-bit signed-random-projection bucket (sign
+    of the first n dims — deterministic hyperplanes), joined WITHIN bucket
+    only, then filtered by an exact integer cosine predicate
     ``dot > 0 AND dot^2 * 10^4 >= thr^2_e4 * |a|^2 * |b|^2`` (cos >= 0.30).
     At 100 TB the bucket join replaces the O(n^2) cross product with
     per-bucket blocks; all arithmetic is exact bigint on the milli-grid."""
@@ -462,7 +536,7 @@ def embedding_cosine_dups(spark, sf_dir):
     bucket = F.concat(
         *[
             F.when(F.element_at("q", i) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(1, 9)
+            for i in range(1, n_bits + 1)
         ]
     )
     nrm = F.aggregate(
@@ -497,14 +571,14 @@ def embedding_cosine_dups(spark, sf_dir):
     )
 
 
-ORACLE_COSINE_DUPS = """
+ORACLE_COSINE_DUPS = f"""
 WITH e AS (
   SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q
   FROM embeddings),
 b AS (
   SELECT vec_id, q,
     (SELECT STRING_AGG(CASE WHEN q[i] >= 0 THEN '1' ELSE '0' END, '' ORDER BY i)
-     FROM GENERATE_SERIES(1, 8) AS g(i)) AS bucket,
+     FROM GENERATE_SERIES(1, {SRP_BITS}) AS g(i)) AS bucket,
     CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(q)), i -> q[i] * q[i])) AS BIGINT) AS nrm
   FROM e)
 SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
@@ -542,7 +616,7 @@ def _ivf_cells(spark, sf_dir):
     return df.select("vec_id", "q", cell.cast("int").alias("cell"))
 
 
-def ivf_topk(spark, sf_dir, k: int = 5, n_queries: int = 3):
+def ivf_topk(spark, sf_dir, k: int = ANN_K, n_queries: int = ANN_QUERIES):
     """IVF-restricted top-k (ANN scale path): each query searches ONLY its
     coarse cell (argmax centroid from ``ivf_partition_assign``), so the probe
     touches ~1/n_cells of the corpus — a partition-pruned equi-join on cell
@@ -581,7 +655,7 @@ _IVF_CELL_SQL = f"""
 """
 ORACLE_IVF_TOPK = f"""
 WITH c AS ({_IVF_CELL_SQL}),
-q AS (SELECT vec_id AS query_id, q AS qv, cell FROM c WHERE vec_id < 3),
+q AS (SELECT vec_id AS query_id, q AS qv, cell FROM c WHERE vec_id < {ANN_QUERIES}),
 d AS (
   SELECT q.query_id, c.vec_id, c.cell,
          CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qv)), i -> qv[i] * c.q[i])) AS BIGINT) AS dot_milli
@@ -589,7 +663,7 @@ d AS (
 SELECT query_id, vec_id, cell, dot_milli,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot_milli DESC, vec_id) AS BIGINT) AS rank
 FROM d
-QUALIFY rank <= 5
+QUALIFY rank <= {ANN_K}
 ORDER BY query_id, rank
 """
 
@@ -598,8 +672,12 @@ def corpus_prep_pipeline(spark, sf_dir):
     """The composed training-data prep pipeline in one plan: exact dedup
     (keep lowest doc_id per content hash) -> quality gate (>= 5 tokens and
     non-negative quality score) -> per-source corpus stats. One window (hash
-    key) + one aggregation; at 100 TB both shuffle on well-spread keys."""
-    d = _t(spark, sf_dir, "documents")
+    key) + one aggregation; at 100 TB both shuffle on well-spread keys.
+
+    Runs over the corpus + synthesized duplicates (_with_synth_dups): the
+    dedup window must remove them, so the green gate certifies the window is
+    doing real work (round-1 vacuity fix)."""
+    d = _with_synth_dups(_t(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     n_tok = F.size(toks).cast("bigint")
     n_punct = F.size(F.regexp_extract_all("text", F.lit("[.,!?;:]"), F.lit(0))).cast("bigint")
@@ -628,9 +706,14 @@ def corpus_prep_pipeline(spark, sf_dir):
 
 
 ORACLE_CORPUS_PREP = f"""
-WITH dedup AS (
+WITH corpus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0),
+dedup AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
-  FROM documents),
+  FROM corpus),
 scored AS (
   SELECT source, lang,
          CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,

@@ -87,3 +87,20 @@ def test_ann_scale_paths_plan_shape(spark):
     plan = explain_str(dups)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert_no_python_udf(dups)
+
+
+def test_jaccard_df_pruned_hashed_join(spark):
+    """ngram_jaccard_pairs' scale contract (round-1 fix): shingles are
+    xxhash64-hashed longs and document-frequency-pruned BEFORE the self-join,
+    so a hot shingle cannot create an O(n^2) join bucket; the join itself is
+    an equi-join (no cartesian)."""
+    from data_exchange_hl7_spark.plans import explain_str
+
+    df = qt.ngram_jaccard_pairs(spark, SF)
+    plan = explain_str(df)
+    assert "xxhash64" in plan  # join key is the 8-byte hash, not the string
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert_no_python_udf(df)
+    # the DF-prune aggregate (count per (source, shingle-hash) <= cap) sits
+    # upstream of the pair join
+    assert plan.count("HashAggregate") >= 2

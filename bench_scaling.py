@@ -135,23 +135,25 @@ print(json.dumps(out))
 def main() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     # materialize the WAL once; both runs read the same input
+    # event count arrives as argv, not baked into the source — no string
+    # surgery on generated code (two literals colliding would silently give
+    # the wrong WAL size)
     gen = (
         "import sys, tempfile\n"
         "from data_exchange_hl7_spark.session import build_session\n"
         "from data_exchange_hl7_spark.datagen import change_events\n"
         "spark = build_session('gen', master='local[32]')\n"
         "spark.sparkContext.setLogLevel('ERROR')\n"
-        f"change_events(spark, {N_EVENTS}).write.mode('overwrite').parquet(sys.argv[1])\n"
+        "change_events(spark, int(sys.argv[2])).write.mode('overwrite').parquet(sys.argv[1])\n"
     )
     wal_path = os.path.join(tempfile.mkdtemp(prefix="dex_wal_"), "wal")
     subprocess.run(
-        [sys.executable, "-c", gen, wal_path], cwd=repo, check=True,
+        [sys.executable, "-c", gen, wal_path, str(N_EVENTS)], cwd=repo, check=True,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
-    tgen = gen.replace(str(N_EVENTS), str(N_TRANSFORM))
     twal_path = os.path.join(tempfile.mkdtemp(prefix="dex_twal_"), "wal")
     subprocess.run(
-        [sys.executable, "-c", tgen, twal_path], cwd=repo, check=True,
+        [sys.executable, "-c", gen, twal_path, str(N_TRANSFORM)], cwd=repo, check=True,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
 

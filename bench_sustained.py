@@ -52,7 +52,11 @@ stats = MicroBatchRunner(
 ).run(wal, table)
 out = {
     "epochs": [
-        {"epoch": s["epoch"], "wall_s": s["wall_s"],
+        # wall_s covers the apply only; maintenance_wall_s (compaction +
+        # expiry, timed by the runner) is added so epoch walls and the
+        # sustained number genuinely include maintenance
+        {"epoch": s["epoch"],
+         "wall_s": round(s["wall_s"] + s.get("maintenance_wall_s", 0.0), 3),
          "compacted": "compaction" in s}
         for s in stats if s.get("applied")
     ],

@@ -54,6 +54,10 @@ _TYPE_MAP = {
 # legal type widenings (Iceberg spec: int->long, float->double)
 _WIDEN_OK = {("int", "bigint"), ("int", "long"), ("float", "double")}
 
+# CoW merge broadcasts the changed-key anti-join side only below this row
+# count; larger epochs fall back to AQE's runtime join choice
+_BROADCAST_KEY_LIMIT = 1_000_000
+
 
 def _spark_type(name: str) -> T.DataType:
     if name.startswith("map<"):
@@ -317,9 +321,14 @@ class LakeTable:
             old_df = olds[0]
             for d in olds[1:]:
                 old_df = old_df.unionByName(d)
-            survivors = old_df.join(
-                F.broadcast(changes.select(*keys).distinct()), on=keys, how="left_anti"
-            )
+            # broadcast the changed-key set only while it is broadcast-sized;
+            # a huge epoch (10^8 changed keys) would overflow the driver —
+            # above the limit let AQE pick the anti-join strategy at runtime
+            # (changes is persisted, so this count scans the cache)
+            changed_keys = changes.select(*keys).distinct()
+            if changes.count() <= _BROADCAST_KEY_LIMIT:
+                changed_keys = F.broadcast(changed_keys)
+            survivors = old_df.join(changed_keys, on=keys, how="left_anti")
         else:
             survivors = self._empty_df(cur_fields)
 
@@ -436,27 +445,56 @@ class LakeTable:
             "delta_files": sum(len(v) for v in files.values()),
         }
 
-    def compact(self) -> dict:
-        """Fold MoR deltas into base buckets (one resolved rewrite).
+    def compact(self, max_delta_depth: int | None = None) -> dict:
+        """Fold MoR deltas into base buckets (resolved rewrite).
 
         Equivalent to Iceberg's rewrite_data_files maintenance action; run it
         every K epochs or when delta count crosses a threshold so read
-        amplification stays bounded while writes stay O(changes)."""
+        amplification stays bounded while writes stay O(changes).
+
+        ``max_delta_depth``: when set, compact INCREMENTALLY — only buckets
+        whose delta layer count exceeds the threshold are rewritten; clean
+        buckets keep their existing base files (same paths, byte-identical)
+        and their remaining delta entries. At 10^10 events a micro-batch
+        touches a small fraction of buckets, so whole-table compaction does
+        O(table) work per maintenance pass while incremental does O(dirty).
+        ``None`` rewrites everything (full compaction).
+        """
         snap = self.current_snapshot()
-        if not snap.get("deltas"):
+        deltas = snap.get("deltas", [])
+        if not deltas:
             return {"compacted": False, "snapshot_id": snap["snapshot_id"]}
-        resolved = self.snapshot()
+
+        depth: dict[int, int] = {}
+        for d in deltas:
+            for b in d["files"]:
+                depth[int(b)] = depth.get(int(b), 0) + 1
+        if max_delta_depth is None:
+            dirty = sorted(depth)  # every bucket with any delta
+        else:
+            dirty = sorted(b for b, n in depth.items() if n > max_delta_depth)
+        if not dirty:
+            return {
+                "compacted": False,
+                "snapshot_id": snap["snapshot_id"],
+                "dirty_buckets": 0,
+            }
+
+        resolved = self.snapshot(buckets=dirty)
         new_sid = snap["snapshot_id"] + 1
         out_rel = f"s{new_sid:08d}"
         out_abs = os.path.join(self.data_dir, out_rel)
         (
             resolved.withColumn("__bucket", self._bucket_expr(snap))
-            .repartition(snap["n_buckets"], "__bucket")
+            .repartition(max(len(dirty), 1), "__bucket")
             .write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(out_abs)
         )
-        buckets = {}
+        dirty_set = set(dirty)
+        buckets = {
+            b: e for b, e in snap["buckets"].items() if int(b) not in dirty_set
+        }
         for d in os.listdir(out_abs):
             if not d.startswith("__bucket="):
                 continue
@@ -469,14 +507,29 @@ class LakeTable:
                 ],
                 "schema_version": snap["schema_version"],
             }
+        # drop the compacted buckets from every delta layer; clean buckets'
+        # delta entries survive untouched
+        new_deltas = []
+        for d in deltas:
+            kept_files = {
+                b: fs for b, fs in d["files"].items() if int(b) not in dirty_set
+            }
+            if kept_files:
+                new_deltas.append({"files": kept_files, "schema_version": d["schema_version"]})
         new_snap = dict(snap)
         new_snap["snapshot_id"] = new_sid
         new_snap["parent"] = snap["snapshot_id"]
         new_snap["buckets"] = buckets
-        new_snap["deltas"] = []
+        new_snap["deltas"] = new_deltas
         new_snap["committed_at"] = time.time()
         self._write_snapshot(new_snap, expected_parent=snap["snapshot_id"])
-        return {"compacted": True, "snapshot_id": new_sid, "n_buckets": len(buckets)}
+        return {
+            "compacted": True,
+            "snapshot_id": new_sid,
+            "n_buckets": len(buckets),
+            "dirty_buckets": len(dirty),
+            "remaining_delta_layers": len(new_deltas),
+        }
 
     def _commit_manifest_only(self, snap, new_sid, epoch, epoch_info) -> dict:
         new_snap = dict(snap)
@@ -564,8 +617,21 @@ class LakeTable:
         Readers of the CURRENT snapshot are unaffected (its files are all
         kept); concurrent time-travel readers of expired snapshots would
         break — same contract as Iceberg's maintenance action.
+
+        Concurrent-writer safety (two guards, round-1 ADVICE):
+          - only files under snapshot directories s/dNNN with NNN <= the
+            snapshot id read at entry are candidates — an in-flight writer
+            stages its data under the NEXT snapshot id before committing, so
+            its pre-commit files (and a just-committed newer snapshot's
+            files/metadata) are never touched;
+          - immediately before deleting anything, the ``current`` pointer is
+            re-read; if another committer moved it during the scan the call
+            raises ConcurrentCommitError and deletes nothing.
         """
+        import re as _re
+
         snap = self.current_snapshot()
+        entry_sid = snap["snapshot_id"]
         kept_ids = []
         s = snap
         for _ in range(max(keep_last, 1)):
@@ -588,23 +654,52 @@ class LakeTable:
                 for fs in d["files"].values():
                     referenced.update(fs)
 
+        # plan deletions first, then CAS-check the pointer, then delete
+        expired_roots = []
+        for d in sorted(os.listdir(self.data_dir)):
+            m = _re.match(r"^[sd](\d{8})$", d)
+            if m and int(m.group(1)) <= entry_sid:
+                expired_roots.append(os.path.join(self.data_dir, d))
+
+        with open(os.path.join(self.meta_dir, "current")) as f:
+            if int(f.read().strip()) != entry_sid:
+                raise ConcurrentCommitError(
+                    f"current moved past {entry_sid} during expire scan"
+                )
+
         removed_files = 0
-        for root, _dirs, files in os.walk(self.data_dir, topdown=False):
-            for fname in files:
-                abs_p = os.path.join(root, fname)
-                rel = os.path.relpath(abs_p, self.data_dir)
-                if fname.endswith(".parquet") and rel not in referenced:
-                    os.remove(abs_p)
-                    removed_files += 1
-            if not os.listdir(root) and root != self.data_dir:
-                os.rmdir(root)
+        for top in expired_roots:
+            for root, _dirs, files in os.walk(top, topdown=False):
+                keeps_parquet = False
+                for fname in files:
+                    abs_p = os.path.join(root, fname)
+                    rel = os.path.relpath(abs_p, self.data_dir)
+                    if fname.endswith(".parquet"):
+                        if rel in referenced:
+                            keeps_parquet = True
+                        else:
+                            os.remove(abs_p)
+                            removed_files += 1
+                if keeps_parquet:
+                    continue
+                # no live data left at this level: sidecars (_SUCCESS, .crc)
+                # would otherwise keep the directory — and its inode — alive
+                # forever on a long-running stream
+                for fname in os.listdir(root):
+                    p = os.path.join(root, fname)
+                    if os.path.isfile(p) and (
+                        fname == "_SUCCESS" or fname.endswith(".crc")
+                    ):
+                        os.remove(p)
+                if not os.listdir(root):
+                    os.rmdir(root)
 
         removed_snaps = 0
         kept = set(kept_ids)
         for fname in os.listdir(self.meta_dir):
             if fname.startswith("v") and fname.endswith(".json"):
                 sid = int(fname[1:-5])
-                if sid not in kept:
+                if sid not in kept and sid <= entry_sid:
                     os.remove(os.path.join(self.meta_dir, fname))
                     removed_snaps += 1
         return {

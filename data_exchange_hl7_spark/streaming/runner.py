@@ -86,9 +86,13 @@ class MicroBatchRunner:
             stats.append(info)
             n_run += 1
             if self.compact_every and n_run % self.compact_every == 0:
+                # timed separately so sustained-throughput reports can add it
+                # to the epoch wall instead of silently excluding it
+                m0 = time.time()
                 info["compaction"] = table.compact()
                 if self.expire_keep_last:
                     info["expiry"] = table.expire_snapshots(self.expire_keep_last)
+                info["maintenance_wall_s"] = round(time.time() - m0, 3)
             if fail_after_epoch is not None and epoch >= fail_after_epoch:
                 break
             if max_epochs is not None and n_run >= max_epochs:
@@ -102,20 +106,47 @@ def replay(
     table_name: str = "repo_files_replay",
     epoch_size: int = 100_000,
     repo: str | None = None,
+    path: str | None = None,
+    event_ids: list | None = None,
     lsn_range: tuple[int, int] | None = None,
+    ts_range: tuple | None = None,
     reason: str = "manual replay",
+    starting_process: str = "apply",
 ) -> LakeTable:
-    """Deterministic full/selective replay into a fresh table
-    (ReplayController semantics: filter by key / range, attach replay
-    metadata {timestamp, reason, filter})."""
+    """Deterministic full/selective replay into a fresh table.
+
+    Filter surface mirrors svc-hl7-replay (ReplayController.kt:100-139 entry
+    points, 225-253 query builder + metadata): by record id
+    (``event_ids`` ~ message_uuid), by source unit (``repo`` ~ file_uuid /
+    jurisdiction, ``path``), by date range (``ts_range``), by log range
+    (``lsn_range``). Every epoch manifest entry gets the reference's
+    ReplayMD shape {replay_timestamp, reason, starting_process, filter}
+    (ReplayController.kt:233-253) — the wall-clock timestamp is provenance
+    metadata only and never enters a data path, so replayed DATA stays
+    byte-deterministic.
+    """
     flt = events
-    meta: dict = {"reason": reason, "filter": {}}
+    meta: dict = {
+        "replay_timestamp": time.time(),
+        "reason": reason,
+        "starting_process": starting_process,
+        "filter": {},
+    }
     if repo is not None:
         flt = flt.filter(F.col("repo") == repo)
         meta["filter"]["repo"] = repo
+    if path is not None:
+        flt = flt.filter(F.col("path") == path)
+        meta["filter"]["path"] = path
+    if event_ids is not None:
+        flt = flt.filter(F.col("event_id").isin(*event_ids))
+        meta["filter"]["event_ids"] = list(event_ids)
     if lsn_range is not None:
         flt = flt.filter((F.col("lsn") >= lsn_range[0]) & (F.col("lsn") <= lsn_range[1]))
         meta["filter"]["lsn_range"] = list(lsn_range)
+    if ts_range is not None:
+        flt = flt.filter((F.col("ts") >= ts_range[0]) & (F.col("ts") <= ts_range[1]))
+        meta["filter"]["ts_range"] = [str(t) for t in ts_range]
     table = engine.snapshot_table(table_name)
     MicroBatchRunner(engine, epoch_size).run(flt, table, replay_meta=meta)
     return table

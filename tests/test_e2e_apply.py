@@ -153,3 +153,51 @@ def test_selective_replay_lsn_range(spark, events, tmp_path):
         for r in table.snapshot().collect()
     }
     assert got == {k: v["sha"] for k, v in sub_oracle.rows.items()}
+
+
+def test_selective_replay_full_filter_surface(spark, events, tmp_path):
+    """ReplayController.kt:100-139,225-253 parity: replay by record ids,
+    path, and ts range; ReplayMD shape {replay_timestamp, reason,
+    starting_process, filter} lands on every applied epoch manifest."""
+    from data_exchange_hl7_spark.streaming.runner import replay
+
+    # by event id (message_uuid analogue)
+    some = [r["event_id"] for r in events.limit(5).collect()]
+    eng = Engine(spark, str(tmp_path / "wh6"), n_buckets=16)
+    t = replay(
+        eng, events, table_name="by_id", epoch_size=EPOCH,
+        event_ids=some, reason="reinject", starting_process="validate",
+    )
+    sub = replay_oracle(
+        [r.asDict() for r in events.filter(F.col("event_id").isin(*some)).collect()]
+    )
+    got = {(r["repo"], r["path"]): r["content_sha256"] for r in t.snapshot().collect()}
+    assert got == {k: v["sha"] for k, v in sub.rows.items()}
+    for entry in t.committed_epochs().values():
+        md = entry["replay"]
+        assert md["reason"] == "reinject"
+        assert md["starting_process"] == "validate"
+        assert md["replay_timestamp"] > 0
+        assert sorted(md["filter"]["event_ids"]) == sorted(some)
+
+    # by path + ts range (date-range/jurisdiction analogue)
+    r0 = events.limit(1).collect()[0]
+    bounds = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    t2 = replay(
+        eng, events, table_name="by_path_ts", epoch_size=EPOCH,
+        repo=r0["repo"], path=r0["path"], ts_range=(bounds[0], bounds[1]),
+        reason="window",
+    )
+    sub2 = replay_oracle(
+        [
+            r.asDict()
+            for r in events.filter(
+                (F.col("repo") == r0["repo"]) & (F.col("path") == r0["path"])
+            ).collect()
+        ]
+    )
+    got2 = {(r["repo"], r["path"]): r["content_sha256"] for r in t2.snapshot().collect()}
+    assert got2 == {k: v["sha"] for k, v in sub2.rows.items()}
+    for entry in t2.committed_epochs().values():
+        f = entry["replay"]["filter"]
+        assert f["path"] == r0["path"] and "ts_range" in f

@@ -144,3 +144,116 @@ def test_expire_snapshots_keep_last_preserves_ancestor(spark, tmp_path):
     res = t.expire_snapshots(keep_last=2)
     assert len(res["kept_snapshots"]) == 2
     assert t.snapshot().collect()[0]["v"] == "2"
+
+
+def test_incremental_compaction_touches_only_dirty_buckets(spark, tmp_path):
+    """compact(max_delta_depth=K) rewrites only buckets whose delta depth
+    exceeds K; clean buckets keep their base files at the SAME paths and
+    their delta entries, and the resolved state is unchanged."""
+    import os
+
+    t = _mk(spark, tmp_path, "t9", mode="mor")
+    base = [(f"k{i}", str(i), i, i, "U") for i in range(40)]
+    t.merge(_changes(spark, base), epoch=0)
+    t.compact()  # all 40 keys land as base files across the 4 buckets
+    snap0 = t.current_snapshot()
+    assert len(snap0["buckets"]) == 4
+
+    # hammer ONE key (one bucket) across 3 epochs -> that bucket's delta
+    # depth is 3, everyone else's is 0
+    for e in range(1, 4):
+        t.merge(_changes(spark, [("k0", f"v{e}", e, 100 + e, "U")]), epoch=e)
+    snap1 = t.current_snapshot()
+    assert len(snap1["deltas"]) == 3
+    hot_bucket = next(iter(snap1["deltas"][0]["files"]))
+    before = sorted(tuple(r) for r in t.snapshot().collect())
+
+    res = t.compact(max_delta_depth=2)
+    assert res["compacted"] and res["dirty_buckets"] == 1
+    snap2 = t.current_snapshot()
+    # clean buckets: identical file paths (no rewrite happened)
+    for b, entry in snap0["buckets"].items():
+        if b != hot_bucket:
+            assert snap2["buckets"][b]["files"] == entry["files"]
+            for f in entry["files"]:
+                assert os.path.exists(os.path.join(t.data_dir, f))
+    # hot bucket: new files, no remaining delta layers reference it
+    assert snap2["buckets"][hot_bucket]["files"] != snap0["buckets"][hot_bucket]["files"]
+    for d in snap2["deltas"]:
+        assert hot_bucket not in d["files"]
+    assert sorted(tuple(r) for r in t.snapshot().collect()) == before
+
+    # below-threshold depths are left alone entirely
+    res2 = t.compact(max_delta_depth=2)
+    assert not res2["compacted"]
+
+
+def test_expire_spares_inflight_writer_files(spark, tmp_path):
+    """Files staged under a snapshot id NEWER than current (an in-flight
+    committer) must survive expiry; expired dirs lose their sidecars too."""
+    import os
+
+    t = _mk(spark, tmp_path, "t10", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    t.merge(_changes(spark, [("a", "2", 2, 2, "U")]), epoch=1)
+    t.compact()
+    # simulate a concurrent writer staging data for the NEXT snapshot
+    staged = os.path.join(t.data_dir, "d00009999", "__bucket=0")
+    os.makedirs(staged)
+    staged_file = os.path.join(staged, "part-00000.parquet")
+    open(staged_file, "wb").write(b"not yet committed")
+
+    t.expire_snapshots(keep_last=1)
+    assert os.path.exists(staged_file)  # in-flight data untouched
+    # no husk directories: every surviving dir (except the staged one) still
+    # holds live parquet somewhere below — expired dirs lose their
+    # _SUCCESS/.crc sidecars and get rmdir'd instead of living forever
+    for root, dirs, files in os.walk(t.data_dir):
+        if root == t.data_dir or "d00009999" in root:
+            continue
+        has_parquet = any(
+            f.endswith(".parquet")
+            for r, _d, fs in os.walk(root)
+            for f in fs
+        )
+        assert has_parquet, f"husk directory survived expiry: {root}"
+    assert "d00009999" in set(os.listdir(t.data_dir))
+
+
+def test_expire_detects_pointer_move(spark, tmp_path):
+    """If another committer advances current between the scan and the
+    deletion, expire must raise and delete nothing."""
+    import os
+
+    t = _mk(spark, tmp_path, "t11")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    t.merge(_changes(spark, [("a", "2", 2, 2, "U")]), epoch=1)
+
+    real_open = open
+    cur_path = os.path.join(t.meta_dir, "current")
+
+    # advance the pointer the moment expire re-reads it: emulate a racing
+    # committer by bumping `current` on first read of the CAS check
+    orig = t.current_snapshot
+
+    import builtins
+
+    reads = {"n": 0}
+    orig_open = builtins.open
+
+    def tripping_open(path, *a, **kw):
+        if str(path) == cur_path and a[:1] not in (("w",),):
+            reads["n"] += 1
+            if reads["n"] == 2:  # first read = current_snapshot(), second = CAS
+                with orig_open(cur_path) as f:
+                    v = int(f.read().strip())
+                with orig_open(cur_path, "w") as f:
+                    f.write(str(v + 1))
+        return orig_open(path, *a, **kw)
+
+    builtins.open = tripping_open
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            t.expire_snapshots(keep_last=1)
+    finally:
+        builtins.open = real_open

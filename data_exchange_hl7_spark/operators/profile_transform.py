@@ -62,7 +62,37 @@ EXAMPLE_PROFILE = {
 }
 
 
+# coded HL7 datatypes whose value splits into (code, text, coding system)
+CODED_TYPES = ("CE", "CWE", "CNE")
+
+
 def _field_expr(line: Column, seg: str, spec: dict) -> Column:
+    if "dynamic_type_from" in spec:
+        # dynamic typing (HL7JsonTransformer.kt:76): the field's datatype is
+        # read from ANOTHER field of the same segment at runtime — the
+        # reference's OBX-5-typed-by-OBX-2 case. Emitted as a struct carrying
+        # the resolved type, the raw value, and the coded components when the
+        # type is CE/CWE/CNE; non-coded types leave them null (to_json then
+        # drops them — the reference's null-strip, Function.kt:62-64).
+        t = F.try_element_at(
+            F.split(_field_from_line(line, seg, spec["dynamic_type_from"]), "~"),
+            F.lit(1),
+        )
+        v = F.try_element_at(
+            F.split(_field_from_line(line, seg, spec["field"]), "~"), F.lit(1)
+        )
+
+        def comp(n):
+            return F.try_element_at(F.split(v, r"\^"), F.lit(n))
+
+        coded = t.isin(*CODED_TYPES)
+        return F.struct(
+            t.alias("type"),
+            v.alias("value"),
+            F.when(coded, comp(1)).alias("code"),
+            F.when(coded, comp(2)).alias("text"),
+            F.when(coded, comp(3)).alias("coding_system"),
+        ).alias(spec["name"])
     v = _field_from_line(line, seg, spec["field"])
     if spec.get("repeats"):
         reps = F.split(v, "~")

@@ -280,3 +280,52 @@ def test_to_sql_model_deterministic_across_partitions(spark):
         )
     )
     assert a == b
+
+
+# --------------------------------------------- dynamic typing (T1) + nulls
+
+
+def test_dynamic_type_from_obx2(spark):
+    """HL7JsonTransformer.kt:76: OBX-5's datatype comes from OBX-2 at
+    runtime. Coded types split into (code, text, coding_system); scalar
+    types carry only the raw value."""
+    profile = {
+        "OBX": {
+            "cardinality": "[0..*]",
+            "fields": [
+                {"name": "value_type", "field": 2},
+                {"name": "value", "field": 5, "dynamic_type_from": 2},
+            ],
+        }
+    }
+    msg = "\n".join(
+        [
+            "MSH|^~\\&|App",
+            "OBX|1|CWE|x||11061-0^Influenza^LN",
+            "OBX|2|NM|y||42",
+        ]
+    )
+    df = spark.createDataFrame([("m", msg)], "message_id string, content string")
+    row = df.select(profile_column("content", profile).alias("p")).collect()[0]["p"]
+    cwe, nm = row["obx"]
+    assert cwe["value"]["type"] == "CWE"
+    assert cwe["value"]["code"] == "11061-0"
+    assert cwe["value"]["text"] == "Influenza"
+    assert cwe["value"]["coding_system"] == "LN"
+    assert nm["value"]["type"] == "NM"
+    assert nm["value"]["value"] == "42"
+    assert nm["value"]["code"] is None  # non-coded: components stay null
+
+
+def test_json_lake_null_backfill_strips_nulls(spark):
+    """fn-hl7-json-lake Function.kt:62-64 serializes nulls then strips them;
+    Spark's to_json omits null struct fields natively — assert the rendered
+    JSON carries no null members for absent segments/fields."""
+    df = spark.createDataFrame(
+        [("m", "MSH|^~\\&|App\nOBX|1|NM|y||42")],
+        "message_id string, content string",
+    )
+    out = to_json_lake(df, EXAMPLE_PROFILE)
+    j = out.select("json_lake").collect()[0][0]
+    assert "null" not in j  # PID missing entirely, no "pid":null emitted
+    assert '"pid"' not in j

@@ -85,11 +85,19 @@ def main() -> None:
         MicroBatchRunner(warm_eng, epoch_size=20_000).run(warm_wal, warm_table)
         warm_table.snapshot().count()
         warm_table.compact()
-        eng = Engine(spark, os.path.join(tmp, "wh"), n_buckets=64, mode="mor")
-        table = eng.snapshot_table("repo_files")
-        t0 = time.time()
-        MicroBatchRunner(eng, epoch_size=n_events // EPOCHS).run(wal, table)
-        apply_s = time.time() - t0
+        # min of 2 full trials in the same JVM: even after the mini warmup,
+        # the FIRST full-size trial still pays C2 tier compilation (measured
+        # round 1 — the steady-state micro-batch cost is the second trial)
+        apply_s = None
+        for trial in range(2):
+            eng = Engine(
+                spark, os.path.join(tmp, f"wh{trial}"), n_buckets=64, mode="mor"
+            )
+            table = eng.snapshot_table("repo_files")
+            t0 = time.time()
+            MicroBatchRunner(eng, epoch_size=n_events // EPOCHS).run(wal, table)
+            dt = time.time() - t0
+            apply_s = dt if apply_s is None else min(apply_s, dt)
         timings["cdc_apply"] = round(apply_s, 3)
         t0 = time.time()
         n_rows = table.snapshot().count()

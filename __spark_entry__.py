@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_resolution": q.profile_resolution,
         "embedded_binary_strip": q.embedded_binary_strip,
         "sql_model_child": q.sql_model_child,
+        "hl7_debatch": q.hl7_debatch,
+        "hl7_segments": q.hl7_segments,
+        "redaction": q.redaction,
         # scalar surface (2.8) + as-of / sessionize (J4, 2.9)
         "scalar_functions": q.scalar_functions,
         "name_normalization": q.name_normalization,
@@ -100,6 +103,9 @@ def oracle_sql() -> dict[str, str]:
         "profile_resolution": q.ORACLE_PROFILE_RESOLUTION,
         "embedded_binary_strip": q.ORACLE_EMBEDDED_STRIP,
         "sql_model_child": q.ORACLE_SQL_MODEL_CHILD,
+        "hl7_debatch": q.ORACLE_HL7_DEBATCH,
+        "hl7_segments": q.ORACLE_HL7_SEGMENTS,
+        "redaction": q.ORACLE_REDACTION,
         "scalar_functions": q.ORACLE_SCALARS,
         "name_normalization": q.ORACLE_NAME_NORM,
         "nearest_preceding_anchor": q.ORACLE_ASOF,

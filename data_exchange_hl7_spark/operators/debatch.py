@@ -75,7 +75,13 @@ def debatch(
             "message_index",
             F.when(F.col("__pos").isNull(), F.lit(0)).otherwise(F.col("__pos") + 1).cast("int"),
         )
-        .withColumn("message_content", F.trim(F.col("message_content")))
+        # btrim with an explicit set: F.trim strips spaces ONLY, which left a
+        # trailing '\n' on every non-final message of a batch — the same
+        # message would then hash differently debatched mid-file vs last
+        .withColumn(
+            "message_content",
+            F.btrim(F.col("message_content"), F.lit(" \t\n\r\x0b\f")),
+        )
         .withColumn(
             "message_hash", F.sha2(F.coalesce("message_content", F.lit("")), 256)
         )

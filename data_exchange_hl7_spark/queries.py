@@ -821,6 +821,154 @@ ORDER BY event_id, seq
 """
 
 
+def hl7_debatch(spark, sf_dir):
+    """D2/D3/D4 — the REAL debatcher (not the whitespace-token analogue the
+    round-1 oracle used): every event becomes a 2-message HL7 batch file
+    (FHS/BHS headers, BTS/FTS trailers); the operator must drop the wrapper
+    lines, keep the first header, split at MSH, 1-index messages, and derive
+    content-hash identities. The oracle reconstructs each output row."""
+    from data_exchange_hl7_spark.operators.debatch import debatch
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        F.col("event_id").cast("string").alias("file_id"),
+        F.concat(
+            F.lit("FHS|^~\\&|batchhdr\nBHS|^~\\&|x\nMSH|^~\\&|app1|"),
+            F.col("event_type"),
+            F.lit("\nPID|1||P1\nMSH|^~\\&|app2|"),
+            F.col("event_type"),
+            F.lit("\nOBX|1|NM|x||42\nBTS|2\nFTS|1"),
+        ).alias("content"),
+    )
+    out = debatch(df)
+    return out.select(
+        F.col("file_id").cast("bigint").alias("event_id"),
+        "message_index",
+        "single_or_batch",
+        "batch_header",
+        "message_content",
+        "message_hash",
+        "message_id",
+        "debatch_status",
+    ).orderBy("event_id", "message_index")
+
+
+ORACLE_HL7_DEBATCH = r"""
+WITH m AS (
+  SELECT event_id, u.i,
+         CASE WHEN u.i = 1
+              THEN 'MSH|^~\&|app1|' || event_type || CHR(10) || 'PID|1||P1'
+              ELSE 'MSH|^~\&|app2|' || event_type || CHR(10) || 'OBX|1|NM|x||42'
+         END AS message_content
+  FROM events, (SELECT UNNEST([1, 2]) AS i) u)
+SELECT event_id,
+       CAST(i AS INT) AS message_index,
+       'BATCH' AS single_or_batch,
+       'FHS|^~\&|batchhdr' AS batch_header,
+       message_content,
+       SHA256(message_content) AS message_hash,
+       SHA256(CAST(event_id AS VARCHAR) || '|' || CAST(i AS VARCHAR) || '|'
+              || SHA256(message_content)) AS message_id,
+       'RECEIVED' AS debatch_status
+FROM m ORDER BY event_id, message_index
+"""
+
+
+def hl7_segments(spark, sf_dir):
+    """T2 — the REAL lake-of-segments flatten over HL7-shaped content (per-
+    type running counter, 'OBX[2]' ids), not the token analogue."""
+    from data_exchange_hl7_spark.operators.profile_transform import segment_lake
+
+    ev = _t(spark, sf_dir, "events")
+    cents = _cents(F.col("value")).cast("string")
+    df = ev.select(
+        F.col("event_id").cast("string").alias("message_id"),
+        F.concat(
+            F.lit("MSH|^~\\&|app\nOBX|1|NM|a||"),
+            cents,
+            F.lit("\nOBX|2|ST|b||"),
+            F.col("event_type"),
+            F.lit("\nNTE|1||note"),
+        ).alias("content"),
+    )
+    segs = segment_lake(df)
+    return segs.select(
+        F.col("message_id").cast("bigint").alias("event_id"),
+        "line_no",
+        "segment_type",
+        "segment_number",
+        "segment_id",
+        "segment_line",
+    ).orderBy("event_id", "line_no")
+
+
+ORACLE_HL7_SEGMENTS = r"""
+SELECT event_id,
+       CAST(u.i AS INT) AS line_no,
+       CASE u.i WHEN 1 THEN 'MSH' WHEN 4 THEN 'NTE' ELSE 'OBX' END AS segment_type,
+       CAST(CASE u.i WHEN 3 THEN 2 ELSE 1 END AS INT) AS segment_number,
+       CASE u.i WHEN 1 THEN 'MSH[1]' WHEN 2 THEN 'OBX[1]'
+                WHEN 3 THEN 'OBX[2]' ELSE 'NTE[1]' END AS segment_id,
+       CASE u.i
+         WHEN 1 THEN 'MSH|^~\&|app'
+         WHEN 2 THEN 'OBX|1|NM|a||' || CAST(CAST(ROUND(value*100) AS BIGINT) AS VARCHAR)
+         WHEN 3 THEN 'OBX|2|ST|b||' || event_type
+         ELSE 'NTE|1||note' END AS segment_line
+FROM events, (SELECT UNNEST([1, 2, 3, 4]) AS i) u
+ORDER BY event_id, line_no
+"""
+
+
+def redaction(spark, sf_dir):
+    """D6 — the REAL redactor with the DEFAULT rule profile: content rows
+    alternate between an email hit and an ip + secret-assignment hit; the
+    oracle applies the identical regex chain (RE2) and the expected
+    per-rule report."""
+    from data_exchange_hl7_spark.operators.normalize import redact
+
+    ev = _t(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("user_id") % 2 == 0,
+        F.concat(F.lit("mail "), F.col("event_type"), F.lit("@example.com ok")),
+    ).otherwise(
+        F.concat(
+            F.lit("ip 10.1.2."),
+            (F.col("user_id") % 200).cast("string"),
+            F.lit(" token="),
+            F.col("event_type"),
+        )
+    )
+    df = ev.select("event_id", raw.alias("content"))
+    out = redact(df)
+    return out.select(
+        "event_id",
+        "content",
+        F.array_join(
+            F.transform("redaction_report", lambda x: x["rule"]), ","
+        ).alias("rules_hit"),
+    ).orderBy("event_id")
+
+
+ORACLE_REDACTION = r"""
+WITH m AS (
+  SELECT event_id,
+         CASE WHEN user_id % 2 = 0
+              THEN 'mail ' || event_type || '@example.com ok'
+              ELSE 'ip 10.1.2.' || CAST(user_id % 200 AS VARCHAR) || ' token=' || event_type
+         END AS raw,
+         user_id % 2 = 0 AS has_email
+  FROM events)
+SELECT event_id,
+       REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(raw,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<redacted:email>', 'g'),
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<redacted:ip>', 'g'),
+         'AKIA[0-9A-Z]{16}', '<redacted:aws-key>', 'g'),
+         '(?i)(password|secret|api_key|token)\s*[:=]\s*\S+', '\1=<redacted>', 'g') AS content,
+       CASE WHEN has_email THEN 'email' ELSE 'ipv4,secret_assign' END AS rules_hit
+FROM m ORDER BY event_id
+"""
+
+
 ORACLE_NIST_COUNTS = """
 WITH v AS (
   SELECT event_id,

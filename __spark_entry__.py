@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hl7_debatch": q.hl7_debatch,
         "hl7_segments": q.hl7_segments,
         "redaction": q.redaction,
+        "mmg_content_validation": q.mmg_content_validation,
         # scalar surface (2.8) + as-of / sessionize (J4, 2.9)
         "scalar_functions": q.scalar_functions,
         "name_normalization": q.name_normalization,
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "hl7_debatch": q.ORACLE_HL7_DEBATCH,
         "hl7_segments": q.ORACLE_HL7_SEGMENTS,
         "redaction": q.ORACLE_REDACTION,
+        "mmg_content_validation": q.ORACLE_MMG_CONTENT,
         "scalar_functions": q.ORACLE_SCALARS,
         "name_normalization": q.ORACLE_NAME_NORM,
         "nearest_preceding_anchor": q.ORACLE_ASOF,

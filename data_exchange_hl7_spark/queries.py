@@ -969,6 +969,81 @@ FROM m ORDER BY event_id
 """
 
 
+def mmg_content_validation(spark, sf_dir):
+    """V4 MMG content checks (MmgValidator.kt:36-97 driver): cardinality
+    [m..n] (209-272), date format (311-357), MMWR week range, and OBX-4
+    sub-id uniqueness (100-165) over HL7-shaped content synthesized in-plan —
+    OBX repeat count, date validity, week value, and sub-id collisions all
+    rotate with user_id so every check fires on a real slice of rows."""
+    from data_exchange_hl7_spark.operators.mmg_content import (
+        ContentRule,
+        check_content,
+        check_subid_uniqueness,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id")
+    date = F.when(u % 5 == 0, F.lit("99999999")).otherwise(
+        F.date_format("ts", "yyyyMMdd")
+    )
+    week = (u % 60).cast("string")
+    line2 = F.concat(
+        F.lit("\nOBX|2|ST|c|"),
+        F.when(u % 7 == 0, F.lit("1")).otherwise(F.lit("2")),
+        F.lit("|"),
+        F.col("event_type"),
+    )
+    content = F.concat(
+        F.lit("MSH|^~\\&|app\nOBR|1||||||"),
+        date,
+        F.lit("|"),
+        week,
+        F.lit("\nOBX|1|ST|c|1|"),
+        F.col("event_type"),
+        F.when(u % 3 >= 1, line2).otherwise(F.lit("")),
+        F.when(
+            u % 3 == 2, F.concat(F.lit("\nOBX|3|ST|c|3|"), F.col("event_type"))
+        ).otherwise(F.lit("")),
+    )
+    df = ev.select("event_id", content.alias("content"))
+    rules = [
+        ContentRule("result", "OBX-5", cardinality="[1..2]"),
+        ContentRule("obs_date", "OBR-7", date_check=True),
+        ContentRule("week", "OBR-8", mmwr_week_check=True, usage="O"),
+    ]
+    out = check_subid_uniqueness(check_content(df, rules))
+
+    def n_cat(c):
+        return F.size(
+            F.filter(F.col("content_entries"), lambda x: x["category"] == c)
+        )
+
+    return out.select(
+        "event_id",
+        n_cat("CARDINALITY").alias("n_cardinality"),
+        n_cat("DATE_CONTENT").alias("n_date"),
+        n_cat("MMWR_WEEK").alias("n_mmwr"),
+        F.exists(
+            F.col("subid_entries"), lambda x: x["description"].startswith("Duplicate")
+        ).alias("subid_dup"),
+        F.size(F.col("content_entries")).alias("n_content_entries"),
+    ).orderBy("event_id")
+
+
+ORACLE_MMG_CONTENT = """
+SELECT event_id,
+       CAST(CASE WHEN user_id % 3 = 2 THEN 1 ELSE 0 END AS INT) AS n_cardinality,
+       CAST(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS n_date,
+       CAST(CASE WHEN user_id % 60 < 1 OR user_id % 60 > 53 THEN 1 ELSE 0 END AS INT) AS n_mmwr,
+       (user_id % 7 = 0 AND user_id % 3 >= 1) AS subid_dup,
+       CAST(CASE WHEN user_id % 3 = 2 THEN 1 ELSE 0 END
+          + CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END
+          + CASE WHEN user_id % 60 < 1 OR user_id % 60 > 53 THEN 1 ELSE 0 END AS INT)
+         AS n_content_entries
+FROM events ORDER BY event_id
+"""
+
+
 ORACLE_NIST_COUNTS = """
 WITH v AS (
   SELECT event_id,

@@ -444,3 +444,106 @@ def test_strip_embedded_binary_multiple(spark):
     assert rows[1]["ref_uri"] == "attachment://m3/3"  # empty extension -> no dot
     c = stripped.collect()[0]["content"]
     assert "QUFB" not in c and "QkJC" not in c
+
+
+# -------------------------------------------------- MMG content checks (V4)
+
+
+def test_parse_cardinality():
+    from data_exchange_hl7_spark.operators.mmg_content import parse_cardinality
+
+    assert parse_cardinality("[0..1]") == (0, 1)
+    assert parse_cardinality("[1..*]") == (1, None)
+    assert parse_cardinality("[2..5]") == (2, 5)
+    with pytest.raises(ValueError):
+        parse_cardinality("1..2")
+
+
+def _content_df(spark, msg):
+    return spark.createDataFrame([("m", msg)], "message_id string, content string")
+
+
+def test_check_content_cardinality_dates_mmwr(spark):
+    """MmgValidator.kt:209-272 cardinality, 311-357 date/MMWR semantics."""
+    from data_exchange_hl7_spark.operators.mmg_content import ContentRule, check_content
+
+    rules = [
+        ContentRule("result", "OBX-5", cardinality="[1..2]"),
+        ContentRule("obs_date", "OBR-7", date_check=True),
+        ContentRule("week", "OBR-8", mmwr_week_check=True, usage="O"),
+    ]
+    good = "MSH|^~\\&|a\nOBR|1||||||20240301|9\nOBX|1|ST|c|1|v1\nOBX|2|ST|c|2|v2"
+    out = check_content(_content_df(spark, good), rules).collect()[0]
+    assert out["content_entries"] == []
+
+    # 3 OBX values > max 2; date invalid calendar; week 54 out of range
+    bad = (
+        "MSH|^~\\&|a\nOBR|1||||||20241399|54\n"
+        "OBX|1|ST|c|1|v1\nOBX|2|ST|c|2|v2\nOBX|3|ST|c|3|v3"
+    )
+    out = check_content(_content_df(spark, bad), rules).collect()[0]
+    cats = [e["category"] for e in out["content_entries"]]
+    assert cats == ["CARDINALITY", "DATE_CONTENT", "MMWR_WEEK"]
+    card = out["content_entries"][0]
+    assert "expected [1..2], found 3" in card["description"]
+    assert card["classification"] == "Error"
+    assert out["content_entries"][2]["classification"] == "Warning"  # usage O
+
+    # too few: min violation
+    none = "MSH|^~\\&|a\nOBR|1||||||20240301|9"
+    out = check_content(_content_df(spark, none), rules).collect()[0]
+    assert [e["category"] for e in out["content_entries"]] == ["CARDINALITY"]
+    assert "found 0" in out["content_entries"][0]["description"]
+
+
+def test_check_content_date_formats(spark):
+    from data_exchange_hl7_spark.operators.mmg_content import ContentRule, check_content
+
+    rules = [ContentRule("d", "OBR-7", cardinality="[0..*]", date_check=True)]
+    for val, ok in [
+        ("20240301", True),
+        ("20240301123045", True),
+        ("20241301", False),  # month 13
+        ("2024030", False),  # 7 digits
+        ("202403011230", False),  # 12 digits (neither 8 nor 14)
+    ]:
+        msg = f"MSH|^~\\&|a\nOBR|1||||||{val}"
+        out = check_content(_content_df(spark, msg), rules).collect()[0]
+        assert (out["content_entries"] == []) == ok, val
+
+
+def test_check_subid_uniqueness(spark):
+    """MmgValidator.kt:100-165: missing sub-id and duplicate sub-id each emit
+    an OBSERVATION_SUB_ID entry; the whole check is per-row array math."""
+    from data_exchange_hl7_spark.operators.mmg_content import check_subid_uniqueness
+
+    ok = "MSH|^~\\&|a\nOBX|1|ST|c|1|v\nOBX|2|ST|c|2|v"
+    dup = "MSH|^~\\&|a\nOBX|1|ST|c|1|v\nOBX|2|ST|c|1|v"
+    missing = "MSH|^~\\&|a\nOBX|1|ST|c||v\nOBX|2|ST|c|2|v"
+    rows = {}
+    for name, msg in [("ok", ok), ("dup", dup), ("missing", missing)]:
+        rows[name] = check_subid_uniqueness(_content_df(spark, msg)).collect()[0]
+    assert rows["ok"]["subid_entries"] == []
+    assert [e["description"] for e in rows["dup"]["subid_entries"]] == [
+        "Duplicate OBX sub-id within repeating block"
+    ]
+    assert [e["description"] for e in rows["missing"]["subid_entries"]] == [
+        "OBX segment missing sub-id in repeating block"
+    ]
+
+
+def test_content_entries_fold_into_nist_report(spark):
+    """Content entries merge into the NistReport content section alongside
+    the structural content checks, and flip status via the precedence rule."""
+    from data_exchange_hl7_spark.operators.mmg_content import ContentRule, check_content
+
+    msg = "MSH|^~\\&|a\nOBR|1||||||20241399"
+    df = _mk_event(spark).withColumn("hl7", F.lit(msg))
+    checked = check_content(
+        df, [ContentRule("d", "OBR-7", date_check=True)], content_col="hl7"
+    )
+    out = V.validate(
+        checked, value_set_entries=F.col("content_entries")
+    ).collect()[0]
+    assert out["error_count"]["value_set"] == 1
+    assert out["status"] == "CONTENT_ERRORS"

@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "nearest_preceding_anchor",
     "sessionize",
     "segment_rows",
+    "vocab_validation",
+    "hl7_debatch",
+    "mmg_content_validation",
     "minhash_dup_pairs",
     "simhash_signatures",
     "ann_bruteforce_topk",

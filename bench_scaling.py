@@ -173,6 +173,11 @@ def main() -> None:
                 [sys.executable, "-c", _CHILD, str(cpus), str(N_EVENTS), wal_path,
                  str(TRIALS), str(N_TRANSFORM), twal_path],
                 cwd=repo, check=False, capture_output=True, text=True,
+                # 8g default heap is marginal for a 2M-row cached epoch + the
+                # window shuffle in one local JVM (observed child OOMs); give
+                # the measured child adequate memory — heap size is not the
+                # variable under test, thread count is
+                env={**os.environ, "SPARK_DRIVER_MEM": "24g"},
             )
             if out.returncode != 0:
                 # a transient child failure (the sandbox host occasionally

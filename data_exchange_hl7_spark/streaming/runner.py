@@ -25,6 +25,53 @@ from data_exchange_hl7_spark.engine import Engine
 from data_exchange_hl7_spark.lake.table import LakeTable
 
 
+MAX_SCAN_TASKS = 20_000  # upper bound on splits for one WAL scan
+
+_BYTE_SUFFIX = {
+    "b": 1, "k": 1024, "kb": 1024, "m": 1024**2, "mb": 1024**2,
+    "g": 1024**3, "gb": 1024**3, "t": 1024**4, "tb": 1024**4,
+}
+
+
+def _parse_byte_conf(v: str) -> int:
+    """Spark byte confs read back with an optional unit suffix ("134217728b",
+    "128m") depending on how the session was configured (builder string vs
+    spark-submit default)."""
+    s = v.strip().lower()
+    for suf in sorted(_BYTE_SUFFIX, key=len, reverse=True):
+        if s.endswith(suf):
+            return int(s[: -len(suf)]) * _BYTE_SUFFIX[suf]
+    return int(s)
+
+
+def _epoch_split_bytes(events: DataFrame, n_epochs: int, configured: int) -> int | None:
+    """Input-split size so ONE epoch's dense bytes fan out across all cores.
+
+    An epoch slice is a pushdown lsn-range filter over the whole WAL scan:
+    only ~1/n_epochs of the input splits contain surviving rows, so with the
+    default split sizing the narrow stage (clean -> validate -> window map
+    side) runs on a fraction of the cores. Lowering
+    spark.sql.files.maxPartitionBytes to ~per_epoch_bytes / (2 * cores)
+    restores full fan-out. Two guards make this scale-safe: never go below
+    total_bytes / MAX_SCAN_TASKS (a 100 TB WAL would otherwise plan millions
+    of mostly-empty scan tasks per epoch), and never go ABOVE the configured
+    value (on big inputs the guard exceeds the 128 MB default and the
+    heuristic disables itself). Returns None when no change is warranted.
+    """
+    try:
+        total = int(
+            str(events._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return None
+    if total <= 0:
+        return None
+    cores = events.sparkSession.sparkContext.defaultParallelism
+    ideal = total // max(n_epochs, 1) // max(2 * cores, 1)
+    target = max(ideal, total // MAX_SCAN_TASKS, 4 * 1024 * 1024)
+    return target if target < configured else None
+
+
 class MicroBatchRunner:
     def __init__(
         self,
@@ -64,6 +111,27 @@ class MicroBatchRunner:
         last_epoch = int(bounds[1]) // self.epoch_size
         stats = []
         committed = set(table.committed_epochs().keys())
+        n_run = 0
+        spark = self.engine.spark
+        conf_key = "spark.sql.files.maxPartitionBytes"
+        prev_split = spark.conf.get(conf_key)
+        tuned = _epoch_split_bytes(
+            events, last_epoch - first_epoch + 1, _parse_byte_conf(prev_split)
+        )
+        if tuned is not None:
+            spark.conf.set(conf_key, str(tuned))
+        try:
+            return self._run_epochs(
+                events, table, first_epoch, last_epoch, committed, stats,
+                max_epochs, fail_after_epoch, replay_meta,
+            )
+        finally:
+            spark.conf.set(conf_key, prev_split)
+
+    def _run_epochs(
+        self, events, table, first_epoch, last_epoch, committed, stats,
+        max_epochs, fail_after_epoch, replay_meta,
+    ) -> list[dict]:
         n_run = 0
         for epoch in range(first_epoch, last_epoch + 1):
             if str(epoch) in committed:

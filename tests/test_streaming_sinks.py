@@ -99,3 +99,40 @@ def test_runner_compact_and_expire_cadence(spark, tmp_path):
     a = sorted(tuple(r) for r in table.snapshot().collect())
     b = sorted(tuple(r) for r in t2.snapshot().collect())
     assert a == b
+
+
+def test_epoch_split_sizing(spark, tmp_path):
+    """A file-backed WAL sliced into many epochs lowers the input-split size
+    (so each epoch's dense rows fan out across cores), restores the session
+    default afterwards, and never lowers it when the guard says the scan
+    would explode into too many tasks."""
+    from data_exchange_hl7_spark.streaming.runner import (
+        MAX_SCAN_TASKS,
+        MicroBatchRunner,
+        _epoch_split_bytes,
+    )
+
+    src = str(tmp_path / "wal")
+    change_events(spark, 20000).write.mode("overwrite").parquet(src)
+    wal = spark.read.parquet(src)
+
+    configured = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    # many epochs over a small file-backed WAL -> per-epoch bytes tiny ->
+    # floor clamps at 4 MB, below the 128 MB default
+    assert _epoch_split_bytes(wal, 20, configured) == 4 * 1024 * 1024
+    # guard: if lowering would plan > MAX_SCAN_TASKS splits, stay higher
+    total = int(str(wal._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    assert _epoch_split_bytes(wal, 20, configured + 1) is not None
+    assert (
+        _epoch_split_bytes(wal, 1, total // MAX_SCAN_TASKS + 1) is None
+        or total // MAX_SCAN_TASKS <= 4 * 1024 * 1024
+    )
+    # generated (non-file) sources or huge configured caps -> no-op
+    assert _epoch_split_bytes(wal, 1, 4 * 1024 * 1024) is None
+
+    # run() applies the tuned value only inside the run and restores after
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=4, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    MicroBatchRunner(eng, epoch_size=5000).run(wal, table)
+    assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) == configured
+    assert set(table.committed_epochs()) == {"0", "1", "2", "3"}

@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": qt.exact_dup_groups,
         "minhash_signatures": qt.minhash_signatures,
         "minhash_dup_pairs": qt.minhash_dup_pairs,
+        "dup_clusters": qt.dup_clusters,
         "ngram_jaccard_pairs": qt.ngram_jaccard_pairs,
         "simhash_signatures": qt.simhash_signatures,
         # similarity search
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": qt.ORACLE_EXACT_DUP,
         "minhash_signatures": qt.ORACLE_MINHASH,
         "minhash_dup_pairs": qt.ORACLE_MINHASH_PAIRS,
+        "dup_clusters": qt.ORACLE_DUP_CLUSTERS,
         "ngram_jaccard_pairs": qt.ORACLE_JACCARD,
         "simhash_signatures": qt.ORACLE_SIMHASH,
         "ann_bruteforce_topk": qt.ORACLE_ANN,

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "hl7_debatch",
     "mmg_content_validation",
     "minhash_dup_pairs",
+    "dup_clusters",
     "simhash_signatures",
     "ann_bruteforce_topk",
     "ivf_topk",

@@ -144,11 +144,16 @@ class Engine:
         # persist the validated slice: it feeds the reject write, the schema
         # collect, and the merge — one shared computation per epoch (scoped:
         # unpersisted before return)
-        # drop the nested NistReport struct before caching: it duplicates the
-        # three entry arrays (the flat report_entries + counts + status carry
-        # everything the pipeline consumes), and persisting it doubled the
-        # epoch cache's entry-array bytes (measured ~2x apply wall)
-        ev = validate_ops.validate(clean_content(events)).drop("report").persist()
+        # cache only the scalar verdicts (status + counts): the entry arrays
+        # are consumed solely by the reject sink (~1% of rows), and keeping
+        # array-of-struct columns in the every-row cache measurably inflates
+        # apply wall (caching the nested report struct alone cost ~2x); the
+        # reject branch reconstructs its entries from the cached base columns
+        ev = (
+            validate_ops.validate(clean_content(events))
+            .drop("report", "report_entries")
+            .persist()
+        )
 
         # metrics ride along as an Observation: collected during the reject
         # write's pass over ev — zero extra jobs (replaces a separate agg)
@@ -170,7 +175,9 @@ class Engine:
         # rejected branch -> queryable reject table (K2/K4); per-epoch dir
         # overwrite keeps the write idempotent under re-runs
         if collect_metrics:
-            rejected.select(
+            rejected.withColumn(
+                "report_entries", validate_ops.report_entries_expr()
+            ).select(
                 "event_id", "lsn", "op", "repo", "path", "status", "report_entries"
             ).coalesce(8).write.mode("overwrite").parquet(
                 os.path.join(self.warehouse, "_rejects", table_name(table), f"epoch={epoch}")

@@ -4,7 +4,7 @@ The reference validates each record against a profile and attaches a
 NistReport (lib-nist-validator NistReport.kt:13-55): THREE entry arrays —
 ``structure``, ``content``, ``value-set`` — each entry
 {line, column, path, description, category, classification}, plus
-``error-count`` / ``warning-count`` structs {structure, value-set, content}
+``error-count`` / ``warning-count`` structs {structure, value_set, content}
 (SummaryCount, NistReport.kt:41-47) and a ``status`` derived with
 structure-errors-take-precedence, then content OR value-set errors
 (ProfileManager.kt:158-163). A sidecar branches records to OK vs ERR
@@ -26,6 +26,13 @@ path):
     - oversized content
   value-set checks (from operators.vocab.check_vocab, V4/V6):
     - coded-column membership in a broadcast vocab dim
+
+Hot-path note: counts and status are computed as boolean arithmetic over
+the check CONDITIONS, not by filtering materialized entry arrays — a
+status-only consumer (the epoch apply caches status + counts for every
+row) never pays per-row array-of-struct construction; Catalyst prunes the
+entry arrays away entirely unless ``report`` / ``report_entries`` are
+actually selected.
 """
 
 from __future__ import annotations
@@ -51,8 +58,54 @@ ENTRY_TYPE = T.ArrayType(
     )
 )
 
+# a check = (condition Column, (path, description, category, classification))
+Check = tuple
 
-def _entry(path: str, description: str, category: str, classification: str):
+
+def _structure_checks() -> list[Check]:
+    return [
+        (
+            # schema-change events are metadata-only: exempt from the
+            # required-provenance check (a real WAL's DDL records carry no
+            # per-file commit)
+            (F.coalesce(F.trim("commit"), F.lit("")) == "")
+            & ~F.col("op").startswith("SCHEMA"),
+            ("commit", "required metadata 'commit' missing", "Usage", "Error"),
+        ),
+        (
+            ~F.col("op").isin(*KNOWN_OPS),
+            ("op", "unknown operation", "Format", "Error"),
+        ),
+        (
+            (F.col("op") == "RENAME") & F.col("new_path").isNull(),
+            ("new_path", "RENAME without new_path", "Usage", "Error"),
+        ),
+        (
+            (~F.col("op").isin("DELETE", "SCHEMA_ADD", "SCHEMA_RENAME", "SCHEMA_WIDEN"))
+            & (F.coalesce(F.col("content"), F.lit("")) == ""),
+            ("content", "missing content for upsert", "Usage", "Error"),
+        ),
+    ]
+
+
+def _content_checks(max_content_bytes: int) -> list[Check]:
+    return [
+        (
+            # equivalent to rlike("^[BOM\s]+|[BOM\s]+$") but without the regex
+            # engine: polluted iff trimming the char set changes the string
+            F.coalesce(F.col("content"), F.lit(""))
+            != F.btrim(F.coalesce(F.col("content"), F.lit("")), F.lit("﻿ \t\n\x0b\f\r")),
+            ("content", "leading/trailing whitespace or BOM", "Format", "Warning"),
+        ),
+        (
+            F.length(F.coalesce(F.col("content"), F.lit(""))) > max_content_bytes,
+            ("content", "content exceeds size budget", "Constraint Failure", "Error"),
+        ),
+    ]
+
+
+def _entry_lit(meta: tuple) -> Column:
+    path, description, category, classification = meta
     return F.struct(
         F.lit(path).alias("path"),
         F.lit(description).alias("description"),
@@ -61,15 +114,49 @@ def _entry(path: str, description: str, category: str, classification: str):
     )
 
 
-def _entries_of(checks) -> Column:
+def _entries_of(checks: list[Check]) -> Column:
     return F.filter(
-        F.array(*[F.when(cond, e).otherwise(F.lit(None)) for cond, e in checks]),
+        F.array(*[F.when(cond, _entry_lit(meta)).otherwise(F.lit(None)) for cond, meta in checks]),
         lambda x: x.isNotNull(),
     ).cast(ENTRY_TYPE)
 
 
+def _count_of(checks: list[Check], classification: str) -> Column:
+    """Matched-check count for one classification as a sum of boolean casts
+    — no entry-array materialization on the count/status path."""
+    terms = [cond.cast("int") for cond, meta in checks if meta[3] == classification]
+    if not terms:
+        return F.lit(0)
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total
+
+
 def _n(entries: Column, classification: str) -> Column:
+    """Count within a runtime entry array (used for caller-supplied
+    value-set entries, whose conditions live in operators.vocab)."""
     return F.size(F.filter(entries, lambda x: x["classification"] == classification))
+
+
+def report_entries_expr(
+    max_content_bytes: int = 1_000_000,
+    value_set_entries: Column | None = None,
+) -> Column:
+    """The flat report_entries column (all three sections concatenated) as a
+    standalone expression — lets a caller that cached only status/counts
+    (e.g. the epoch apply) reconstruct entries for the few rows that need
+    them (the reject sink) without re-validating the whole slice."""
+    vs = (
+        value_set_entries
+        if value_set_entries is not None
+        else F.array().cast(ENTRY_TYPE)
+    )
+    return F.concat(
+        _entries_of(_structure_checks()),
+        _entries_of(_content_checks(max_content_bytes)),
+        vs.cast(ENTRY_TYPE),
+    )
 
 
 def validate(
@@ -91,64 +178,23 @@ def validate(
     ``value_set_entries``: an ENTRY_TYPE column of vocab verdicts (from
     operators.vocab.check_vocab) folded into the value-set section.
     """
-    structure_checks = [
-        (
-            # schema-change events are metadata-only: exempt from the
-            # required-provenance check (a real WAL's DDL records carry no
-            # per-file commit)
-            (F.coalesce(F.trim("commit"), F.lit("")) == "")
-            & ~F.col("op").startswith("SCHEMA"),
-            _entry("commit", "required metadata 'commit' missing", "Usage", "Error"),
-        ),
-        (
-            ~F.col("op").isin(*KNOWN_OPS),
-            _entry("op", "unknown operation", "Format", "Error"),
-        ),
-        (
-            (F.col("op") == "RENAME") & F.col("new_path").isNull(),
-            _entry("new_path", "RENAME without new_path", "Usage", "Error"),
-        ),
-        (
-            (~F.col("op").isin("DELETE", "SCHEMA_ADD", "SCHEMA_RENAME", "SCHEMA_WIDEN"))
-            & (F.coalesce(F.col("content"), F.lit("")) == ""),
-            _entry("content", "missing content for upsert", "Usage", "Error"),
-        ),
-    ]
-    content_checks = [
-        (
-            # equivalent to rlike("^[BOM\s]+|[BOM\s]+$") but without the regex
-            # engine: polluted iff trimming the char set changes the string
-            F.coalesce(F.col("content"), F.lit(""))
-            != F.btrim(F.coalesce(F.col("content"), F.lit("")), F.lit("﻿ \t\n\x0b\f\r")),
-            _entry("content", "leading/trailing whitespace or BOM", "Format", "Warning"),
-        ),
-        (
-            F.length(F.coalesce(F.col("content"), F.lit(""))) > max_content_bytes,
-            _entry("content", "content exceeds size budget", "Constraint Failure", "Error"),
-        ),
-    ]
-
+    sc = _structure_checks()
+    cc = _content_checks(max_content_bytes)
     vs = (
         value_set_entries
         if value_set_entries is not None
         else F.array().cast(ENTRY_TYPE)
-    )
-    out = (
-        df.withColumn("__e_structure", _entries_of(structure_checks))
-        .withColumn("__e_content", _entries_of(content_checks))
-        .withColumn("__e_value_set", vs.cast(ENTRY_TYPE))
-    )
+    ).cast(ENTRY_TYPE)
 
-    es, ec, ev = F.col("__e_structure"), F.col("__e_content"), F.col("__e_value_set")
     err = F.struct(
-        _n(es, "Error").alias("structure"),
-        _n(ev, "Error").alias("value_set"),
-        _n(ec, "Error").alias("content"),
+        _count_of(sc, "Error").alias("structure"),
+        _n(vs, "Error").alias("value_set"),
+        _count_of(cc, "Error").alias("content"),
     )
     warn = F.struct(
-        _n(es, "Warning").alias("structure"),
-        _n(ev, "Warning").alias("value_set"),
-        _n(ec, "Warning").alias("content"),
+        _count_of(sc, "Warning").alias("structure"),
+        _n(vs, "Warning").alias("value_set"),
+        _count_of(cc, "Warning").alias("content"),
     )
     # ProfileManager.kt:158-163: structure errors -> STRUCTURE_ERRORS, else
     # content OR value-set errors -> CONTENT_ERRORS, else VALID_MESSAGE
@@ -161,25 +207,24 @@ def validate(
         )
         .otherwise(F.lit(VALID))
     )
-    out = (
-        out.withColumn("error_count", err)
+    es, ec = _entries_of(sc), _entries_of(cc)
+    return (
+        df.withColumn("error_count", err)
         .withColumn("warning_count", warn)
         .withColumn("status", status)
         .withColumn(
             "report",
             F.struct(
                 F.struct(
-                    es.alias("structure"), ec.alias("content"), ev.alias("value_set")
+                    es.alias("structure"), ec.alias("content"), vs.alias("value_set")
                 ).alias("entries"),
                 F.col("error_count").alias("error_count"),
                 F.col("warning_count").alias("warning_count"),
                 F.col("status").alias("status"),
             ),
         )
-        .withColumn("report_entries", F.concat(es, ec, ev))
-        .drop("__e_structure", "__e_content", "__e_value_set")
+        .withColumn("report_entries", F.concat(es, ec, vs))
     )
-    return out
 
 
 def branch(df: DataFrame) -> tuple[DataFrame, DataFrame]:

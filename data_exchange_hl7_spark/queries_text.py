@@ -202,12 +202,17 @@ def _shingles(d: DataFrame) -> DataFrame:
     return d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
-_SHINGLE_SQL = """
+def _shingle_sql(corpus: str = "documents") -> str:
+    """DuckDB 3-word-shingle CTE body over any corpus relation."""
+    return f"""
   SELECT DISTINCT doc_id, s AS shingle
-  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM documents),
+  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM {corpus}),
        UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(l) - 2, 0)),
               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS u(s)
 """
+
+
+_SHINGLE_SQL = _shingle_sql()
 
 
 def minhash_signatures(spark, sf_dir, n_bands: int = N_BANDS):
@@ -242,22 +247,8 @@ def minhash_dup_pairs(spark, sf_dir, n_bands: int = N_BANDS):
     buckets, not the cross product. More bands = higher recall at
     proportionally more bucket rows; the join stays band-bucketed at any
     width."""
-    sig = minhash_signatures(spark, sf_dir, n_bands)
-    bands = None
-    for b in range(n_bands):
-        one = sig.select(
-            F.lit(b).alias("band"), F.col(f"mh{b}").alias("sig"), "doc_id"
-        )
-        bands = one if bands is None else bands.unionByName(one)
-    a = bands.alias("a")
-    bb = bands.alias("b")
-    return (
-        a.join(bb, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _lsh_pairs(d, n_bands).orderBy("doc_a", "doc_b")
 
 
 _MINHASH_BAND_UNION = " UNION ALL\n  ".join(
@@ -280,6 +271,142 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
 WHERE a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
+"""
+
+
+def _lsh_pairs(d: DataFrame, n_bands: int) -> DataFrame:
+    """MinHash-LSH candidate pairs (doc_a < doc_b) over a (doc_id, text)
+    corpus — the band-bucket join shape of minhash_dup_pairs, reusable over
+    any corpus DataFrame."""
+    sh = _shingles(d)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{b}")))).alias(f"mh{b}")
+        for b in range(n_bands)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = None
+    for b in range(n_bands):
+        one = sig.select(
+            F.lit(b).alias("band"), F.col(f"mh{b}").alias("sig"), "doc_id"
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a, bb = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(bb, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dup_clusters(spark, sf_dir, n_bands: int = N_BANDS, max_iter: int = 15):
+    """Near-dup CLUSTERS: connected components over the LSH dup-pair graph,
+    plus the canonical doc per cluster (the last stage of a real dedup
+    pipeline: pairs alone don't tell you which docs to drop when dups chain
+    A-B, B-C).
+
+    Scale shape: iterative min-label propagation with per-round pointer
+    jumping — each round (1) takes the per-node min over neighbor labels and
+    (2) follows one label hop (lab := lab(lab), path compression), giving
+    O(log n) rounds even on chained components (the large-star/small-star
+    contraction family's guarantee, without rewriting edges). No driver-side
+    graph, no all-pairs anything; each round is two shuffle-joins + one
+    groupBy on (node), with lineage truncated per round. Runs over the
+    corpus + synthesized duplicates so components are
+    non-empty; output is every clustered doc with its cluster id (= min
+    doc_id reachable), the cluster size, and an is_canonical flag.
+    """
+    d = _with_synth_dups(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    pairs = _lsh_pairs(d, n_bands)
+    # localCheckpoint (not persist): each propagation round would otherwise
+    # EMBED the previous round's full logical plan — after k rounds the plan
+    # tree is exponential and the driver OOMs just stringifying it. Lineage
+    # truncation per round is the standard shape for iterative DataFrame
+    # algorithms (on a cluster, reliable checkpoint() to the checkpoint dir).
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # (1) neighbor min: pull every neighbor's label, keep the per-node min
+        prop = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "lab")
+        m = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        )
+        # (2) pointer jump (path compression): labels are themselves node
+        # ids, so follow one hop — lab := lab(lab). This is what turns
+        # O(diameter) convergence into O(log n): a chain of near-dups
+        # (A~B~C~...~Z) would otherwise need as many rounds as its length.
+        lab_of = m.select(F.col("node").alias("lab"), F.col("lab").alias("lab2"))
+        new = (
+            m.join(lab_of, "lab", "left")
+            .select("node", F.coalesce("lab2", "lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lab").agg(F.count("*").alias("cluster_size"))
+    out = (
+        labels.join(sizes, "lab")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("lab").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("lab")).cast("int").alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
+ORACLE_DUP_CLUSTERS = f"""
+WITH RECURSIVE
+corpus AS ({_SYNTH_DUP_SQL}),
+sh AS ({_shingle_sql("corpus")}),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_AGGS}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  {_MINHASH_BAND_UNION}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+comp AS (
+  SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT c.node AS doc_id, c.cluster_id,
+       COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+       CAST(c.node = c.cluster_id AS INT) AS is_canonical
+FROM comp c
+ORDER BY doc_id
 """
 
 
@@ -369,42 +496,68 @@ ORDER BY doc_a, doc_b
 """
 
 
-def simhash_signatures(spark, sf_dir):
-    """SimHash: 16-bit signature; bit i is the majority vote of token-hash
-    bit i (token hash bit = high bit of the i-th md5 hex char)."""
+# SimHash width knob: bit i comes from md5 hex char i%32 of block i//32
+# (block 0 = md5(tok), block k = md5(tok || ':sb<k>')), so any width is a
+# stack of 32-bit md5 blocks. 16 is the parity-oracle default; production
+# SimHash runs 64+. The oracle SQL is generated from this constant.
+SIMHASH_BITS = 16
+
+
+def _sim_block(tok_col, block: int):
+    if block == 0:
+        return F.md5(tok_col)
+    return F.md5(F.concat(tok_col, F.lit(f":sb{block}")))
+
+
+def simhash_signatures(spark, sf_dir, n_bits: int = SIMHASH_BITS):
+    """SimHash: ``n_bits``-bit signature; bit i is the majority vote of
+    token-hash bit i (token hash bit = high bit of hex char i%32 of the
+    i//32-th salted md5 block)."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).withColumn("h", F.md5("tok"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    n_blocks = (n_bits + 31) // 32
+    for b in range(n_blocks):
+        toks = toks.withColumn(f"h{b}", _sim_block(F.col("tok"), b))
     high = list("89abcdef")
     aggs = [
-        F.sum(F.substring("h", i + 1, 1).isin(*high).cast("int")).alias(f"c{i}")
-        for i in range(16)
+        F.sum(
+            F.substring(f"h{i // 32}", i % 32 + 1, 1).isin(*high).cast("int")
+        ).alias(f"c{i}")
+        for i in range(n_bits)
     ]
     counted = toks.groupBy("doc_id").agg(F.count("*").alias("n"), *aggs)
     bits = F.concat(
         *[
             F.when(F.col(f"c{i}") * 2 >= F.col("n"), F.lit("1")).otherwise(F.lit("0"))
-            for i in range(16)
+            for i in range(n_bits)
         ]
     )
-    return counted.select("doc_id", bits.alias("simhash16")).orderBy("doc_id")
+    return counted.select("doc_id", bits.alias(f"simhash{n_bits}")).orderBy("doc_id")
 
 
 _HIGH = "('8','9','a','b','c','d','e','f')"
+
+
+def _sim_block_sql(block: int) -> str:
+    return "MD5(u.tok)" if block == 0 else f"MD5(u.tok || ':sb{block}')"
+
+
+_SIM_HASHES = ", ".join(
+    f"{_sim_block_sql(b)} AS h{b}" for b in range((SIMHASH_BITS + 31) // 32)
+)
 _SIM_COUNTS = ",\n".join(
-    f"SUM(CASE WHEN SUBSTR(h, {i + 1}, 1) IN {_HIGH} THEN 1 ELSE 0 END) AS c{i}"
-    for i in range(16)
+    f"SUM(CASE WHEN SUBSTR(h{i // 32}, {i % 32 + 1}, 1) IN {_HIGH} THEN 1 ELSE 0 END) AS c{i}"
+    for i in range(SIMHASH_BITS)
 )
 _SIM_BITS = " || ".join(
-    f"(CASE WHEN c{i} * 2 >= n THEN '1' ELSE '0' END)" for i in range(16)
+    f"(CASE WHEN c{i} * 2 >= n THEN '1' ELSE '0' END)" for i in range(SIMHASH_BITS)
 )
 ORACLE_SIMHASH = f"""
 WITH t AS (
-  SELECT doc_id, MD5(u.tok) AS h
+  SELECT doc_id, {_SIM_HASHES}
   FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM documents), UNNEST(l) AS u(tok)),
 c AS (SELECT doc_id, COUNT(*) AS n, {_SIM_COUNTS} FROM t GROUP BY doc_id)
-SELECT doc_id, {_SIM_BITS} AS simhash16 FROM c ORDER BY doc_id
+SELECT doc_id, {_SIM_BITS} AS simhash{SIMHASH_BITS} FROM c ORDER BY doc_id
 """
 
 

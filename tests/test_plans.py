@@ -104,3 +104,23 @@ def test_jaccard_df_pruned_hashed_join(spark):
     # the DF-prune aggregate (count per (source, shingle-hash) <= cap) sits
     # upstream of the pair join
     assert plan.count("HashAggregate") >= 2
+
+
+def test_simhash_width_and_dup_cluster_properties(spark):
+    """SimHash width is a real knob (40-bit spans two salted md5 blocks);
+    dup_clusters output satisfies the component invariants: one canonical
+    per cluster, cluster_id = min(doc_id), sizes consistent."""
+    wide = qt.simhash_signatures(spark, SF, n_bits=40)
+    row = wide.limit(1).collect()[0]
+    assert len(row["simhash40"]) == 40
+    assert set(row["simhash40"]) <= {"0", "1"}
+
+    rows = qt.dup_clusters(spark, SF).collect()
+    assert rows, "synth dups guarantee non-empty clusters"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert min(m["doc_id"] for m in members) == cid
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert all(m["cluster_size"] == len(members) for m in members)

@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": qt.embedding_cosine_dups,
         # composed corpus-prep pipeline
         "corpus_prep_pipeline": qt.corpus_prep_pipeline,
+        "corpus_prep_neardup": qt.corpus_prep_neardup,
         # multimodal plumbing
         "multimodal_binary_meta": qt.multimodal_binary_meta,
     }
@@ -130,5 +131,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": qt.ORACLE_IVF_TOPK,
         "embedding_cosine_dups": qt.ORACLE_COSINE_DUPS,
         "corpus_prep_pipeline": qt.ORACLE_CORPUS_PREP,
+        "corpus_prep_neardup": qt.ORACLE_CORPUS_PREP_NEARDUP,
         "multimodal_binary_meta": qt.ORACLE_MULTIMODAL,
     }

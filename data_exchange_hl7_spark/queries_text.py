@@ -299,30 +299,13 @@ def _lsh_pairs(d: DataFrame, n_bands: int) -> DataFrame:
     )
 
 
-def dup_clusters(spark, sf_dir, n_bands: int = N_BANDS, max_iter: int = 15):
-    """Near-dup CLUSTERS: connected components over the LSH dup-pair graph,
-    plus the canonical doc per cluster (the last stage of a real dedup
-    pipeline: pairs alone don't tell you which docs to drop when dups chain
-    A-B, B-C).
-
-    Scale shape: iterative min-label propagation with per-round pointer
-    jumping — each round (1) takes the per-node min over neighbor labels and
-    (2) follows one label hop (lab := lab(lab), path compression), giving
-    O(log n) rounds even on chained components (the large-star/small-star
-    contraction family's guarantee, without rewriting edges). No driver-side
-    graph, no all-pairs anything; each round is two shuffle-joins + one
-    groupBy on (node), with lineage truncated per round. Runs over the
-    corpus + synthesized duplicates so components are
-    non-empty; output is every clustered doc with its cluster id (= min
-    doc_id reachable), the cluster size, and an is_canonical flag.
-    """
-    d = _with_synth_dups(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    pairs = _lsh_pairs(d, n_bands)
-    # localCheckpoint (not persist): each propagation round would otherwise
-    # EMBED the previous round's full logical plan — after k rounds the plan
-    # tree is exponential and the driver OOMs just stringifying it. Lineage
-    # truncation per round is the standard shape for iterative DataFrame
-    # algorithms (on a cluster, reliable checkpoint() to the checkpoint dir).
+def _component_labels(pairs: DataFrame, max_iter: int) -> DataFrame:
+    """Connected-component labels (node, lab) for an undirected pair graph
+    (doc_a < doc_b rows). Iterative min-label propagation with per-round
+    pointer jumping; lineage truncated per round with localCheckpoint — each
+    round would otherwise EMBED the previous round's full logical plan, and
+    after k rounds the driver OOMs just stringifying the tree. (On a
+    cluster, reliable checkpoint() to the checkpoint dir.)"""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -365,6 +348,28 @@ def dup_clusters(spark, sf_dir, n_bands: int = N_BANDS, max_iter: int = 15):
         labels = new
         if changed == 0:
             break
+    return labels
+
+
+def dup_clusters(spark, sf_dir, n_bands: int = N_BANDS, max_iter: int = 15):
+    """Near-dup CLUSTERS: connected components over the LSH dup-pair graph,
+    plus the canonical doc per cluster (the last stage of a real dedup
+    pipeline: pairs alone don't tell you which docs to drop when dups chain
+    A-B, B-C).
+
+    Scale shape: iterative min-label propagation with per-round pointer
+    jumping — each round (1) takes the per-node min over neighbor labels and
+    (2) follows one label hop (lab := lab(lab), path compression), giving
+    O(log n) rounds even on chained components (the large-star/small-star
+    contraction family's guarantee, without rewriting edges). No driver-side
+    graph, no all-pairs anything; each round is two shuffle-joins + one
+    groupBy on (node), with lineage truncated per round. Runs over the
+    corpus + synthesized duplicates so components are
+    non-empty; output is every clustered doc with its cluster id (= min
+    doc_id reachable), the cluster size, and an is_canonical flag.
+    """
+    d = _with_synth_dups(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    labels = _component_labels(_lsh_pairs(d, n_bands), max_iter)
     sizes = labels.groupBy("lab").agg(F.count("*").alias("cluster_size"))
     out = (
         labels.join(sizes, "lab")
@@ -831,6 +836,14 @@ def corpus_prep_pipeline(spark, sf_dir):
     dedup window must remove them, so the green gate certifies the window is
     doing real work (round-1 vacuity fix)."""
     d = _with_synth_dups(_t(spark, sf_dir, "documents"))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = d.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return _quality_gate_stats(kept)
+
+
+def _quality_gate_stats(d: DataFrame) -> DataFrame:
+    """Shared tail of the corpus-prep pipelines: quality gate (>= 5 tokens,
+    non-negative score) -> per-source corpus stats."""
     toks = F.split("text", " ")
     n_tok = F.size(toks).cast("bigint")
     n_punct = F.size(F.regexp_extract_all("text", F.lit("[.,!?;:]"), F.lit(0))).cast("bigint")
@@ -841,11 +854,8 @@ def corpus_prep_pipeline(spark, sf_dir):
         + n_sw.cast("double") * 10 / n_tok
         - n_punct.cast("double") * 5 / n_tok
     )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     return (
-        d.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .withColumn("n_tokens", n_tok)
+        d.withColumn("n_tokens", n_tok)
         .withColumn("quality", quality)
         .filter((F.col("n_tokens") >= 5) & (F.col("quality") >= 0))
         .groupBy("source")
@@ -856,6 +866,26 @@ def corpus_prep_pipeline(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def corpus_prep_neardup(spark, sf_dir, n_bands: int = N_BANDS, max_iter: int = 15):
+    """Corpus prep with NEAR-dup removal: LSH pair graph -> connected
+    components -> keep only each cluster's canonical doc (min doc_id; docs
+    in no cluster pass through) -> quality gate -> per-source stats.
+
+    This is the cluster-level dedup a real training-data pipeline runs
+    (pairs alone can't drop chained dups consistently). Scale shape: the
+    component labels are LSH-bucketed + O(log n) label rounds
+    (_component_labels); the drop is one left_anti join on doc_id; gate and
+    stats are the same single aggregation as corpus_prep_pipeline."""
+    d = _with_synth_dups(_t(spark, sf_dir, "documents"))
+    labels = _component_labels(
+        _lsh_pairs(d.select("doc_id", "text"), n_bands), max_iter
+    )
+    non_canonical = labels.filter(F.col("node") != F.col("lab")).select(
+        F.col("node").alias("doc_id")
+    )
+    return _quality_gate_stats(d.join(non_canonical, "doc_id", "left_anti"))
 
 
 ORACLE_CORPUS_PREP = f"""
@@ -874,6 +904,54 @@ scored AS (
            + CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x IN ({_SW_LIST}))) AS BIGINT) * 10.0 / LEN(STR_SPLIT(text, ' '))
            - CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.,!?;:]')) AS BIGINT) * 5.0 / LEN(STR_SPLIT(text, ' ')) AS quality
   FROM dedup WHERE rn = 1)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT lang) AS n_langs
+FROM scored WHERE n_tokens >= 5 AND quality >= 0
+GROUP BY source ORDER BY source
+"""
+
+
+_SCORED_SQL = f"""
+  SELECT source, lang,
+         CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         (CAST(LENGTH(text) AS BIGINT) * 1.0 / LEN(STR_SPLIT(text, ' ')))
+           + CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x IN ({{_SW}}))) AS BIGINT) * 10.0 / LEN(STR_SPLIT(text, ' '))
+           - CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.,!?;:]')) AS BIGINT) * 5.0 / LEN(STR_SPLIT(text, ' ')) AS quality
+  FROM kept
+"""
+
+ORACLE_CORPUS_PREP_NEARDUP = f"""
+WITH RECURSIVE
+corpus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0),
+sh AS ({_shingle_sql("corpus")}),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_AGGS}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  {_MINHASH_BAND_UNION}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+noncanon AS (
+  SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> MIN(lab)),
+kept AS (
+  SELECT c.* FROM corpus c LEFT JOIN noncanon n ON c.doc_id = n.doc_id
+  WHERE n.doc_id IS NULL),
+scored AS ({_SCORED_SQL.replace("{_SW}", _SW_LIST)})
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        COUNT(DISTINCT lang) AS n_langs

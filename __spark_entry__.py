@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reports / aggregation / branch (A3, A4, A5, K2)
         "error_summary": q.error_summary,
         "errors_by_category": q.errors_by_category,
+        "errors_by_path": q.errors_by_path,
         "receiver_file_report": q.receiver_file_report,
         "branch_router": q.branch_router,
         "distinct_profiles": q.distinct_profiles,
@@ -73,11 +74,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": qt.dup_clusters,
         "ngram_jaccard_pairs": qt.ngram_jaccard_pairs,
         "simhash_signatures": qt.simhash_signatures,
+        "simhash_dup_pairs": qt.simhash_dup_pairs,
+        "decontamination": qt.decontamination,
         # similarity search
         "ann_bruteforce_topk": qt.ann_bruteforce_topk,
         "ivf_partition_assign": qt.ivf_partition_assign,
         "ivf_topk": qt.ivf_topk,
         "embedding_cosine_dups": qt.embedding_cosine_dups,
+        # corpus curation: PII scrub, packing, sampling
+        "pii_scrub": qt.pii_scrub,
+        "sequence_packing": qt.sequence_packing,
+        "stratified_sample": qt.stratified_sample,
         # composed corpus-prep pipeline
         "corpus_prep_pipeline": qt.corpus_prep_pipeline,
         "corpus_prep_neardup": qt.corpus_prep_neardup,
@@ -98,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_detection": q.ORACLE_DUP,
         "error_summary": q.ORACLE_ERROR_SUMMARY,
         "errors_by_category": q.ORACLE_ERR_BY_CAT,
+        "errors_by_path": q.ORACLE_ERR_BY_PATH,
         "receiver_file_report": q.ORACLE_RECEIVER,
         "branch_router": q.ORACLE_BRANCH,
         "distinct_profiles": q.ORACLE_DISTINCT,
@@ -126,6 +134,11 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": qt.ORACLE_DUP_CLUSTERS,
         "ngram_jaccard_pairs": qt.ORACLE_JACCARD,
         "simhash_signatures": qt.ORACLE_SIMHASH,
+        "simhash_dup_pairs": qt.ORACLE_SIMHASH_PAIRS,
+        "decontamination": qt.ORACLE_DECON,
+        "pii_scrub": qt.ORACLE_PII,
+        "sequence_packing": qt.ORACLE_SEQ_PACK,
+        "stratified_sample": qt.ORACLE_STRATIFIED,
         "ann_bruteforce_topk": qt.ORACLE_ANN,
         "ivf_partition_assign": qt.ORACLE_IVF,
         "ivf_topk": qt.ORACLE_IVF_TOPK,

@@ -296,6 +296,27 @@ ORACLE_ERR_BY_CAT = (
 )
 
 
+def errors_by_path(spark, sf_dir):
+    """A3 by-path grouping: error entries grouped by the JSON path they point
+    at (ValidationController.kt:415-416 groups report entries byPath /
+    byMessage with groupingBy{}.eachCount(); the path here is the T9
+    json-path get over the event props)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.get_json_object("props", "$.k").alias("path"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("path")
+    )
+
+
+ORACLE_ERR_BY_PATH = """
+SELECT CAST(json_extract(props, '$.k') AS VARCHAR) AS path, COUNT(*) AS n
+FROM events WHERE event_type = 'error'
+GROUP BY 1 ORDER BY path
+"""
+
+
 def receiver_file_report(spark, sf_dir):
     """A4 per-file receiver report: counts + error share per source file
     (ReceiverEventReport.kt:5-16)."""

@@ -194,12 +194,17 @@ ORDER BY content_hash
 N_BANDS = 4
 
 
+def _word_ngrams(d: DataFrame, n: int) -> DataFrame:
+    """Distinct n-word shingles per doc — one explode, no Python."""
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
 def _shingles(d: DataFrame) -> DataFrame:
     """3-word shingles per doc (distinct)."""
-    toks = F.split("text", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 3), " "))
-    return d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return _word_ngrams(d, 3)
 
 
 def _shingle_sql(corpus: str = "documents") -> str:
@@ -514,11 +519,9 @@ def _sim_block(tok_col, block: int):
     return F.md5(F.concat(tok_col, F.lit(f":sb{block}")))
 
 
-def simhash_signatures(spark, sf_dir, n_bits: int = SIMHASH_BITS):
-    """SimHash: ``n_bits``-bit signature; bit i is the majority vote of
-    token-hash bit i (token hash bit = high bit of hex char i%32 of the
-    i//32-th salted md5 block)."""
-    d = _t(spark, sf_dir, "documents")
+def _simhash_over(d: DataFrame, n_bits: int, out_col: str) -> DataFrame:
+    """(doc_id, <out_col>) simhash bit-string over any (doc_id, text) corpus
+    — unordered, reusable by both the signature query and the pair join."""
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     n_blocks = (n_bits + 31) // 32
     for b in range(n_blocks):
@@ -537,7 +540,15 @@ def simhash_signatures(spark, sf_dir, n_bits: int = SIMHASH_BITS):
             for i in range(n_bits)
         ]
     )
-    return counted.select("doc_id", bits.alias(f"simhash{n_bits}")).orderBy("doc_id")
+    return counted.select("doc_id", bits.alias(out_col))
+
+
+def simhash_signatures(spark, sf_dir, n_bits: int = SIMHASH_BITS):
+    """SimHash: ``n_bits``-bit signature; bit i is the majority vote of
+    token-hash bit i (token hash bit = high bit of hex char i%32 of the
+    i//32-th salted md5 block)."""
+    d = _t(spark, sf_dir, "documents")
+    return _simhash_over(d, n_bits, f"simhash{n_bits}").orderBy("doc_id")
 
 
 _HIGH = "('8','9','a','b','c','d','e','f')"
@@ -986,4 +997,310 @@ SELECT doc_id,
        SHA256(text) AS payload_sha256,
        'text/plain' AS mime
 FROM documents ORDER BY doc_id
+"""
+
+
+# ==================== simhash near-dup pairs (banded) =====================
+
+# Banding for the hamming join: n_bits split into SIMHASH_BANDS equal bands.
+# Pigeonhole: two signatures within hamming distance SIMHASH_BANDS-1 agree on
+# at least one whole band, so a join on (band, band_bits) has 100% recall for
+# d <= SIMHASH_BANDS-1 — the exact hamming filter then makes it precise.
+# Production widths are 64 bits / 4 x 16-bit bands (65k buckets per band);
+# 16/4 is the parity-oracle default and the bucket count grows 2^(bits/bands).
+# MAX_HAMMING may be anything <= SIMHASH_BANDS-1 without losing recall; 1 is
+# the harness default because at 16 toy bits a same-vocabulary corpus
+# collides heavily (production 64-bit width restores precision).
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 1
+
+
+def simhash_dup_pairs(
+    spark,
+    sf_dir,
+    n_bits: int = SIMHASH_BITS,
+    n_bands: int = SIMHASH_BANDS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+):
+    """SimHash near-dup pairs: banded (band, bits) bucket join for candidates
+    (never all-pairs), then exact hamming <= n_bands-1 filter. Runs over the
+    corpus + synthesized duplicates (_with_synth_dups) so exact dups surface
+    as hamming-0 pairs and the gate is non-vacuous.
+
+    The oracle deliberately computes the same output the OTHER way — an
+    all-pairs join with the hamming predicate — so a green row also certifies
+    the banding's recall guarantee, not just the arithmetic."""
+    d = _with_synth_dups(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    sig = _simhash_over(d, n_bits, "sig")
+    width = n_bits // n_bands
+    bands = None
+    for b in range(n_bands):
+        one = sig.select(
+            F.lit(b).alias("band"),
+            F.substring("sig", 1 + b * width, width).alias("bits"),
+            "doc_id",
+            "sig",
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(bb, (F.col("a.band") == F.col("b.band")) & (F.col("a.bits") == F.col("b.bits")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("sig_a", ""), F.split("sig_b", ""), lambda x, y: x != y
+            ),
+            lambda v: v,
+        )
+    ).cast("bigint")
+    assert max_hamming <= n_bands - 1, "banding recall guarantee requires max_hamming <= n_bands-1"
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_HAMMING_SQL = (
+    f"CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {SIMHASH_BITS}), "
+    "i -> CASE WHEN SUBSTR(a.sig, i, 1) <> SUBSTR(b.sig, i, 1) THEN 1 ELSE 0 END)) AS BIGINT)"
+)
+ORACLE_SIMHASH_PAIRS = f"""
+WITH corpus AS ({_SYNTH_DUP_SQL}),
+t AS (
+  SELECT doc_id, {_SIM_HASHES}
+  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM corpus), UNNEST(l) AS u(tok)),
+c AS (SELECT doc_id, COUNT(*) AS n, {_SIM_COUNTS} FROM t GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIM_BITS} AS sig FROM c)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_HAMMING_SQL} AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE {_HAMMING_SQL} <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ======================= benchmark decontamination ========================
+
+# Decontamination n-gram width and the deterministic eval-set rule: original
+# docs with doc_id % DECON_EVAL_MOD == 0 stand in for the benchmark suite.
+# 5-grams are the harness width (real pipelines use 8-13); the synthesized
+# duplicates of eval docs guarantee contaminated rows exist, so the gate is
+# non-vacuous.
+DECON_NGRAM = 5
+DECON_EVAL_MOD = 25
+
+
+def decontamination(spark, sf_dir, n: int = DECON_NGRAM, eval_mod: int = DECON_EVAL_MOD):
+    """Benchmark decontamination: flag training docs sharing any ``n``-gram
+    with the eval set, with the shared-shingle count as evidence.
+
+    Scale shape: the eval side is tiny by construction (a benchmark suite is
+    thousands of docs, not billions), so its distinct shingle hashes are
+    BROADCAST; the corpus side streams through one hash-join probe — no
+    shuffle of the training corpus at all. Shingles are joined on a 16-hex
+    md5 prefix (computed identically in the oracle), not raw strings."""
+    corpus = _with_synth_dups(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    is_eval = (F.col("doc_id") % eval_mod == 0) & (F.col("doc_id") < 1_000_000)
+    h = F.substring(F.md5("shingle"), 1, 16).alias("h")
+    eval_sh = _word_ngrams(corpus.filter(is_eval), n).select(h).distinct()
+    train_sh = _word_ngrams(corpus.filter(~is_eval), n).select("doc_id", h)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+def _ngram_sql(corpus: str, n: int) -> str:
+    """DuckDB distinct n-word-shingle CTE body."""
+    joined = " || ' ' || ".join(f"l[i+{k}]" if k else "l[i]" for k in range(n))
+    return f"""
+  SELECT DISTINCT doc_id, s AS shingle
+  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM {corpus}),
+       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(l) - {n - 1}, 0)),
+              i -> {joined})) AS u(s)
+"""
+
+
+ORACLE_DECON = f"""
+WITH corpus AS ({_SYNTH_DUP_SQL}),
+sh AS ({_ngram_sql("corpus", DECON_NGRAM)}),
+hashed AS (SELECT doc_id, SUBSTR(MD5(shingle), 1, 16) AS h FROM sh),
+ev AS (
+  SELECT DISTINCT h FROM hashed
+  WHERE doc_id % {DECON_EVAL_MOD} = 0 AND doc_id < 1000000),
+tr AS (
+  SELECT * FROM hashed
+  WHERE NOT (doc_id % {DECON_EVAL_MOD} = 0 AND doc_id < 1000000))
+SELECT doc_id, COUNT(*) AS n_shared
+FROM tr JOIN ev USING (h)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ============================== PII scrub =================================
+
+# The synthetic corpus carries no PII, so the harness injects a deterministic
+# email + phone into every 5th doc IN-PLAN (both engines identically) before
+# scrubbing — same non-vacuity pattern as _with_synth_dups.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def pii_scrub(spark, sf_dir):
+    """PII scrubbing for a training corpus: count and replace emails/phones
+    with typed placeholders, emit the scrubbed-content hash as the row
+    invariant. All vectorized regex column ops (regexp_extract_all +
+    regexp_replace), no Python in the hot path — the LLM-corpus analogue of
+    the reference's redaction stage (fn-redactor Function.kt:46-100)."""
+    d = _t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    n_emails = F.size(F.regexp_extract_all(injected, F.lit(PII_EMAIL_RE), F.lit(0))).cast("bigint")
+    n_phones = F.size(F.regexp_extract_all(injected, F.lit(PII_PHONE_RE), F.lit(0))).cast("bigint")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(injected, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.sha2(scrubbed, 256).alias("scrubbed_sha256"),
+        F.length(scrubbed).cast("bigint").alias("n_chars_scrubbed"),
+    ).orderBy("doc_id")
+
+
+ORACLE_PII = f"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com or call 555-'
+                   || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS t
+  FROM documents),
+s AS (
+  SELECT doc_id, t,
+         REGEXP_REPLACE(REGEXP_REPLACE(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+  FROM inj)
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(LEN(REGEXP_EXTRACT_ALL(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       SHA256(scrubbed) AS scrubbed_sha256,
+       CAST(LENGTH(scrubbed) AS BIGINT) AS n_chars_scrubbed
+FROM s ORDER BY doc_id
+"""
+
+
+# =========================== sequence packing =============================
+
+SEQ_LEN = 64  # token budget per packed training sequence
+
+
+def sequence_packing(spark, sf_dir, seq_len: int = SEQ_LEN):
+    """Concat-and-chunk sequence packing: docs are concatenated in doc_id
+    order within each source shard and chunked into ``seq_len``-token
+    training sequences; each doc reports the pack it starts in and its token
+    offset there.
+
+    Scale shape: packing is PER-SOURCE-SHARD (window partitioned by source),
+    which is how real pretraining pipelines shard packing — a single global
+    running sum would serialize the whole corpus through one task."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        df.withColumn("pack_id", F.floor(start / F.lit(float(seq_len))).cast("bigint"))
+        .withColumn("offset_in_pack", (start % seq_len).cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SEQ_PACK = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR(start / {float(SEQ_LEN)}) AS BIGINT) AS pack_id,
+       CAST(start % {SEQ_LEN} AS BIGINT) AS offset_in_pack
+FROM c ORDER BY doc_id
+"""
+
+
+# ========================== stratified sampling ===========================
+
+# Deterministic per-source sampling: the keep/drop decision is a pure
+# arithmetic hash of doc_id (Knuth multiplicative, identical in both
+# engines), so the sample is reproducible under replay and independent of
+# partitioning — no rand(), which would break the engine's determinism rule.
+SAMPLE_MULT = 2654435761
+
+
+def stratified_sample(spark, sf_dir):
+    """Stratified corpus sampling: each source gets its own rate (derived
+    deterministically from the source id), docs are kept when the
+    multiplicative hash of doc_id lands under the rate. Output is the
+    per-source audit (total, kept, rate) a downsampling pipeline records.
+
+    Scale shape: the keep predicate is a narrow column expression evaluated
+    at the scan — no shuffle until the audit aggregation, and the sampled
+    subset never needs to be materialized to compute it."""
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("bigint")
+    rate = (F.lit(100) + (src_num * 37) % 800).alias("rate_permille")
+    bucket = (F.col("doc_id") * SAMPLE_MULT) % 4294967296 % 1000
+    return (
+        d.select("source", rate, (bucket < F.col("rate_permille")).cast("int").alias("keep"))
+        .groupBy("source", "rate_permille")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_STRATIFIED = f"""
+WITH t AS (
+  SELECT source,
+         100 + (CAST(SUBSTR(source, 4) AS BIGINT) * 37) % 800 AS rate_permille,
+         CASE WHEN (doc_id * {SAMPLE_MULT}) % 4294967296 % 1000
+                   < 100 + (CAST(SUBSTR(source, 4) AS BIGINT) * 37) % 800
+              THEN 1 ELSE 0 END AS keep
+  FROM documents)
+SELECT source, rate_permille, COUNT(*) AS n_total,
+       CAST(SUM(keep) AS BIGINT) AS n_kept
+FROM t GROUP BY source, rate_permille ORDER BY source
 """

@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "ivf_topk",
     "embedding_cosine_dups",
     "quality_score",
+    "decontamination",
+    "pii_scrub",
 ]
 
 
@@ -114,13 +116,20 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     # ---- query library at benchmark SF ----------------------------------
+    # min of 2 trials per query: this box shows multi-minute noisy-neighbor
+    # drift (same query 2-4x between back-to-back runs), and the second
+    # trial is also the JIT-warmed steady state a real cluster runs in
     queries = entrymod.queries()
     for name in BENCH_QUERIES:
         fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

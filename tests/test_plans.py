@@ -124,3 +124,33 @@ def test_simhash_width_and_dup_cluster_properties(spark):
         assert min(m["doc_id"] for m in members) == cid
         assert sum(m["is_canonical"] for m in members) == 1
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """Decontamination's scale contract: the eval/benchmark shingle set is
+    the broadcast side, the training corpus streams through the probe — no
+    shuffle of corpus shingles before the per-doc aggregate — and the join
+    key is the md5-prefix hash, not the raw shingle string."""
+    from data_exchange_hl7_spark.plans import explain_str
+
+    df = qt.decontamination(spark, SF)
+    assert_broadcast_join(df, at_least=1)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert_no_python_udf(df)
+
+
+def test_simhash_pairs_banded_join_shape(spark):
+    """simhash_dup_pairs candidates come from an equi-join on (band, bits)
+    buckets — never a cartesian — and the whole pipeline stays JVM-side."""
+    from data_exchange_hl7_spark.plans import explain_str
+
+    df = qt.simhash_dup_pairs(spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert_no_python_udf(df)
+
+
+def test_curation_ops_stay_jvm_side(spark):
+    for fn in [qt.pii_scrub, qt.sequence_packing, qt.stratified_sample]:
+        assert_no_python_udf(fn(spark, SF))

@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis) for the order-sensitive operators.
+
+The reference ships no property tests (SURVEY.md section 5); these go beyond
+it on the two places where a subtle ordering/parsing bug would silently
+corrupt the final table state: the A1 latest-per-key tie-break cascade
+(every variant must agree with a brute-force Python oracle under arbitrary
+interleavings and ties) and the D2 debatcher (message count / index /
+round-trip under arbitrary batch shapes). Spark-backed properties run few
+examples (each example is a Spark job); the pure-Python parsers get the
+full default example budget.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_exchange_hl7_spark.operators.debatch import debatch
+from data_exchange_hl7_spark.operators.dedup import (
+    latest_by_key,
+    latest_by_key_bucketed,
+    latest_by_key_salted,
+)
+from data_exchange_hl7_spark.operators.mmg_content import parse_cardinality
+from data_exchange_hl7_spark.streaming.runner import _parse_byte_conf
+
+SPARK_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# (key, lsn, ts) with tiny domains so ties on every prefix of the order
+# cascade are common; event_id is assigned by position, so the total order
+# (lsn, ts, event_id) always has a unique winner to compare against.
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 6), st.integers(0, 2)),
+    min_size=1,
+    max_size=50,
+)
+
+
+def _python_latest(rows):
+    best = {}
+    for k, lsn, ts, eid in rows:
+        if k not in best or (lsn, ts, eid) > best[k][1:]:
+            best[k] = (k, lsn, ts, eid)
+    return sorted(best.values())
+
+
+@given(events_strategy)
+@SPARK_SETTINGS
+def test_latest_by_key_variants_match_python_oracle(spark, raw):
+    rows = [(k, lsn, ts, i) for i, (k, lsn, ts) in enumerate(raw)]
+    df = spark.createDataFrame(rows, "k int, lsn int, ts int, event_id int")
+    expected = _python_latest(rows)
+
+    plain = latest_by_key(df, ["k"], ["lsn", "ts", "event_id"])
+    got = sorted(tuple(r) for r in plain.select("k", "lsn", "ts", "event_id").collect())
+    assert got == expected
+
+    salted = latest_by_key_salted(df, ["k"], ["lsn", "ts", "event_id"], n_salts=4)
+    got_s = sorted(tuple(r) for r in salted.select("k", "lsn", "ts", "event_id").collect())
+    assert got_s == expected
+
+    from pyspark.sql import functions as F
+
+    bucketed = latest_by_key_bucketed(
+        df.withColumn("__bucket", F.pmod(F.xxhash64("k"), F.lit(3)).cast("int")),
+        ["k"],
+        ["lsn", "ts", "event_id"],
+        n_buckets=3,
+    )
+    got_b = sorted(
+        tuple(r) for r in bucketed.select("k", "lsn", "ts", "event_id").collect()
+    )
+    assert got_b == expected
+
+
+token = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8)
+message = st.builds(
+    lambda a, b, extra_seg: f"MSH|^~\\&|{a}|{b}" + (f"\nPID|1|{a}" if extra_seg else ""),
+    token,
+    token,
+    st.booleans(),
+)
+batch_file = st.tuples(
+    st.booleans(),  # file headers present
+    st.lists(message, min_size=0, max_size=6),
+    st.booleans(),  # trailers present
+)
+
+
+@given(st.lists(batch_file, min_size=1, max_size=4))
+@SPARK_SETTINGS
+def test_debatch_count_index_roundtrip(spark, files):
+    rows = []
+    for i, (hdr, msgs, trl) in enumerate(files):
+        parts = []
+        if hdr:
+            parts += ["FHS|^~\\&|sender", "BHS|^~\\&|batch"]
+        parts += [m for m in msgs]
+        if trl:
+            parts += ["BTS|%d" % len(msgs), "FTS|1"]
+        rows.append((f"f{i}", "\n".join(parts)))
+    df = spark.createDataFrame(rows, "file_id string, content string")
+    out = debatch(df).collect()
+
+    by_file = {}
+    for r in out:
+        by_file.setdefault(r["file_id"], []).append(r)
+    for i, (hdr, msgs, trl) in enumerate(files):
+        got = sorted(by_file[f"f{i}"], key=lambda r: r["message_index"])
+        if not msgs:
+            # zero-message file -> exactly one REJECTED row, index 0
+            assert len(got) == 1 and got[0]["message_index"] == 0
+            continue
+        assert len(got) == len(msgs)
+        assert [r["message_index"] for r in got] == list(range(1, len(msgs) + 1))
+        tag = "SINGLE" if len(msgs) == 1 else "BATCH"
+        assert all(r["single_or_batch"] == tag for r in got)
+        # round-trip: each emitted message equals its source message verbatim
+        assert [r["message_content"] for r in got] == msgs
+        if hdr:
+            assert got[0]["batch_header"].startswith("FHS|")
+
+
+@given(st.integers(0, 99), st.integers(0, 99))
+def test_parse_cardinality_bounded(m, n):
+    lo, hi = parse_cardinality(f"[{m}..{n}]")
+    assert (lo, hi) == (m, n)
+
+
+@given(st.integers(0, 99))
+def test_parse_cardinality_unbounded(m):
+    lo, hi = parse_cardinality(f"[{m}..*]")
+    assert lo == m and hi is None
+
+
+@given(
+    st.integers(1, 10**12),
+    st.sampled_from(["", "b", "k", "kb", "m", "mb", "g", "gb"]),
+)
+def test_parse_byte_conf(n, suffix):
+    mult = {"": 1, "b": 1, "k": 1024, "kb": 1024, "m": 1024**2,
+            "mb": 1024**2, "g": 1024**3, "gb": 1024**3}[suffix]
+    assert _parse_byte_conf(f"{n}{suffix}") == n * mult

@@ -1225,7 +1225,11 @@ def sequence_packing(spark, sf_dir, seq_len: int = SEQ_LEN):
 
     Scale shape: packing is PER-SOURCE-SHARD (window partitioned by source),
     which is how real pretraining pipelines shard packing — a single global
-    running sum would serialize the whole corpus through one task."""
+    running sum would serialize the whole corpus through one task. A single
+    HOT source is still one reducer's sort; the mitigation is the same
+    sub-sharding the engine's salted dedup uses (partition by
+    (source, doc_id // K) and offset pack_ids by a per-subshard base), at
+    the cost of one short pack boundary per subshard."""
     d = _t(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " ")).cast("bigint")
     w = (

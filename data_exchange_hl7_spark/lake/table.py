@@ -113,6 +113,7 @@ class LakeTable:
         snap = {
             "snapshot_id": 0,
             "parent": None,
+            "operation": "create",
             "schema_version": 0,
             "schemas": {"0": fields},
             "key_cols": key_cols,
@@ -138,6 +139,46 @@ class LakeTable:
             v = int(f.read().strip())
         with open(os.path.join(self.meta_dir, f"v{v:08d}.json")) as f:
             return json.load(f)
+
+    def _load_snapshot(self, snapshot_id: int | None = None) -> dict[str, Any]:
+        """Load a specific committed snapshot (``None`` = current). Raises if
+        the snapshot metadata has been expired — same contract as Iceberg
+        time travel past the retention window."""
+        if snapshot_id is None:
+            return self.current_snapshot()
+        path = os.path.join(self.meta_dir, f"v{snapshot_id:08d}.json")
+        if not os.path.exists(path):
+            raise ValueError(
+                f"snapshot {snapshot_id} not found (never committed or expired)"
+            )
+        with open(path) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict[str, Any]]:
+        """Snapshot lineage, newest first — the Iceberg ``table.history()``
+        analogue. Walks parent pointers until the chain hits an expired
+        snapshot. Each entry is metadata-only (no data read)."""
+        out = []
+        s = self.current_snapshot()
+        while True:
+            out.append(
+                {
+                    "snapshot_id": s["snapshot_id"],
+                    "parent": s["parent"],
+                    "operation": s.get("operation", "unknown"),
+                    "committed_at": s["committed_at"],
+                    "schema_version": s["schema_version"],
+                    "n_delta_layers": len(s.get("deltas", [])),
+                    "epochs": sorted(s["properties"]["epochs"]),
+                }
+            )
+            if s["parent"] is None:
+                return out
+            parent_path = os.path.join(self.meta_dir, f"v{s['parent']:08d}.json")
+            if not os.path.exists(parent_path):
+                return out
+            with open(parent_path) as f:
+                s = json.load(f)
 
     def _write_snapshot(self, snap: dict, expected_parent: int | None) -> None:
         """Atomic commit: write vN.json, then swap the ``current`` pointer.
@@ -195,12 +236,117 @@ class LakeTable:
         cols += [F.col(c) for c in extra_cols]
         return df.select(*cols)
 
-    def _base_df(self, snap: dict, buckets: list[int] | None) -> DataFrame | None:
+    @staticmethod
+    def _prune(files: list[str], stats: dict, where) -> list[str]:
+        """Drop files whose manifest min/max stats prove they cannot contain a
+        row matching every predicate. A file with no stats for a predicate's
+        column — or a type-incompatible comparison — is always kept (pruning
+        is an optimization, never a filter)."""
+        if not where:
+            return files
+        kept = []
+        for p in files:
+            fs = stats.get(p) if stats else None
+            keep = True
+            for col, op, val in where:
+                rng = (fs or {}).get(col)
+                if not rng:
+                    continue
+                lo, hi = rng
+                if lo is None or hi is None:
+                    continue
+                try:
+                    if (
+                        (op == "=" and not (lo <= val <= hi))
+                        or (op in (">", ">=") and hi < val)
+                        or (op == ">" and hi == val)
+                        or (op in ("<", "<=") and lo > val)
+                        or (op == "<" and lo == val)
+                    ):
+                        keep = False
+                        break
+                except TypeError:
+                    continue
+            if keep:
+                kept.append(p)
+        return kept
+
+    def _collect_stats(self, rel_paths: list[str], snap: dict) -> dict:
+        """Per-file min/max column stats for the snapshot manifest — the
+        Iceberg ``lower_bounds``/``upper_bounds`` analogue that drives
+        manifest-level data skipping. Read from parquet footers (metadata-only,
+        no data pages); on a real cluster the write tasks would return these
+        alongside the commit, here the driver reads the footers of the files
+        it just wrote. Stats columns: key columns + order column, primitive
+        comparable types only. Parquet writers may truncate long binary
+        bounds conservatively (max rounded up), which keeps pruning sound."""
+        import pyarrow.parquet as pq
+
+        cols = list(snap["key_cols"])
+        if snap.get("order_col"):
+            cols.append(snap["order_col"])
+        out: dict[str, dict] = {}
+        for rel in rel_paths:
+            try:
+                md = pq.ParquetFile(os.path.join(self.data_dir, rel)).metadata
+            except Exception:
+                continue
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            st = {}
+            for c in cols:
+                i = names.get(c)
+                if i is None:
+                    continue
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(i).statistics
+                    if s is None or not s.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = s.min, s.max
+                    if isinstance(mn, bytes):
+                        try:
+                            mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                        except UnicodeDecodeError:
+                            ok = False
+                            break
+                    if not isinstance(mn, (str, int, float)) or isinstance(mn, bool):
+                        ok = False
+                        break
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+                if ok and lo is not None:
+                    st[c] = [lo, hi]
+            if st:
+                out[rel] = st
+        return out
+
+    @staticmethod
+    def _where_expr(where):
+        ops = {
+            "=": lambda c, v: c == v,
+            ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+            "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v,
+        }
+        e = None
+        for col, op, val in where:
+            term = ops[op](F.col(col), F.lit(val))
+            e = term if e is None else (e & term)
+        return e
+
+    def _base_df(
+        self, snap: dict, buckets: list[int] | None, where=None
+    ) -> DataFrame | None:
         groups: dict[int, list[str]] = {}
         for b, entry in snap["buckets"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
-            groups.setdefault(entry["schema_version"], []).extend(entry["files"])
+            files = self._prune(entry["files"], entry.get("stats"), where)
+            if files:
+                groups.setdefault(entry["schema_version"], []).extend(files)
         if not groups:
             return None
         dfs = [self._read_files(fs, sv, snap) for sv, fs in groups.items()]
@@ -209,18 +355,45 @@ class LakeTable:
             out = out.unionByName(d)
         return out
 
-    def snapshot(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current table state as a DataFrame (optionally selected buckets).
+    def snapshot(
+        self,
+        buckets: list[int] | None = None,
+        as_of: int | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
+        """Table state as a DataFrame (optionally selected buckets).
 
         In MoR mode this resolves base + delta files: one window over
         (key) ordered by (order_col desc, file sequence desc), keep first,
         drop tombstones — the same latest-flag plan as the A1 operator.
+
+        ``as_of``: read a PAST committed snapshot by id (Iceberg
+        ``VERSION AS OF`` time travel). Requires the snapshot metadata and
+        data files to still be within the ``expire_snapshots`` retention
+        window.
+
+        ``where``: list of ``(column, op, value)`` predicates, op in
+        ``= > >= < <=``. The predicate is always applied as a DataFrame
+        filter (correctness never depends on stats); additionally, data
+        files whose manifest min/max stats cannot satisfy it are skipped
+        without being opened (Iceberg manifest-level data skipping). In MoR
+        mode file skipping is only sound for predicates on key columns
+        (constant per key — pruning a non-key column could hide a key's
+        latest version and resurrect an older one), so non-key predicates
+        prune nothing there and are applied after latest-resolution.
         """
-        snap = self.current_snapshot()
-        base = self._base_df(snap, buckets)
+        snap = self._load_snapshot(as_of)
         deltas = snap.get("deltas", [])
+        keys = snap["key_cols"]
+        # stats-based file skipping: sound for any predicate in CoW (rows are
+        # independent), key-column predicates only in MoR (see docstring)
+        prune_where = where
+        if deltas and where:
+            prune_where = [w for w in where if w[0] in keys]
+        base = self._base_df(snap, buckets, prune_where)
         if not deltas:
-            return base if base is not None else self._empty_df(self.schema_fields(snap))
+            out = base if base is not None else self._empty_df(self.schema_fields(snap))
+            return out.filter(self._where_expr(where)) if where else out
 
         parts = []
         if base is not None:
@@ -230,7 +403,7 @@ class LakeTable:
             for b, fs in d["files"].items():
                 if buckets is not None and int(b) not in buckets:
                     continue
-                files.extend(fs)
+                files.extend(self._prune(fs, d.get("stats"), prune_where))
             if not files:
                 continue
             parts.append(
@@ -242,16 +415,67 @@ class LakeTable:
         allp = parts[0]
         for p in parts[1:]:
             allp = allp.unionByName(p)
-        keys = snap["key_cols"]
         oc = snap["order_col"]
         w = Window.partitionBy(*keys).orderBy(
             F.col(oc).desc_nulls_last(), F.col("__seq").desc()
         )
-        return (
+        out = (
             allp.withColumn("__rn", F.row_number().over(w))
             .filter((F.col("__rn") == 1) & (F.col("__op") == "U"))
             .drop("__rn", "__op", "__seq")
         )
+        return out.filter(self._where_expr(where)) if where else out
+
+    def changes_between(self, from_sid: int, to_sid: int | None = None) -> DataFrame:
+        """Change data feed (MoR): every change row committed AFTER snapshot
+        ``from_sid`` up to and including ``to_sid`` (default current), with
+        ``_change_type`` (``U`` upsert / ``D`` delete) and
+        ``_commit_snapshot`` columns — the Iceberg incremental-read /
+        ``table_changes`` analogue, read straight from the delta layers with
+        no diffing. Walks the snapshot chain, so every snapshot in the window
+        must still be within the retention window (expired → raises, same as
+        Iceberg). Rows are exactly the deduped per-epoch changes the engine
+        applied, in commit order; downstream incremental consumers re-apply
+        them keyed by (key_cols, order_col)."""
+        to_snap = self._load_snapshot(to_sid)
+        if to_snap.get("mode") != "mor":
+            raise ValueError("changes_between requires a merge-on-read table")
+        chain = []
+        s = to_snap
+        # snapshot ids are dense (every CAS commit is parent+1), so the walk
+        # terminates at from_sid exactly; _load_snapshot raises if any link
+        # in the window has been expired — Iceberg's incremental-read contract
+        while s["snapshot_id"] > from_sid:
+            chain.append(s)
+            if s["parent"] is None:
+                break
+            s = self._load_snapshot(s["parent"])
+        parts = []
+        for s in reversed(chain):
+            parent_layers = 0
+            if s["parent"] is not None:
+                parent_layers = len(self._load_snapshot(s["parent"]).get("deltas", []))
+            new_layers = s.get("deltas", [])[parent_layers:]
+            for d in new_layers:
+                files = [p for fs in d["files"].values() for p in fs]
+                if not files:
+                    continue
+                parts.append(
+                    self._read_files(files, d["schema_version"], to_snap, extra_cols=["__op"])
+                    .withColumnRenamed("__op", "_change_type")
+                    .withColumn("_commit_snapshot", F.lit(s["snapshot_id"]))
+                )
+        if not parts:
+            return (
+                self._empty_df(self.schema_fields(to_snap))
+                .withColumn("_change_type", F.lit("U"))
+                .withColumn("_commit_snapshot", F.lit(0))
+                .limit(0)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ------------------------------------------------------------ merge
     def _bucket_expr(self, snap: dict):
@@ -362,6 +586,7 @@ class LakeTable:
             new_buckets[str(b)] = {
                 "files": files,
                 "schema_version": snap["schema_version"],
+                "stats": self._collect_stats(files, snap),
             }
             written.add(b)
         # changed buckets that ended up empty (all rows deleted) lose their entry
@@ -372,6 +597,7 @@ class LakeTable:
         new_snap = dict(snap)
         new_snap["snapshot_id"] = new_sid
         new_snap["parent"] = snap["snapshot_id"]
+        new_snap["operation"] = "merge"
         new_snap["buckets"] = new_buckets
         props = json.loads(json.dumps(snap["properties"]))
         if epoch is not None:
@@ -426,11 +652,17 @@ class LakeTable:
             ]
         if not files:
             return self._commit_manifest_only(snap, new_sid, epoch, epoch_info)
+        all_files = [p for fs in files.values() for p in fs]
         new_snap = dict(snap)
         new_snap["snapshot_id"] = new_sid
         new_snap["parent"] = snap["snapshot_id"]
+        new_snap["operation"] = "merge"
         new_snap["deltas"] = list(snap.get("deltas", [])) + [
-            {"files": files, "schema_version": snap["schema_version"]}
+            {
+                "files": files,
+                "schema_version": snap["schema_version"],
+                "stats": self._collect_stats(all_files, snap),
+            }
         ]
         props = json.loads(json.dumps(snap["properties"]))
         if epoch is not None:
@@ -499,13 +731,15 @@ class LakeTable:
             if not d.startswith("__bucket="):
                 continue
             b = d.split("=")[1]
+            cfiles = [
+                os.path.join(out_rel, d, f)
+                for f in os.listdir(os.path.join(out_abs, d))
+                if f.endswith(".parquet")
+            ]
             buckets[b] = {
-                "files": [
-                    os.path.join(out_rel, d, f)
-                    for f in os.listdir(os.path.join(out_abs, d))
-                    if f.endswith(".parquet")
-                ],
+                "files": cfiles,
                 "schema_version": snap["schema_version"],
+                "stats": self._collect_stats(cfiles, snap),
             }
         # drop the compacted buckets from every delta layer; clean buckets'
         # delta entries survive untouched
@@ -519,6 +753,7 @@ class LakeTable:
         new_snap = dict(snap)
         new_snap["snapshot_id"] = new_sid
         new_snap["parent"] = snap["snapshot_id"]
+        new_snap["operation"] = "compact"
         new_snap["buckets"] = buckets
         new_snap["deltas"] = new_deltas
         new_snap["committed_at"] = time.time()
@@ -535,6 +770,7 @@ class LakeTable:
         new_snap = dict(snap)
         new_snap["snapshot_id"] = new_sid
         new_snap["parent"] = snap["snapshot_id"]
+        new_snap["operation"] = "merge"
         props = json.loads(json.dumps(snap["properties"]))
         if epoch is not None:
             props["epochs"][str(epoch)] = epoch_info or {}
@@ -549,6 +785,7 @@ class LakeTable:
         new_snap = dict(snap)
         new_snap["snapshot_id"] = snap["snapshot_id"] + 1
         new_snap["parent"] = snap["snapshot_id"]
+        new_snap["operation"] = "properties"
         props = json.loads(json.dumps(snap["properties"]))
         props.update(updates)
         new_snap["properties"] = props
@@ -565,6 +802,7 @@ class LakeTable:
         new_snap = dict(snap)
         new_snap["snapshot_id"] = snap["snapshot_id"] + 1
         new_snap["parent"] = snap["snapshot_id"]
+        new_snap["operation"] = "evolve"
         new_snap["schema_version"] = new_sv
         schemas = dict(snap["schemas"])
         schemas[str(new_sv)] = fields

@@ -257,3 +257,114 @@ def test_expire_detects_pointer_move(spark, tmp_path):
             t.expire_snapshots(keep_last=1)
     finally:
         builtins.open = real_open
+
+
+# ----------------------------------------------------- time travel / CDF / stats
+
+
+def test_time_travel_reads_past_snapshot(spark, tmp_path):
+    t = _mk(spark, tmp_path, "tt")
+    r1 = t.merge(_changes(spark, [("a", "1", 1, 1, "U"), ("b", "2", 2, 2, "U")]), epoch=0)
+    r2 = t.merge(_changes(spark, [("a", "9", 9, 3, "U"), ("b", None, None, 4, "D")]), epoch=1)
+    # current state
+    assert {r["k"]: r["v"] for r in t.snapshot().collect()} == {"a": "9"}
+    # as-of the first merge: both rows, pre-update values
+    old = {r["k"]: r["v"] for r in t.snapshot(as_of=r1["snapshot_id"]).collect()}
+    assert old == {"a": "1", "b": "2"}
+    # as-of ids survive schema evolution commits in between
+    t.add_column("late", "string")
+    assert {r["k"] for r in t.snapshot(as_of=r2["snapshot_id"]).collect()} == {"a"}
+    with pytest.raises(ValueError, match="not found"):
+        t.snapshot(as_of=999)
+
+
+def test_history_lineage(spark, tmp_path):
+    t = _mk(spark, tmp_path, "th", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    t.compact()
+    t.add_column("x")
+    h = t.history()
+    assert [e["operation"] for e in h] == ["evolve", "compact", "merge", "create"]
+    assert [e["snapshot_id"] for e in h] == [3, 2, 1, 0]
+    assert h[0]["parent"] == 2 and h[-1]["parent"] is None
+
+
+def test_changes_between_is_exact_change_feed(spark, tmp_path):
+    t = _mk(spark, tmp_path, "cdf", mode="mor")
+    r1 = t.merge(_changes(spark, [("a", "1", 1, 1, "U"), ("b", "2", 2, 2, "U")]), epoch=0)
+    r2 = t.merge(_changes(spark, [("a", "9", 9, 3, "U"), ("b", None, None, 4, "D")]), epoch=1)
+    r3 = t.merge(_changes(spark, [("c", "5", 5, 5, "U")]), epoch=2)
+    # window (r1, r3]: exactly the epoch-1 and epoch-2 change rows
+    ch = t.changes_between(r1["snapshot_id"], r3["snapshot_id"]).collect()
+    got = {(r["k"], r["_change_type"], r["_commit_snapshot"]) for r in ch}
+    assert got == {
+        ("a", "U", r2["snapshot_id"]),
+        ("b", "D", r2["snapshot_id"]),
+        ("c", "U", r3["snapshot_id"]),
+    }
+    # empty window
+    assert t.changes_between(r3["snapshot_id"]).count() == 0
+    # downstream incremental apply of the feed onto the old state == new state
+    full = {tuple(sorted(r.asDict().items())) for r in t.snapshot().collect()}
+    old = t.snapshot(as_of=r1["snapshot_id"])
+    feed = t.changes_between(r1["snapshot_id"])
+    mirror = LakeTable.create(
+        spark, str(tmp_path / "mirror"), SCHEMA, ["k"], n_buckets=4,
+        mode="mor", order_col="lsn",
+    )
+    mirror.merge(old.withColumn("__op", F.lit("U")), epoch=0)
+    mirror.merge(
+        feed.withColumnRenamed("_change_type", "__op").drop("_commit_snapshot"),
+        epoch=1,
+    )
+    assert {tuple(sorted(r.asDict().items())) for r in mirror.snapshot().collect()} == full
+
+
+def test_changes_between_raises_on_cow(spark, tmp_path):
+    t = _mk(spark, tmp_path, "cdfcow")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        t.changes_between(0)
+
+
+def test_stats_file_skipping_prunes_and_stays_correct(spark, tmp_path):
+    # one bucket so pruning (not bucketing) is what separates the files
+    t = LakeTable.create(
+        spark, str(tmp_path / "sk"), SCHEMA, ["k"], n_buckets=1,
+        mode="mor", order_col="lsn",
+    )
+    t.merge(_changes(spark, [(f"a{i:02d}", "x", i, i, "U") for i in range(10)]), epoch=0)
+    t.merge(_changes(spark, [(f"z{i:02d}", "y", i, 100 + i, "U") for i in range(10)]), epoch=1)
+    snap = t.current_snapshot()
+    # stats were recorded for key + order columns on every delta file
+    for d in snap["deltas"]:
+        for files in d["files"].values():
+            for p in files:
+                assert "k" in d["stats"][p] and "lsn" in d["stats"][p]
+    # key-range predicate prunes the non-matching delta layer entirely
+    all_files = [p for d in snap["deltas"] for fs in d["files"].values() for p in fs]
+    kept = [
+        p
+        for d in snap["deltas"]
+        for fs in d["files"].values()
+        for p in LakeTable._prune(fs, d["stats"], [("k", ">=", "z00")])
+    ]
+    assert len(kept) < len(all_files)
+    # and the filtered read is identical to filter-after-full-read
+    via_skip = {r["k"] for r in t.snapshot(where=[("k", ">=", "z00")]).collect()}
+    via_full = {r["k"] for r in t.snapshot().filter(F.col("k") >= "z00").collect()}
+    assert via_skip == via_full == {f"z{i:02d}" for i in range(10)}
+
+
+def test_mor_nonkey_predicate_never_prunes_before_resolution(spark, tmp_path):
+    # key "a" is updated: old row lsn=1 (n=1), latest lsn=2 (n=999). A naive
+    # file-prune on the non-key predicate n <= 1 would drop the newer file and
+    # resurrect the superseded row; the read must instead resolve latest first
+    # and return NO rows for "a".
+    t = LakeTable.create(
+        spark, str(tmp_path / "nk"), SCHEMA, ["k"], n_buckets=1,
+        mode="mor", order_col="lsn",
+    )
+    t.merge(_changes(spark, [("a", "old", 1, 1, "U")]), epoch=0)
+    t.merge(_changes(spark, [("a", "new", 999, 2, "U")]), epoch=1)
+    assert t.snapshot(where=[("n", "<=", 1)]).count() == 0
+    assert t.snapshot(where=[("n", ">=", 999)]).count() == 1

@@ -62,6 +62,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # debatch / segments (D2, T2)
         "debatch_documents": q.debatch_documents,
         "segment_rows": q.segment_rows,
+        # lake surface: time travel, CDF, stats-pruned read (K3/K6, 2.9)
+        "time_travel_as_of": q.time_travel_as_of,
+        "change_data_feed": q.change_data_feed,
+        "filtered_snapshot_read": q.filtered_snapshot_read,
         # text analysis
         "token_stats": qt.token_stats,
         "lang_id_heuristic": qt.lang_id_heuristic,
@@ -124,6 +128,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": q.ORACLE_SESSIONIZE,
         "debatch_documents": q.ORACLE_DEBATCH,
         "segment_rows": q.ORACLE_SEGMENTS,
+        "time_travel_as_of": q.ORACLE_TIME_TRAVEL,
+        "change_data_feed": q.ORACLE_CDF,
+        "filtered_snapshot_read": q.ORACLE_FILTERED_READ,
         "token_stats": qt.ORACLE_TOKEN_STATS,
         "lang_id_heuristic": qt.ORACLE_LANG_ID,
         "quality_score": qt.ORACLE_QUALITY,

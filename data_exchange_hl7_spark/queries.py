@@ -1082,3 +1082,129 @@ SELECT event_id,
        CAST(commit_err + rename_err AS INT) AS n_structure_entries
 FROM v ORDER BY event_id
 """
+
+
+# =============== lake: time travel / CDF / stats-filtered read =============
+#
+# These three queries drive the LakeTable surface (Iceberg VERSION AS OF,
+# incremental read / table_changes, and manifest-stats file skipping) under
+# the oracle gate. They materialize a small MoR lake table from the shared
+# `events` WAL split into two deterministic epochs (even event_ids, then odd),
+# so both the as-of state and the change feed are pure SQL over `events`.
+
+_LAKE_DEMO_CACHE: dict[str, str] = {}
+
+
+def _lake_demo_table(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) a 2-epoch MoR table keyed by user_id.
+
+    Epoch 1 applies the even event_ids, epoch 2 the odd ones; op is D for
+    'error' events (delete tombstone) else U, order col is event_id (the LSN).
+    """
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key
+
+    loc = _LAKE_DEMO_CACHE.get(sf_dir)
+    if loc and LakeTable.exists(loc):
+        return LakeTable(spark, loc)
+    loc = tempfile.mkdtemp(prefix="dex_lake_demo_")
+    t = LakeTable.create(
+        spark,
+        loc,
+        schema=[("user_id", "bigint"), ("event_type", "string"), ("event_id", "bigint")],
+        key_cols=["user_id"],
+        n_buckets=8,
+        mode="mor",
+        order_col="event_id",
+    )
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+    for epoch, parity in ((1, 0), (2, 1)):
+        half = ev.filter(F.col("event_id") % 2 == parity)
+        changes = latest_by_key(half, ["user_id"], ["event_id"]).withColumn(
+            "__op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+        )
+        t.merge(changes, epoch=epoch)
+    _LAKE_DEMO_CACHE[sf_dir] = loc
+    return t
+
+
+def time_travel_as_of(spark, sf_dir):
+    """Iceberg VERSION AS OF: read the table state at snapshot 1 (after the
+    even-event epoch only) — `lake/table.py` snapshot(as_of=...). Oracle is
+    latest-per-user over even event_ids minus deleted users."""
+    t = _lake_demo_table(spark, sf_dir)
+    return (
+        t.snapshot(as_of=1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_TIME_TRAVEL = """
+SELECT user_id, event_type AS last_op, event_id AS last_event_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_id % 2 = 0)
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+def change_data_feed(spark, sf_dir):
+    """Iceberg incremental read / table_changes analogue: every change row
+    committed after snapshot 1 (i.e. the odd-event epoch), with its
+    _change_type — `lake/table.py` changes_between()."""
+    t = _lake_demo_table(spark, sf_dir)
+    return (
+        t.changes_between(1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_CDF = """
+SELECT user_id, event_id AS last_event_id,
+       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS change_type
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_id % 2 = 1)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def filtered_snapshot_read(spark, sf_dir):
+    """Manifest-stats file skipping: key-predicate read of the final MoR state
+    (`lake/table.py` snapshot(where=...)). Values must equal the unpruned
+    latest-per-user state restricted to user_id < 50 — pruning is an
+    optimization, never a semantics change."""
+    t = _lake_demo_table(spark, sf_dir)
+    return (
+        t.snapshot(where=[("user_id", "<", 50)])
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_FILTERED_READ = """
+SELECT user_id, event_type AS last_op, event_id AS last_event_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1 AND event_type <> 'error' AND user_id < 50
+ORDER BY user_id
+"""

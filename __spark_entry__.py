@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_as_of": q.time_travel_as_of,
         "change_data_feed": q.change_data_feed,
         "filtered_snapshot_read": q.filtered_snapshot_read,
+        "schema_evolution_read": q.schema_evolution_read,
         # text analysis
         "token_stats": qt.token_stats,
         "lang_id_heuristic": qt.lang_id_heuristic,
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_as_of": q.ORACLE_TIME_TRAVEL,
         "change_data_feed": q.ORACLE_CDF,
         "filtered_snapshot_read": q.ORACLE_FILTERED_READ,
+        "schema_evolution_read": q.ORACLE_SCHEMA_EVOLUTION,
         "token_stats": qt.ORACLE_TOKEN_STATS,
         "lang_id_heuristic": qt.ORACLE_LANG_ID,
         "quality_score": qt.ORACLE_QUALITY,

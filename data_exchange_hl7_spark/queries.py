@@ -1208,3 +1208,75 @@ FROM (
 WHERE rn = 1 AND event_type <> 'error' AND user_id < 50
 ORDER BY user_id
 """
+
+
+def schema_evolution_read(spark, sf_dir):
+    """Full schema-evolution cycle under the oracle gate (north-rule
+    add/rename/type-widen mapped to Iceberg-style field-ID schema updates):
+    epoch 1 lands even event_ids under schema v0 (event_id:int), then the
+    schema evolves (widen event_id int->bigint, rename event_type->op_type,
+    add value_cents:bigint), epoch 2 lands odd event_ids under v1. The final
+    read must project v0 files through the field-ID mapping: renamed column
+    resolves by id, widened ints upcast, added column is NULL for rows whose
+    latest version predates it."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key
+
+    key = f"{sf_dir}::evolve"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(loc)):
+        loc = tempfile.mkdtemp(prefix="dex_lake_evolve_")
+        t = LakeTable.create(
+            spark,
+            loc,
+            schema=[("user_id", "bigint"), ("event_type", "string"), ("event_id", "int")],
+            key_cols=["user_id"],
+            n_buckets=8,
+            mode="mor",
+            order_col="event_id",
+        )
+        ev = _t(spark, sf_dir, "events")
+        e1 = ev.filter(F.col("event_id") % 2 == 0).select(
+            "user_id", "event_type", F.col("event_id").cast("int").alias("event_id")
+        )
+        c1 = latest_by_key(e1, ["user_id"], ["event_id"]).withColumn(
+            "__op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+        )
+        t.merge(c1, epoch=1)
+        t.widen_column("event_id", "bigint")
+        t.rename_column("event_type", "op_type")
+        t.add_column("value_cents", "bigint")
+        e2 = ev.filter(F.col("event_id") % 2 == 1).select(
+            "user_id",
+            F.col("event_type").alias("op_type"),
+            "event_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        )
+        c2 = latest_by_key(e2, ["user_id"], ["event_id"]).withColumn(
+            "__op", F.when(F.col("op_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+        )
+        t.merge(c2, epoch=2)
+        _LAKE_DEMO_CACHE[key] = loc
+    else:
+        t = LakeTable(spark, loc)
+    return (
+        t.snapshot()
+        .select("user_id", "op_type", "event_id", "value_cents")
+        .orderBy("user_id")
+    )
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+SELECT user_id,
+       event_type AS op_type,
+       event_id,
+       CASE WHEN event_id % 2 = 1
+            THEN CAST(FLOOR(value * 100) AS BIGINT) END AS value_cents
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""

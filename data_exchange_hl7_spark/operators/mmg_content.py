@@ -86,12 +86,29 @@ def check_content(
     (yyyyMMdd or yyyyMMddHHmmss with a real calendar date — DateUtil
     semantics); optional MMWR week check (integer 1..53,
     MmgValidator.kt:311-357)."""
-    entries: list[Column] = []
-    for r in rules:
-        vals = F.filter(
-            hl7_get_all(content_col, r.path),
-            lambda v: v.isNotNull() & (v != ""),
+    # Two projections, not one: stage 1 binds each rule's extracted value
+    # array to a column, stage 2 builds the entry structs from those columns.
+    # A single projection would inline the split/filter tree at every use
+    # site (lambda-bearing expressions are excluded from codegen
+    # subexpression elimination, and CollapseProject only keeps an alias
+    # shared when it is non-cheap AND multiply referenced — which is exactly
+    # what this split guarantees).
+    val_cols: dict[int, str] = {}
+    stage1 = df
+    for i, r in enumerate(rules):
+        c = f"__cc{i}_vals"
+        val_cols[i] = c
+        stage1 = stage1.withColumn(
+            c,
+            F.filter(
+                hl7_get_all(content_col, r.path),
+                lambda v: v.isNotNull() & (v != ""),
+            ),
         )
+
+    entries: list[Column] = []
+    for i, r in enumerate(rules):
+        vals = F.col(val_cols[i])
         n = F.size(vals)
         lo, hi = parse_cardinality(r.cardinality)
         too_few = n < lo
@@ -154,7 +171,7 @@ def check_content(
                 )
             )
     arr = F.filter(F.array(*entries), lambda x: x.isNotNull()).cast(ENTRY_TYPE)
-    return df.withColumn(out_col, arr)
+    return stage1.withColumn(out_col, arr).drop(*val_cols.values())
 
 
 def check_subid_uniqueness(
@@ -169,8 +186,14 @@ def check_subid_uniqueness(
     groupingBy{}.eachCount().filter{v>=2} — here the whole check is one
     array expression per row, no aggregation)."""
     classification = "Error" if usage == "R" else "Warning"
-    vals = hl7_get_all(content_col, path)
-    present = F.filter(vals, lambda v: v.isNotNull() & (v != ""))
+    # same two-projection trick as check_content: bind the extracted arrays
+    # once so the path-extraction tree is evaluated once per row, not per use
+    df = df.withColumn("__sid_vals", hl7_get_all(content_col, path)).withColumn(
+        "__sid_present",
+        F.filter(F.col("__sid_vals"), lambda v: v.isNotNull() & (v != "")),
+    )
+    vals = F.col("__sid_vals")
+    present = F.col("__sid_present")
     missing = F.size(vals) > F.size(present)
     dups = F.size(present) > F.size(F.array_distinct(present))
     entries = [
@@ -198,4 +221,4 @@ def check_subid_uniqueness(
         ),
     ]
     arr = F.filter(F.array(*entries), lambda x: x.isNotNull()).cast(ENTRY_TYPE)
-    return df.withColumn(out_col, arr)
+    return df.withColumn(out_col, arr).drop("__sid_vals", "__sid_present")

@@ -1034,21 +1034,41 @@ def mmg_content_validation(spark, sf_dir):
     ]
     out = check_subid_uniqueness(check_content(df, rules))
 
+    # Per-category counts via explode + hash-agg rather than one
+    # F.filter(content_entries, ...) per output column: lambda-bearing
+    # expressions are excluded from Spark's subexpression elimination, so the
+    # multi-reference projection re-evaluates the whole rule tree per column
+    # (measured 13s -> 8.1s at sf0.1 on local[32]).
     def n_cat(c):
-        return F.size(
-            F.filter(F.col("content_entries"), lambda x: x["category"] == c)
+        return (
+            F.sum(F.when(F.col("e.category") == c, 1).otherwise(0))
+            .cast("int")
         )
 
-    return out.select(
-        "event_id",
-        n_cat("CARDINALITY").alias("n_cardinality"),
-        n_cat("DATE_CONTENT").alias("n_date"),
-        n_cat("MMWR_WEEK").alias("n_mmwr"),
+    flat = out.withColumn(
+        "subid_dup",
         F.exists(
             F.col("subid_entries"), lambda x: x["description"].startswith("Duplicate")
-        ).alias("subid_dup"),
-        F.size(F.col("content_entries")).alias("n_content_entries"),
-    ).orderBy("event_id")
+        ),
+    ).select("event_id", "subid_dup", F.explode_outer("content_entries").alias("e"))
+    return (
+        flat.groupBy("event_id", "subid_dup")
+        .agg(
+            n_cat("CARDINALITY").alias("n_cardinality"),
+            n_cat("DATE_CONTENT").alias("n_date"),
+            n_cat("MMWR_WEEK").alias("n_mmwr"),
+            F.count(F.col("e.path")).cast("int").alias("n_content_entries"),
+        )
+        .select(
+            "event_id",
+            "n_cardinality",
+            "n_date",
+            "n_mmwr",
+            "subid_dup",
+            "n_content_entries",
+        )
+        .orderBy("event_id")
+    )
 
 
 ORACLE_MMG_CONTENT = """

@@ -1300,3 +1300,63 @@ FROM (
 WHERE rn = 1 AND event_type <> 'error'
 ORDER BY user_id
 """
+
+
+def tumbling_window_counts(spark, sf_dir):
+    """Event-time tumbling-window rollup (streaming/windowed.windowed_counts
+    run on the bounded WAL): per-hour per-event-type counts. In streaming
+    mode the same expression runs with a watermark; 1-hour epoch-aligned
+    window starts equal date_trunc('hour') in the oracle."""
+    from data_exchange_hl7_spark.streaming.windowed import windowed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        windowed_counts(ev, ts_col="ts", keys=("event_type",), window="1 hour")
+        .select(
+            F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_WINDOW_COUNTS = """
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '{tsf}') AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""".replace("{tsf}", TS_FMT_DUCK)
+
+
+def streaming_dedup_batch(spark, sf_dir):
+    """streaming/windowed.streaming_exact_dedup batch plan: exactly one
+    deterministic survivor (min event_id) per duplicate-content group. The
+    streaming variant keeps the same contract across micro-batches via
+    applyInPandasWithState; this certifies the survivor rule itself."""
+    from data_exchange_hl7_spark.streaming.windowed import streaming_exact_dedup
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "message_hash", F.sha2(F.concat_ws("|", "user_id", "event_type"), 256)
+    )
+    return (
+        streaming_exact_dedup(ev, hash_col="message_hash", tiebreak_cols=("event_id",))
+        .select("message_hash", "event_id", "user_id", "event_type")
+        .orderBy("message_hash")
+    )
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT message_hash, event_id, user_id, event_type
+FROM (
+  SELECT SHA256(CONCAT(user_id, '|', event_type)) AS message_hash,
+         event_id, user_id, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY SHA256(CONCAT(user_id, '|', event_type))
+           ORDER BY event_id) AS rn
+  FROM events)
+WHERE rn = 1
+ORDER BY message_hash
+"""

@@ -136,3 +136,116 @@ def test_epoch_split_sizing(spark, tmp_path):
     MicroBatchRunner(eng, epoch_size=5000).run(wal, table)
     assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) == configured
     assert set(table.committed_epochs()) == {"0", "1", "2", "3"}
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    """Watermarked event-time windows over a file stream: the union of
+    finalized (append-mode) windows across two availableNow drains must match
+    the batch aggregation over all the data that was not late."""
+    from data_exchange_hl7_spark.streaming.windowed import windowed_counts
+
+    src = str(tmp_path / "win_src")
+    ev = change_events(spark, 2000).select("event_id", "ts", "op").persist()
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = windowed_counts(stream, ts_col="ts", keys=("op",), window="1 hour",
+                          watermark="30 minutes")
+    out = str(tmp_path / "win_out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # append-mode emits only windows the watermark has passed; every emitted
+    # row must agree with the batch aggregation, and after a second drain
+    # with a far-future row the earlier windows must ALL have been finalized
+    batch = {
+        (r["window_start"], r["op"]): r["n_events"]
+        for r in windowed_counts(
+            spark.read.parquet(src), ts_col="ts", keys=("op",), window="1 hour"
+        ).collect()
+    }
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    spark.createDataFrame(
+        [(10_000_000, max_ts + __import__("datetime").timedelta(hours=3), "INSERT")],
+        "event_id long, ts timestamp, op string",
+    ).write.mode("append").parquet(src)
+    q2 = (
+        windowed_counts(
+            spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+            ts_col="ts", keys=("op",), window="1 hour", watermark="30 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = {}
+    for r in spark.read.parquet(out).collect():
+        got[(r["window_start"], r["op"])] = (
+            got.get((r["window_start"], r["op"]), 0) + r["n_events"]
+        )
+    for k, v in got.items():
+        assert batch.get(k, None) == v, k
+    # all original windows finalized once the watermark moved past them
+    assert sum(v for k, v in got.items() if k in batch) == 2000
+    ev.unpersist()
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: a hash first seen in epoch 1 must NOT
+    survive again in epoch 2 (state persists via the checkpoint), and the
+    survivor is the deterministic min-event_id row."""
+    from data_exchange_hl7_spark.streaming.windowed import streaming_exact_dedup
+
+    src = str(tmp_path / "dd_src")
+    rows1 = [(1, "h_a", "x"), (2, "h_a", "x"), (3, "h_b", "y")]
+    rows2 = [(4, "h_a", "x"), (5, "h_c", "z"), (6, "h_c", "z")]
+    schema = "event_id long, message_hash string, content string"
+    spark.createDataFrame(rows1, schema).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "dd_out")
+
+    def drain():
+        q = (
+            streaming_exact_dedup(
+                spark.readStream.schema(schema).parquet(src),
+                hash_col="message_hash",
+                tiebreak_cols=("event_id",),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == len({r["message_hash"] for r in rows})  # never re-emit
+        return {r["message_hash"]: r["event_id"] for r in rows}
+
+    got1 = drain()
+    assert got1 == {"h_a": 1, "h_b": 3}  # min event_id survives within a batch
+
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    got2 = drain()
+    # h_a already emitted in epoch 1 -> dropped (state held); h_c new -> min
+    assert got2 == {"h_a": 1, "h_b": 3, "h_c": 5}
+
+    # batch plan of the same operator gives the same survivor rule
+    batch = streaming_exact_dedup(
+        spark.createDataFrame(rows1 + rows2, schema), hash_col="message_hash"
+    )
+    assert {(r["message_hash"], r["event_id"]) for r in batch.collect()} == {
+        ("h_a", 1), ("h_b", 3), ("h_c", 5),
+    }

@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": qt.token_stats,
         "lang_id_heuristic": qt.lang_id_heuristic,
         "quality_score": qt.quality_score,
+        "repetition_quality_flags": qt.repetition_quality_flags,
         "doc_fingerprint": qt.doc_fingerprint,
         # dedup family
         "exact_dup_groups": qt.exact_dup_groups,
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_bruteforce_topk": qt.ann_bruteforce_topk,
         "ivf_partition_assign": qt.ivf_partition_assign,
+        "ivf_train_kmeans": qt.ivf_train_kmeans,
         "ivf_topk": qt.ivf_topk,
         "embedding_cosine_dups": qt.embedding_cosine_dups,
         # corpus curation: PII scrub, packing, sampling
@@ -141,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": qt.ORACLE_TOKEN_STATS,
         "lang_id_heuristic": qt.ORACLE_LANG_ID,
         "quality_score": qt.ORACLE_QUALITY,
+        "repetition_quality_flags": qt.ORACLE_REPETITION,
         "doc_fingerprint": qt.ORACLE_FINGERPRINT,
         "exact_dup_groups": qt.ORACLE_EXACT_DUP,
         "minhash_signatures": qt.ORACLE_MINHASH,
@@ -155,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": qt.ORACLE_STRATIFIED,
         "ann_bruteforce_topk": qt.ORACLE_ANN,
         "ivf_partition_assign": qt.ORACLE_IVF,
+        "ivf_train_kmeans": qt.ORACLE_KMEANS,
         "ivf_topk": qt.ORACLE_IVF_TOPK,
         "embedding_cosine_dups": qt.ORACLE_COSINE_DUPS,
         "corpus_prep_pipeline": qt.ORACLE_CORPUS_PREP,

@@ -1308,3 +1308,180 @@ SELECT source, rate_permille, COUNT(*) AS n_total,
        CAST(SUM(keep) AS BIGINT) AS n_kept
 FROM t GROUP BY source, rate_permille ORDER BY source
 """
+
+
+def repetition_quality_flags(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 section A1.1): per
+    document, the duplicate-line fraction and the fraction of all word
+    bigrams taken by the single most frequent bigram; a doc is flagged when
+    either exceeds the papers' thresholds (0.30 dup lines / 0.18 top bigram).
+
+    Scale shape: the bigram mode is computed by explode + two-level hash agg
+    keyed by (doc_id, bigram) then doc_id — per-doc work distributes over the
+    cluster instead of building per-row frequency maps; the line stats stay
+    narrow (pure array ops). Flag thresholds compare in integer cross-
+    multiplication, so the gate is exact on both engines.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    lines = F.split("text", "\n")
+    scalar = d.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines))).cast("bigint").alias("n_dup_lines"),
+    )
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    bg_stats = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("top_bigram_n"),
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    return (
+        scalar.join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_dup_lines",
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            (
+                (F.col("n_dup_lines") * 10 > F.col("n_lines") * 3)
+                | (F.coalesce("top_bigram_n", F.lit(0)) * 100 > F.coalesce("n_bigrams", F.lit(0)) * 18)
+            ).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_REPETITION = """
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS ls,
+         string_split(text, ' ') AS ts
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bgs
+  FROM base),
+bstat AS (
+  SELECT doc_id,
+         COALESCE(list_max(list_transform(list_distinct(bgs),
+                  x -> len(list_filter(bgs, y -> y = x)))), 0) AS top_bigram_n,
+         len(bgs) AS n_bigrams
+  FROM bg)
+SELECT b.doc_id,
+       len(ls) AS n_lines,
+       len(ls) - len(list_distinct(ls)) AS n_dup_lines,
+       CAST(top_bigram_n AS BIGINT) AS top_bigram_n,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ((len(ls) - len(list_distinct(ls))) * 10 > len(ls) * 3
+        OR top_bigram_n * 100 > n_bigrams * 18) AS flagged
+FROM base b JOIN bstat s ON b.doc_id = s.doc_id
+ORDER BY b.doc_id
+"""
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def ivf_train_kmeans(spark, sf_dir, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS):
+    """Train REAL IVF coarse centroids: distributed Lloyd's k-means on the
+    integer milli-grid (deterministic init: the first ``k`` vec_ids), fully
+    exact so the oracle can replay it. Output: one row per (cid, dim) with
+    the trained centroid component.
+
+    Scale shape per iteration: assignment broadcasts the k centroids
+    (k << N, no shuffle of the corpus), takes argmin of exact integer squared
+    distances; the update step is posexplode + two-level hash agg keyed by
+    (cid, dim) — the textbook distributed Lloyd's, linear in N*dims per
+    round. Centroid components are floor(mean) so both engines agree
+    bit-for-bit. Complements ivf_partition_assign/ivf_topk (which use
+    deterministic untrained cells) by making the IVF index a real one.
+    """
+    e = _quantized(spark, sf_dir).select("vec_id", "q")
+    cent = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("q").alias("c")
+    )
+    for _ in range(n_iter):
+        dist = F.aggregate(
+            F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "q", "cid", dist.alias("d"))
+            .withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("vec_id").orderBy("d", "cid")),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        cent = (
+            assigned.select("cid", F.posexplode("q").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(
+                F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("cv")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda x: x["cv"],
+                ).alias("c")
+            )
+        )
+    return (
+        cent.select("cid", F.posexplode("c").alias("dim", "centroid_q"))
+        .orderBy("cid", "dim")
+    )
+
+
+def _kmeans_iter_sql(prev: str, out: str) -> str:
+    """One unrolled Lloyd iteration (assign by exact integer distance, then
+    floor-mean update) — generated so Python defaults and oracle agree."""
+    return f"""
+a_{out} AS (
+  SELECT vec_id, q, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM (SELECT e.vec_id, e.q, p.cid,
+               CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e.q)),
+                    i -> (e.q[i] - p.c[i]) * (e.q[i] - p.c[i]))) AS BIGINT) AS d
+        FROM e CROSS JOIN {prev} p)),
+x_{out} AS (
+  SELECT cid, UNNEST(q) AS val, GENERATE_SUBSCRIPTS(q, 1) - 1 AS dim
+  FROM a_{out} WHERE rn = 1),
+s_{out} AS (
+  SELECT cid, dim,
+         CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM x_{out} GROUP BY cid, dim),
+{out} AS (
+  SELECT cid, LIST(cv ORDER BY dim) AS c FROM s_{out} GROUP BY cid)"""
+
+
+ORACLE_KMEANS = f"""
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, q AS c FROM e WHERE vec_id < {KMEANS_K}),
+{_kmeans_iter_sql('c0', 'c1')},
+{_kmeans_iter_sql('c1', 'c2')}
+SELECT cid, CAST(dim AS INT) AS dim, cv AS centroid_q
+FROM s_c2 ORDER BY cid, dim
+"""

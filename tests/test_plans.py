@@ -154,3 +154,46 @@ def test_simhash_pairs_banded_join_shape(spark):
 def test_curation_ops_stay_jvm_side(spark):
     for fn in [qt.pii_scrub, qt.sequence_packing, qt.stratified_sample]:
         assert_no_python_udf(fn(spark, SF))
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """Lloyd's assignment must broadcast the k centroids (never shuffle the
+    corpus against them) and keep the whole loop JVM-side."""
+    df = qt.ivf_train_kmeans(spark, SF)
+    from data_exchange_hl7_spark.plans.inspect import explain_str
+
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert_no_python_udf(df)
+
+
+def test_repetition_flags_two_level_agg(spark):
+    """Bigram mode = explode + partial-agg pipeline; the whole query keeps a
+    bounded shuffle count (2x agg + 1 join + final sort) and no Python."""
+    df = qt.repetition_quality_flags(spark, SF)
+    assert n_exchanges(df) <= 5
+    assert_no_python_udf(df)
+
+
+def test_mmg_content_single_evaluation_shape(spark):
+    """The content-validation query must aggregate entry categories via ONE
+    explode (Generate) — not one array-filter per output column — and carry
+    no Python stage."""
+    df = q.mmg_content_validation(spark, SF)
+    from data_exchange_hl7_spark.plans.inspect import explain_str
+
+    plan = explain_str(df)
+    assert plan.count("Generate") >= 1
+    assert_no_python_udf(df)
+
+
+def test_windowed_counts_single_shuffle_batch(spark):
+    """Event-time window agg on a bounded WAL: partial agg map-side, one hash
+    exchange on the (window, key) grouping, plus the final presentation sort."""
+    from data_exchange_hl7_spark.streaming.windowed import windowed_counts
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    df = windowed_counts(ev, ts_col="ts", keys=("event_type",), window="1 hour")
+    assert n_exchanges(df) <= 1
+    assert_no_python_udf(df)

@@ -1398,39 +1398,35 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
-def ivf_train_kmeans(spark, sf_dir, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS):
-    """Train REAL IVF coarse centroids: distributed Lloyd's k-means on the
-    integer milli-grid (deterministic init: the first ``k`` vec_ids), fully
-    exact so the oracle can replay it. Output: one row per (cid, dim) with
-    the trained centroid component.
+def _kmeans_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest trained centroid per vector: broadcast the k centroids, exact
+    integer squared distance, argmin with cid tiebreak."""
+    dist = F.aggregate(
+        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "q", "cid", dist.alias("d"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy("d", "cid")),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "d")
+    )
 
-    Scale shape per iteration: assignment broadcasts the k centroids
-    (k << N, no shuffle of the corpus), takes argmin of exact integer squared
-    distances; the update step is posexplode + two-level hash agg keyed by
-    (cid, dim) — the textbook distributed Lloyd's, linear in N*dims per
-    round. Centroid components are floor(mean) so both engines agree
-    bit-for-bit. Complements ivf_partition_assign/ivf_topk (which use
-    deterministic untrained cells) by making the IVF index a real one.
-    """
+
+def _kmeans_centroids(spark, sf_dir, k: int, n_iter: int) -> DataFrame:
+    """Lloyd's k-means on the integer milli-grid: deterministic init (first
+    ``k`` vec_ids), exact integer assignment, floor-mean update."""
     e = _quantized(spark, sf_dir).select("vec_id", "q")
     cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("q").alias("c")
     )
     for _ in range(n_iter):
-        dist = F.aggregate(
-            F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        assigned = (
-            e.crossJoin(F.broadcast(cent))
-            .select("vec_id", "q", "cid", dist.alias("d"))
-            .withColumn(
-                "rn",
-                F.row_number().over(Window.partitionBy("vec_id").orderBy("d", "cid")),
-            )
-            .filter(F.col("rn") == 1)
-        )
+        assigned = _kmeans_assign(e, cent)
         cent = (
             assigned.select("cid", F.posexplode("q").alias("dim", "val"))
             .groupBy("cid", "dim")
@@ -1447,9 +1443,60 @@ def ivf_train_kmeans(spark, sf_dir, k: int = KMEANS_K, n_iter: int = KMEANS_ITER
                 ).alias("c")
             )
         )
+    return cent
+
+
+def ivf_train_kmeans(spark, sf_dir, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS):
+    """Train REAL IVF coarse centroids: distributed Lloyd's k-means on the
+    integer milli-grid (deterministic init: the first ``k`` vec_ids), fully
+    exact so the oracle can replay it. Output: one row per (cid, dim) with
+    the trained centroid component.
+
+    Scale shape per iteration: assignment broadcasts the k centroids
+    (k << N, no shuffle of the corpus), takes argmin of exact integer squared
+    distances; the update step is posexplode + two-level hash agg keyed by
+    (cid, dim) — the textbook distributed Lloyd's, linear in N*dims per
+    round. Centroid components are floor(mean) so both engines agree
+    bit-for-bit. Complements ivf_partition_assign/ivf_topk (which use
+    deterministic untrained cells) by making the IVF index a real one.
+    """
+    cent = _kmeans_centroids(spark, sf_dir, k, n_iter)
     return (
         cent.select("cid", F.posexplode("c").alias("dim", "centroid_q"))
         .orderBy("cid", "dim")
+    )
+
+
+def ivf_topk_trained(spark, sf_dir, k: int = ANN_K, n_queries: int = ANN_QUERIES):
+    """The trained IVF index end-to-end: assign every vector to its nearest
+    TRAINED k-means centroid (not the deterministic grid cells), then each
+    query probes only its own cell — cell-pruned equi-join + exact integer
+    dot-product top-k, ties by vec_id. The full ANN scale path with a real
+    index: train (ivf_train_kmeans) -> assign -> cell-restricted probe."""
+    e = _quantized(spark, sf_dir).select("vec_id", "q")
+    cent = _kmeans_centroids(spark, sf_dir, KMEANS_K, KMEANS_ITERS)
+    cells = _kmeans_assign(e, cent).withColumnRenamed("cid", "cell")
+    qd = cells.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv"), "cell"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_milli"), "vec_id")
+    return (
+        F.broadcast(qd)
+        .join(cells, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("dot_milli", dot)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", F.col("cell").cast("int").alias("cell"),
+            "dot_milli", "rank",
+        )
+        .orderBy("query_id", "rank")
     )
 
 
@@ -1484,4 +1531,26 @@ c0 AS (SELECT CAST(vec_id AS INT) AS cid, q AS c FROM e WHERE vec_id < {KMEANS_K
 {_kmeans_iter_sql('c1', 'c2')}
 SELECT cid, CAST(dim AS INT) AS dim, cv AS centroid_q
 FROM s_c2 ORDER BY cid, dim
+"""
+
+
+ORACLE_IVF_TRAINED = f"""
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, q AS c FROM e WHERE vec_id < {KMEANS_K}),
+{_kmeans_iter_sql('c0', 'c1')},
+{_kmeans_iter_sql('c1', 'c2')},
+{_kmeans_iter_sql('c2', 'c3')},
+cells AS (SELECT vec_id, q, cid AS cell FROM a_c3 WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id, q AS qv, cell FROM cells WHERE vec_id < {ANN_QUERIES}),
+dd AS (
+  SELECT qs.query_id, c.vec_id, c.cell,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qv)), i -> qv[i] * c.q[i])) AS BIGINT) AS dot_milli
+  FROM qs JOIN cells c ON qs.cell = c.cell WHERE qs.query_id <> c.vec_id)
+SELECT query_id, vec_id, CAST(cell AS INT) AS cell, dot_milli,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot_milli DESC, vec_id) AS BIGINT) AS rank
+FROM dd
+QUALIFY rank <= {ANN_K}
+ORDER BY query_id, rank
 """

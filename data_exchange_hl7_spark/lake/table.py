@@ -677,7 +677,12 @@ class LakeTable:
             "delta_files": sum(len(v) for v in files.values()),
         }
 
-    def compact(self, max_delta_depth: int | None = None) -> dict:
+    def compact(
+        self,
+        max_delta_depth: int | None = None,
+        sort_cols: list[str] | None = None,
+        files_per_bucket: int = 1,
+    ) -> dict:
         """Fold MoR deltas into base buckets (resolved rewrite).
 
         Equivalent to Iceberg's rewrite_data_files maintenance action; run it
@@ -691,6 +696,14 @@ class LakeTable:
         touches a small fraction of buckets, so whole-table compaction does
         O(table) work per maintenance pass while incremental does O(dirty).
         ``None`` rewrites everything (full compaction).
+
+        ``sort_cols`` + ``files_per_bucket``: Iceberg sort-order analogue.
+        Rewritten buckets are range-split into ~``files_per_bucket`` files
+        with disjoint ``sort_cols`` ranges and sorted within each file, so
+        the per-file min/max stats in the manifest become tight and a
+        key-predicate ``snapshot(where=...)`` skips most files INSIDE the
+        bucket (plus better parquet RLE/dictionary compression). Default
+        keeps the old single-file-per-bucket layout.
         """
         snap = self.current_snapshot()
         deltas = snap.get("deltas", [])
@@ -716,13 +729,19 @@ class LakeTable:
         new_sid = snap["snapshot_id"] + 1
         out_rel = f"s{new_sid:08d}"
         out_abs = os.path.join(self.data_dir, out_rel)
-        (
-            resolved.withColumn("__bucket", self._bucket_expr(snap))
-            .repartition(max(len(dirty), 1), "__bucket")
-            .write.partitionBy("__bucket")
-            .mode("overwrite")
-            .parquet(out_abs)
-        )
+        staged = resolved.withColumn("__bucket", self._bucket_expr(snap))
+        if sort_cols:
+            # range partitioning on (bucket, sort_cols) gives each output
+            # file a disjoint key range inside its bucket; partitionBy below
+            # re-splits the rare range partition that straddles two buckets
+            staged = staged.repartitionByRange(
+                max(len(dirty) * max(files_per_bucket, 1), 1),
+                "__bucket",
+                *sort_cols,
+            ).sortWithinPartitions("__bucket", *sort_cols)
+        else:
+            staged = staged.repartition(max(len(dirty), 1), "__bucket")
+        staged.write.partitionBy("__bucket").mode("overwrite").parquet(out_abs)
         dirty_set = set(dirty)
         buckets = {
             b: e for b, e in snap["buckets"].items() if int(b) not in dirty_set

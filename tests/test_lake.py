@@ -368,3 +368,35 @@ def test_mor_nonkey_predicate_never_prunes_before_resolution(spark, tmp_path):
     t.merge(_changes(spark, [("a", "new", 999, 2, "U")]), epoch=1)
     assert t.snapshot(where=[("n", "<=", 1)]).count() == 0
     assert t.snapshot(where=[("n", ">=", 999)]).count() == 1
+
+
+def test_sorted_compaction_tightens_file_skipping(spark, tmp_path):
+    """compact(sort_cols=..., files_per_bucket=K) must produce multiple
+    range-disjoint files per bucket whose manifest stats let a key predicate
+    skip files INSIDE the bucket — and the read stays value-identical."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "sortc"), SCHEMA, ["k"], n_buckets=1,
+        mode="mor", order_col="lsn",
+    )
+    t.merge(_changes(spark, [(f"a{i:02d}", "x", i, i, "U") for i in range(20)]), epoch=0)
+    t.merge(_changes(spark, [(f"z{i:02d}", "y", i, 100 + i, "U") for i in range(20)]), epoch=1)
+    r = t.compact(sort_cols=["k"], files_per_bucket=4)
+    assert r["compacted"] and r["remaining_delta_layers"] == 0
+
+    snap = t.current_snapshot()
+    entry = snap["buckets"]["0"]
+    assert len(entry["files"]) >= 3  # range-split inside the bucket
+    kept = LakeTable._prune(entry["files"], entry["stats"], [("k", ">=", "z10")])
+    assert 0 < len(kept) < len(entry["files"])  # stats actually skip files
+
+    via_skip = {r_["k"] for r_ in t.snapshot(where=[("k", ">=", "z10")]).collect()}
+    assert via_skip == {f"z{i:02d}" for i in range(10, 20)}
+
+    # default compaction path unchanged: single file per bucket
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "plainc"), SCHEMA, ["k"], n_buckets=1,
+        mode="mor", order_col="lsn",
+    )
+    t2.merge(_changes(spark, [(f"a{i:02d}", "x", i, i, "U") for i in range(10)]), epoch=0)
+    t2.compact()
+    assert len(t2.current_snapshot()["buckets"]["0"]["files"]) == 1

@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": qt.simhash_signatures,
         "simhash_dup_pairs": qt.simhash_dup_pairs,
         "decontamination": qt.decontamination,
+        "c4_line_dedup": qt.c4_line_dedup,
         # similarity search
         "ann_bruteforce_topk": qt.ann_bruteforce_topk,
         "ivf_partition_assign": qt.ivf_partition_assign,
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": qt.ORACLE_SIMHASH,
         "simhash_dup_pairs": qt.ORACLE_SIMHASH_PAIRS,
         "decontamination": qt.ORACLE_DECON,
+        "c4_line_dedup": qt.ORACLE_C4_LINES,
         "pii_scrub": qt.ORACLE_PII,
         "sequence_packing": qt.ORACLE_SEQ_PACK,
         "stratified_sample": qt.ORACLE_STRATIFIED,

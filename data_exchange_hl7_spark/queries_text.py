@@ -1554,3 +1554,100 @@ FROM dd
 QUALIFY rank <= {ANN_K}
 ORDER BY query_id, rank
 """
+
+
+C4_MIN_LINE_CHARS = 10
+
+
+def c4_line_dedup(spark, sf_dir):
+    """C4-style GLOBAL line dedup (Raffel et al. 2020 section 2.2: discard
+    all but one occurrence of any line repeated across the whole corpus).
+    Keep-first rule: the surviving occurrence is the minimum (doc_id, pos);
+    lines shorter than C4_MIN_LINE_CHARS are exempt (the paper dedups
+    three-sentence spans — exempting trivia like blank lines and '}' keeps
+    the operator from gutting every document).
+
+    Scale shape: one explode, one shuffle keyed by the line content (the
+    corpus-wide dedup key — same exchange shape as exact_dup_groups at
+    line grain), one per-doc reassembly agg. The length exemption prunes the
+    hottest keys (blank/brace lines) before the shuffle.
+
+    The synthetic docs are single-line, so shared lines are synthesized
+    in-plan on BOTH engines (a header shared by doc_id%5 and a footer shared
+    by doc_id%3, plus an always-exempt short line) — the green row certifies
+    actual cross-document line removal, not a vacuous pass.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("shared-header-"), (F.col("doc_id") % 5).cast("string"),
+            F.lit("\n"), F.col("text"),
+            F.lit("\nshared-footer-"), (F.col("doc_id") % 3).cast("string"),
+            F.lit("\nEOF"),
+        ).alias("text"),
+    )
+    lines = d.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    kept = lines.withColumn(
+        "rn",
+        F.when(F.length("line") < C4_MIN_LINE_CHARS, F.lit(1)).otherwise(
+            F.row_number().over(w)
+        ),
+    ).filter(F.col("rn") == 1)
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+    )
+    return (
+        d.select("doc_id", F.size(F.split("text", "\n")).cast("bigint").alias("n_lines"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_C4_LINES = f"""
+WITH docs AS (
+  SELECT doc_id,
+         'shared-header-' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || text ||
+         chr(10) || 'shared-footer-' || CAST(doc_id % 3 AS VARCHAR) ||
+         chr(10) || 'EOF' AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, chr(10))) AS line,
+         GENERATE_SUBSCRIPTS(string_split(text, chr(10)), 1) AS pos
+  FROM docs),
+kept AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id, pos, line,
+           CASE WHEN LENGTH(line) < {C4_MIN_LINE_CHARS} THEN 1
+                ELSE ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos)
+           END AS rn
+    FROM lines)
+  WHERE rn = 1),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_lines_kept,
+         STRING_AGG(line, chr(10) ORDER BY pos) AS text_dedup
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(COALESCE(a.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+       COALESCE(a.text_dedup, '') AS text_dedup
+FROM docs d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_train_kmeans": qt.ivf_train_kmeans,
         "ivf_topk": qt.ivf_topk,
         "ivf_topk_trained": qt.ivf_topk_trained,
+        "ann_recall_at_k": qt.ann_recall_at_k,
         "embedding_cosine_dups": qt.embedding_cosine_dups,
         # corpus curation: PII scrub, packing, sampling
         "pii_scrub": qt.pii_scrub,
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_train_kmeans": qt.ORACLE_KMEANS,
         "ivf_topk": qt.ORACLE_IVF_TOPK,
         "ivf_topk_trained": qt.ORACLE_IVF_TRAINED,
+        "ann_recall_at_k": qt.ORACLE_ANN_RECALL,
         "embedding_cosine_dups": qt.ORACLE_COSINE_DUPS,
         "corpus_prep_pipeline": qt.ORACLE_CORPUS_PREP,
         "corpus_prep_neardup": qt.ORACLE_CORPUS_PREP_NEARDUP,

@@ -1651,3 +1651,39 @@ SELECT d.doc_id,
 FROM docs d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def ann_recall_at_k(spark, sf_dir):
+    """Index QUALITY measurement: recall@k of the trained-IVF probe against
+    the exact brute-force top-k ground truth, per query — the metric a real
+    ANN deployment tunes nprobe/k-means width against. Exact integer
+    arithmetic (floor-milli recall) so the oracle reproduces it bit-for-bit.
+    """
+    bf = ann_bruteforce_topk(spark, sf_dir).select(
+        F.col("query_id").alias("qid"), "vec_id"
+    )
+    tr = ivf_topk_trained(spark, sf_dir).select(
+        F.col("query_id").alias("qid"), F.col("vec_id").alias("tv")
+    )
+    return (
+        bf.join(tr, (bf.qid == tr.qid) & (bf.vec_id == tr.tv), "left")
+        .select(bf.qid.alias("query_id"), tr.tv)
+        .groupBy("query_id")
+        .agg(
+            F.count("tv").cast("bigint").alias("n_hits"),
+            F.floor(F.count("tv") * 1000.0 / ANN_K).cast("bigint").alias("recall_milli"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_ANN_RECALL = f"""
+WITH bf AS ({ORACLE_ANN}),
+tr AS ({ORACLE_IVF_TRAINED})
+SELECT bf.query_id,
+       CAST(COUNT(tr.vec_id) AS BIGINT) AS n_hits,
+       CAST(FLOOR(COUNT(tr.vec_id) * 1000.0 / {ANN_K}) AS BIGINT) AS recall_milli
+FROM bf LEFT JOIN tr ON bf.query_id = tr.query_id AND bf.vec_id = tr.vec_id
+GROUP BY bf.query_id
+ORDER BY bf.query_id
+"""

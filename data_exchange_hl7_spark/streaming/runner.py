@@ -79,6 +79,7 @@ class MicroBatchRunner:
         epoch_size: int = 100_000,
         compact_every: int | None = None,
         expire_keep_last: int | None = None,
+        compact_opts: dict | None = None,
     ):
         self.engine = engine
         self.epoch_size = epoch_size
@@ -89,6 +90,10 @@ class MicroBatchRunner:
         # storage: without it a 10^10-event stream accretes a delta layer
         # per epoch forever); keep_last > 1 retains a time-travel window
         self.expire_keep_last = expire_keep_last
+        # forwarded to LakeTable.compact (e.g. max_delta_depth for
+        # incremental maintenance, sort_cols/files_per_bucket for the
+        # sort-ordered layout that tightens stats-based file skipping)
+        self.compact_opts = compact_opts or {}
 
     def run(
         self,
@@ -157,7 +162,7 @@ class MicroBatchRunner:
                 # timed separately so sustained-throughput reports can add it
                 # to the epoch wall instead of silently excluding it
                 m0 = time.time()
-                info["compaction"] = table.compact()
+                info["compaction"] = table.compact(**self.compact_opts)
                 if self.expire_keep_last:
                     info["expiry"] = table.expire_snapshots(self.expire_keep_last)
                 info["maintenance_wall_s"] = round(time.time() - m0, 3)

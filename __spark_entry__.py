@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_normalization": q.name_normalization,
         "nearest_preceding_anchor": q.nearest_preceding_anchor,
         "sessionize": q.sessionize,
+        "interval_range_join": q.interval_range_join,
         # debatch / segments (D2, T2)
         "debatch_documents": q.debatch_documents,
         "segment_rows": q.segment_rows,
@@ -76,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": qt.quality_score,
         "repetition_quality_flags": qt.repetition_quality_flags,
         "doc_fingerprint": qt.doc_fingerprint,
+        "tfidf_top_terms": qt.tfidf_top_terms,
         # dedup family
         "exact_dup_groups": qt.exact_dup_groups,
         "minhash_signatures": qt.minhash_signatures,
@@ -135,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "name_normalization": q.ORACLE_NAME_NORM,
         "nearest_preceding_anchor": q.ORACLE_ASOF,
         "sessionize": q.ORACLE_SESSIONIZE,
+        "interval_range_join": q.ORACLE_RANGE_JOIN,
         "debatch_documents": q.ORACLE_DEBATCH,
         "segment_rows": q.ORACLE_SEGMENTS,
         "time_travel_as_of": q.ORACLE_TIME_TRAVEL,
@@ -148,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": qt.ORACLE_QUALITY,
         "repetition_quality_flags": qt.ORACLE_REPETITION,
         "doc_fingerprint": qt.ORACLE_FINGERPRINT,
+        "tfidf_top_terms": qt.ORACLE_TFIDF,
         "exact_dup_groups": qt.ORACLE_EXACT_DUP,
         "minhash_signatures": qt.ORACLE_MINHASH,
         "minhash_dup_pairs": qt.ORACLE_MINHASH_PAIRS,

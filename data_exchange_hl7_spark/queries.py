@@ -1360,3 +1360,69 @@ FROM (
 WHERE rn = 1
 ORDER BY message_hash
 """
+
+
+def interval_range_join(spark, sf_dir):
+    """Keyless point-in-interval RANGE join via bin bucketing (the scalable
+    plan for a join Spark would otherwise execute as a cross product):
+    2-hour maintenance windows are synthesized from the event-time span
+    (hour-aligned starts where epoch % 25200 == 0), each window explodes
+    into its covered hour bins, points equi-join on their own hour bin, and
+    exact containment filters after. Hash join end-to-end — no
+    CartesianProduct / BroadcastNestedLoopJoin (plan-asserted)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    wins = (
+        ev.select(hour.alias("ws"))
+        .distinct()
+        .filter(F.unix_timestamp("ws") % 25200 == 0)
+        .select("ws", (F.col("ws") + F.expr("INTERVAL 2 HOURS")).alias("we"))
+    )
+    bins = wins.select(
+        "ws",
+        "we",
+        F.explode(
+            F.sequence(
+                F.col("ws"),
+                F.col("we") - F.expr("INTERVAL 1 HOUR"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bin"),
+    )
+    pts = ev.select("event_id", "ts", hour.alias("bin"))
+    j = pts.join(bins, "bin").filter(
+        (F.col("ts") >= F.col("ws")) & (F.col("ts") < F.col("we"))
+    )
+    return (
+        j.groupBy("ws", "we")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .select(
+            F.date_format("ws", TS_FMT_SPARK).alias("window_start"),
+            F.date_format("we", TS_FMT_SPARK).alias("window_end"),
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+        .orderBy("window_start")
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH hours AS (SELECT DISTINCT DATE_TRUNC('hour', ts) AS ws FROM events),
+wins AS (
+  SELECT ws, ws + INTERVAL 2 HOUR AS we
+  FROM hours WHERE CAST(EPOCH(ws) AS BIGINT) % 25200 = 0),
+j AS (
+  SELECT w.ws, w.we, e.event_id
+  FROM events e JOIN wins w ON e.ts >= w.ws AND e.ts < w.we)
+SELECT STRFTIME(ws, '{tsf}') AS window_start,
+       STRFTIME(we, '{tsf}') AS window_end,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS first_event,
+       MAX(event_id) AS last_event
+FROM j GROUP BY ws, we ORDER BY window_start
+""".replace("{tsf}", TS_FMT_DUCK)

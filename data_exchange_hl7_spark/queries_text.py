@@ -1687,3 +1687,68 @@ FROM bf LEFT JOIN tr ON bf.query_id = tr.query_id AND bf.vec_id = tr.vec_id
 GROUP BY bf.query_id
 ORDER BY bf.query_id
 """
+
+
+TFIDF_TOP_N = 3
+
+
+def tfidf_top_terms(spark, sf_dir, top_n: int = TFIDF_TOP_N):
+    """Top-N TF-IDF terms per document, integer-exact: score =
+    floor(tf * 1e6 / df) (tf = in-doc count, df = number of docs containing
+    the term), ties by term asc. Log-free scoring keeps the ranking
+    deterministic across engines while preserving the tf/idf ordering for
+    fixed tf (df monotonicity is all the rank needs).
+
+    Scale shape: explode -> (doc, term) count -> term-keyed df agg joined
+    back on term (the classic two-agg TF-IDF), then a per-doc top-N window.
+    The df side is a broadcast-sized dictionary aggregate at any corpus size
+    with a bounded vocabulary; the shuffles are all key-spread.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score_micro",
+        F.floor(F.col("tf") * 1000000.0 / F.col("df")).cast("bigint"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score_micro",
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, term, tf.tf, df.df,
+         CAST(FLOOR(tf.tf * 1000000.0 / df.df) AS BIGINT) AS score_micro
+  FROM tf JOIN df USING (term))
+SELECT doc_id, CAST(rank AS INT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_micro
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rank
+  FROM scored)
+WHERE rank <= {TFIDF_TOP_N}
+ORDER BY doc_id, rank
+"""

@@ -197,3 +197,23 @@ def test_windowed_counts_single_shuffle_batch(spark):
     df = windowed_counts(ev, ts_col="ts", keys=("event_type",), window="1 hour")
     assert n_exchanges(df) <= 1
     assert_no_python_udf(df)
+
+
+def test_interval_range_join_is_hash_join(spark):
+    """The bin-bucketed range join must execute as an equi hash join on the
+    hour bin — never a CartesianProduct / BroadcastNestedLoopJoin."""
+    from data_exchange_hl7_spark.plans.inspect import explain_str
+
+    df = q.interval_range_join(spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+    assert_no_python_udf(df)
+
+
+def test_tfidf_top_terms_shape(spark):
+    df = qt.tfidf_top_terms(spark, SF)
+    assert_no_python_udf(df)
+    # explode -> tf agg -> df agg -> join back -> window -> sort: bounded
+    assert n_exchanges(df) <= 6

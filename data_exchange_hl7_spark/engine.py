@@ -220,6 +220,10 @@ class Engine:
         # paths, so per-key skew stays mild; the salted two-phase variant is
         # for genuinely hot single keys (salt_keys option).
         order_cols = ["lsn", "ts", "event_id"]
+        # the table's CURRENT bucket count (may differ from the engine's
+        # creation-time default after a rebucket) keeps the dedup exchange
+        # aligned with the storage layout
+        snap = table.current_snapshot()
         if self.salt_keys:
             latest = dedup_ops.latest_by_key_salted(
                 flat, KEY_COLS, order_cols, n_salts=self.salt_keys
@@ -228,11 +232,10 @@ class Engine:
         else:
             flat = flat.withColumn("__bucket", table.bucket_expr())
             latest = dedup_ops.latest_by_key_bucketed(
-                flat, KEY_COLS, order_cols, n_buckets=self.n_buckets
+                flat, KEY_COLS, order_cols, n_buckets=snap["n_buckets"]
             )
 
         # populate evolved extra columns from supporting_metadata
-        snap = table.current_snapshot()
         schema_meta = snap["properties"].get("schema_meta", {})
         extra_cols = []
         for fld, m in schema_meta.items():

@@ -32,6 +32,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -478,6 +479,15 @@ class LakeTable:
         return out
 
     # ------------------------------------------------------------ merge
+    @staticmethod
+    def _staging_rel(prefix: str, new_sid: int) -> str:
+        """Unique per-attempt staging directory (Iceberg writes UUID-named
+        data files for the same reason): two writers racing from the same
+        parent both derive new_sid = parent+1, and without a unique suffix
+        their DATA writes collide before the metadata CAS ever runs. The
+        loser's directory becomes an orphan that expire_snapshots removes."""
+        return f"{prefix}{new_sid:08d}-{uuid.uuid4().hex[:8]}"
+
     def _bucket_expr(self, snap: dict):
         keys = [F.col(c) for c in snap["key_cols"]]
         return F.pmod(F.xxhash64(*keys), F.lit(snap["n_buckets"])).cast("int")
@@ -562,7 +572,7 @@ class LakeTable:
         )
 
         # write the rewritten buckets under a per-snapshot directory
-        out_rel = f"s{new_sid:08d}"
+        out_rel = self._staging_rel("s", new_sid)
         out_abs = os.path.join(self.data_dir, out_rel)
         (
             new_data.repartition(max(len(changed_buckets), 1), "__bucket")
@@ -619,7 +629,7 @@ class LakeTable:
         deltas back into base buckets."""
         cur_names = [f["name"] for f in self.schema_fields(snap)]
         new_sid = snap["snapshot_id"] + 1
-        out_rel = f"d{new_sid:08d}"
+        out_rel = self._staging_rel("d", new_sid)
         out_abs = os.path.join(self.data_dir, out_rel)
         # repartition on the bucket key first: without it every upstream task
         # writes a sliver into every bucket dir (tasks x buckets tiny files);
@@ -727,7 +737,7 @@ class LakeTable:
 
         resolved = self.snapshot(buckets=dirty)
         new_sid = snap["snapshot_id"] + 1
-        out_rel = f"s{new_sid:08d}"
+        out_rel = self._staging_rel("s", new_sid)
         out_abs = os.path.join(self.data_dir, out_rel)
         staged = resolved.withColumn("__bucket", self._bucket_expr(snap))
         if sort_cols:
@@ -783,6 +793,72 @@ class LakeTable:
             "n_buckets": len(buckets),
             "dirty_buckets": len(dirty),
             "remaining_delta_layers": len(new_deltas),
+        }
+
+    def rebucket(
+        self,
+        new_n_buckets: int,
+        sort_cols: list[str] | None = None,
+        files_per_bucket: int = 1,
+    ) -> dict:
+        """Bucket-count evolution — the Iceberg partition-spec-evolution
+        analogue for the hash-bucket layout. The count chosen at table
+        creation stops fitting when the table grows 100x (buckets become
+        multi-GB sort/merge units); this rewrites the resolved table under
+        the NEW bucket function and resets the delta layers, after which
+        merges and bucket-pruned reads use the new count transparently
+        (``bucket_expr``/``merge`` always read it from the current snapshot).
+        O(table) — run rarely, like a full compaction; accepts the same
+        sort-order options.
+        """
+        if new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
+        snap = self.current_snapshot()
+        resolved = self.snapshot()
+        new_sid = snap["snapshot_id"] + 1
+        out_rel = self._staging_rel("s", new_sid)
+        out_abs = os.path.join(self.data_dir, out_rel)
+        tmp_snap = dict(snap)
+        tmp_snap["n_buckets"] = new_n_buckets
+        staged = resolved.withColumn("__bucket", self._bucket_expr(tmp_snap))
+        if sort_cols:
+            staged = staged.repartitionByRange(
+                max(new_n_buckets * max(files_per_bucket, 1), 1),
+                "__bucket",
+                *sort_cols,
+            ).sortWithinPartitions("__bucket", *sort_cols)
+        else:
+            staged = staged.repartition(new_n_buckets, "__bucket")
+        staged.write.partitionBy("__bucket").mode("overwrite").parquet(out_abs)
+
+        buckets: dict[str, dict] = {}
+        for d in os.listdir(out_abs):
+            if not d.startswith("__bucket="):
+                continue
+            b = d.split("=")[1]
+            files = [
+                os.path.join(out_rel, d, f)
+                for f in os.listdir(os.path.join(out_abs, d))
+                if f.endswith(".parquet")
+            ]
+            buckets[b] = {
+                "files": files,
+                "schema_version": snap["schema_version"],
+                "stats": self._collect_stats(files, snap),
+            }
+        new_snap = dict(snap)
+        new_snap["snapshot_id"] = new_sid
+        new_snap["parent"] = snap["snapshot_id"]
+        new_snap["operation"] = "rebucket"
+        new_snap["n_buckets"] = new_n_buckets
+        new_snap["buckets"] = buckets
+        new_snap["deltas"] = []
+        new_snap["committed_at"] = time.time()
+        self._write_snapshot(new_snap, expected_parent=snap["snapshot_id"])
+        return {
+            "rebucketed": True,
+            "snapshot_id": new_sid,
+            "n_buckets": new_n_buckets,
         }
 
     def _commit_manifest_only(self, snap, new_sid, epoch, epoch_info) -> dict:
@@ -914,7 +990,7 @@ class LakeTable:
         # plan deletions first, then CAS-check the pointer, then delete
         expired_roots = []
         for d in sorted(os.listdir(self.data_dir)):
-            m = _re.match(r"^[sd](\d{8})$", d)
+            m = _re.match(r"^[sd](\d{8})(?:-[0-9a-f]{8})?$", d)
             if m and int(m.group(1)) <= entry_sid:
                 expired_roots.append(os.path.join(self.data_dir, d))
 

@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_data_feed": q.change_data_feed,
         "filtered_snapshot_read": q.filtered_snapshot_read,
         "schema_evolution_read": q.schema_evolution_read,
+        "rebucket_read": q.rebucket_read,
         # streaming analytics surface (2.9): event-time windows, stateful dedup
         "tumbling_window_counts": q.tumbling_window_counts,
         "streaming_dedup_batch": q.streaming_dedup_batch,
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "change_data_feed": q.ORACLE_CDF,
         "filtered_snapshot_read": q.ORACLE_FILTERED_READ,
         "schema_evolution_read": q.ORACLE_SCHEMA_EVOLUTION,
+        "rebucket_read": q.ORACLE_REBUCKET,
         "tumbling_window_counts": q.ORACLE_WINDOW_COUNTS,
         "streaming_dedup_batch": q.ORACLE_STREAM_DEDUP,
         "token_stats": qt.ORACLE_TOKEN_STATS,

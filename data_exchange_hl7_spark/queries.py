@@ -1426,3 +1426,71 @@ SELECT STRFTIME(ws, '{tsf}') AS window_start,
        MAX(event_id) AS last_event
 FROM j GROUP BY ws, we ORDER BY window_start
 """.replace("{tsf}", TS_FMT_DUCK)
+
+
+def rebucket_read(spark, sf_dir):
+    """Bucket-count evolution under the oracle gate: epoch 1 (the first LSN
+    half) lands in a 4-bucket table, the table is rebucketed to 16, epoch 2
+    (the second half) lands under the new layout — the final latest-per-user
+    state must be byte-identical to a plain SQL replay over all events
+    (`lake/table.py` rebucket()).
+
+    Epochs split by LSN, not parity: a resolved rewrite (rebucket/compact)
+    drops delete tombstones, which is sound only because real epochs are
+    LSN-monotone — an upsert older than an applied delete can never arrive
+    later. An out-of-order split here would resurrect deleted keys (and did,
+    in an earlier draft of this query)."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key
+
+    key = f"{sf_dir}::rebucket"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(loc)):
+        loc = tempfile.mkdtemp(prefix="dex_lake_rebucket_")
+        t = LakeTable.create(
+            spark,
+            loc,
+            schema=[("user_id", "bigint"), ("event_type", "string"), ("event_id", "bigint")],
+            key_cols=["user_id"],
+            n_buckets=4,
+            mode="mor",
+            order_col="event_id",
+        )
+        ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+        mx = ev.agg(F.max("event_id")).collect()[0][0]  # metadata-sized
+        for epoch, cond in (
+            (1, F.col("event_id") * 2 <= mx),
+            (2, F.col("event_id") * 2 > mx),
+        ):
+            half = ev.filter(cond)
+            changes = latest_by_key(half, ["user_id"], ["event_id"]).withColumn(
+                "__op",
+                F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+            )
+            t.merge(changes, epoch=epoch)
+            if epoch == 1:
+                t.rebucket(16, sort_cols=["user_id"], files_per_bucket=2)
+        _LAKE_DEMO_CACHE[key] = loc
+    else:
+        t = LakeTable(spark, loc)
+    return (
+        t.snapshot()
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_REBUCKET = """
+SELECT user_id, event_type AS last_op, event_id AS last_event_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""

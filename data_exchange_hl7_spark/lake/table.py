@@ -707,6 +707,13 @@ class LakeTable:
         O(table) work per maintenance pass while incremental does O(dirty).
         ``None`` rewrites everything (full compaction).
 
+        Contract: compaction rewrites the RESOLVED state, which drops delete
+        tombstones. That is sound exactly because epochs are LSN-monotone —
+        an upsert older than an applied delete can never arrive in a later
+        epoch (same contract as Iceberg MoR compaction dropping equality
+        deletes). Feeding out-of-LSN-order batches after a compaction would
+        resurrect deleted keys.
+
         ``sort_cols`` + ``files_per_bucket``: Iceberg sort-order analogue.
         Rewritten buckets are range-split into ~``files_per_bucket`` files
         with disjoint ``sort_cols`` ranges and sorted within each file, so
@@ -809,7 +816,8 @@ class LakeTable:
         merges and bucket-pruned reads use the new count transparently
         (``bucket_expr``/``merge`` always read it from the current snapshot).
         O(table) — run rarely, like a full compaction; accepts the same
-        sort-order options.
+        sort-order options and the same tombstone contract (the resolved
+        rewrite drops delete tombstones; see ``compact``).
         """
         if new_n_buckets < 1:
             raise ValueError("new_n_buckets must be >= 1")

@@ -204,6 +204,45 @@ class LakeTable:
             f.write(str(sid))
         os.replace(tmp, cur_path)  # atomic on POSIX
 
+    # ------------------------------------------------ write-audit-publish
+    def _commit_or_stage(self, snap: dict, publish: bool) -> str | None:
+        """Commit the snapshot (move ``current``) or stage it for audit.
+
+        Staged snapshots live at ``_meta/staged-<token>.json`` — OUTSIDE the
+        vN namespace, so a concurrent real commit can never overwrite one.
+        Returns the stage token when staging, None when committing.
+        """
+        if publish:
+            self._write_snapshot(snap, expected_parent=snap["parent"])
+            return None
+        token = uuid.uuid4().hex[:12]
+        with open(os.path.join(self.meta_dir, f"staged-{token}.json"), "w") as f:
+            json.dump(snap, f)
+        return token
+
+    def _load_staged(self, token: str) -> dict[str, Any]:
+        path = os.path.join(self.meta_dir, f"staged-{token}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"no staged snapshot {token!r}")
+        with open(path) as f:
+            return json.load(f)
+
+    def publish_staged(self, token: str) -> dict:
+        """Write-audit-publish, step 3: atomically make a staged merge the
+        current table state. CAS against the staged snapshot's parent — if
+        any other commit landed since the stage, this raises
+        ConcurrentCommitError and the table is untouched (re-stage from the
+        new current instead)."""
+        snap = self._load_staged(token)
+        self._write_snapshot(snap, expected_parent=snap["parent"])
+        os.remove(os.path.join(self.meta_dir, f"staged-{token}.json"))
+        return {"published": True, "snapshot_id": snap["snapshot_id"]}
+
+    def discard_staged(self, token: str) -> None:
+        """Drop a staged snapshot that failed its audit. Its data directory
+        becomes an orphan and is swept by ``expire_snapshots``."""
+        os.remove(os.path.join(self.meta_dir, f"staged-{token}.json"))
+
     def schema_fields(self, snap: dict | None = None) -> list[dict]:
         snap = snap or self.current_snapshot()
         return snap["schemas"][str(snap["schema_version"])]
@@ -361,6 +400,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         as_of: int | None = None,
         where: list[tuple] | None = None,
+        staged: str | None = None,
     ) -> DataFrame:
         """Table state as a DataFrame (optionally selected buckets).
 
@@ -382,8 +422,11 @@ class LakeTable:
         (constant per key — pruning a non-key column could hide a key's
         latest version and resurrect an older one), so non-key predicates
         prune nothing there and are applied after latest-resolution.
+
+        ``staged``: read a write-audit-publish staged snapshot by its token
+        (the audit step) instead of a committed one.
         """
-        snap = self._load_snapshot(as_of)
+        snap = self._load_staged(staged) if staged else self._load_snapshot(as_of)
         deltas = snap.get("deltas", [])
         keys = snap["key_cols"]
         # stats-based file skipping: sound for any predicate in CoW (rows are
@@ -502,6 +545,7 @@ class LakeTable:
         changes: DataFrame,
         epoch: int | None = None,
         epoch_info: dict | None = None,
+        publish: bool = True,
     ) -> dict:
         """Keyed copy-on-write MERGE (upsert + delete) — the Iceberg
         ``MERGE INTO`` analogue, and the engine's exactly-once apply step.
@@ -512,6 +556,12 @@ class LakeTable:
         call is a NO-OP (idempotent replay, reference K3/K4 semantics).
 
         Returns {"applied": bool, "snapshot_id": int, "buckets_rewritten": n}.
+
+        ``publish=False`` runs the write-audit-publish pattern (Iceberg WAP):
+        data files and the snapshot are written but ``current`` does not
+        move; the result carries a ``staged`` token. Audit the staged state
+        with ``snapshot(staged=token)``, then ``publish_staged(token)`` or
+        ``discard_staged(token)``.
         """
         snap = self.current_snapshot()
         if epoch is not None and str(epoch) in snap["properties"]["epochs"]:
@@ -521,7 +571,7 @@ class LakeTable:
                 "buckets_rewritten": 0,
             }
         if snap.get("mode") == "mor":
-            return self._merge_mor(changes, snap, epoch, epoch_info)
+            return self._merge_mor(changes, snap, epoch, epoch_info, publish)
 
         cur_fields = self.schema_fields(snap)
         cur_names = [f["name"] for f in cur_fields]
@@ -541,7 +591,7 @@ class LakeTable:
         if not changed_buckets:
             # still record the epoch (empty micro-batch must advance manifest)
             changes.unpersist()
-            return self._commit_manifest_only(snap, new_sid, epoch, epoch_info)
+            return self._commit_manifest_only(snap, new_sid, epoch, epoch_info, publish)
 
         # old rows of the touched buckets, minus keys present in the changes
         existing = {int(b): e for b, e in snap["buckets"].items()}
@@ -614,15 +664,20 @@ class LakeTable:
             props["epochs"][str(epoch)] = epoch_info or {}
         new_snap["properties"] = props
         new_snap["committed_at"] = time.time()
-        self._write_snapshot(new_snap, expected_parent=snap["snapshot_id"])
+        token = self._commit_or_stage(new_snap, publish)
         changes.unpersist()
-        return {
-            "applied": True,
+        out = {
+            "applied": publish,
             "snapshot_id": new_sid,
             "buckets_rewritten": len(changed_buckets),
         }
+        if token:
+            out["staged"] = token
+        return out
 
-    def _merge_mor(self, changes: DataFrame, snap: dict, epoch, epoch_info) -> dict:
+    def _merge_mor(
+        self, changes: DataFrame, snap: dict, epoch, epoch_info, publish: bool = True
+    ) -> dict:
         """Merge-on-read apply: append the deduped changes (upserts AND delete
         tombstones) as bucketed delta files — O(changes) write cost per epoch.
         Read-side resolution happens in ``snapshot()``; ``compact()`` folds
@@ -661,7 +716,7 @@ class LakeTable:
                 if f.endswith(".parquet")
             ]
         if not files:
-            return self._commit_manifest_only(snap, new_sid, epoch, epoch_info)
+            return self._commit_manifest_only(snap, new_sid, epoch, epoch_info, publish)
         all_files = [p for fs in files.values() for p in fs]
         new_snap = dict(snap)
         new_snap["snapshot_id"] = new_sid
@@ -679,13 +734,16 @@ class LakeTable:
             props["epochs"][str(epoch)] = epoch_info or {}
         new_snap["properties"] = props
         new_snap["committed_at"] = time.time()
-        self._write_snapshot(new_snap, expected_parent=snap["snapshot_id"])
-        return {
-            "applied": True,
+        token = self._commit_or_stage(new_snap, publish)
+        out = {
+            "applied": publish,
             "snapshot_id": new_sid,
             "buckets_rewritten": 0,
             "delta_files": sum(len(v) for v in files.values()),
         }
+        if token:
+            out["staged"] = token
+        return out
 
     def compact(
         self,
@@ -869,7 +927,7 @@ class LakeTable:
             "n_buckets": new_n_buckets,
         }
 
-    def _commit_manifest_only(self, snap, new_sid, epoch, epoch_info) -> dict:
+    def _commit_manifest_only(self, snap, new_sid, epoch, epoch_info, publish=True) -> dict:
         new_snap = dict(snap)
         new_snap["snapshot_id"] = new_sid
         new_snap["parent"] = snap["snapshot_id"]
@@ -879,8 +937,11 @@ class LakeTable:
             props["epochs"][str(epoch)] = epoch_info or {}
         new_snap["properties"] = props
         new_snap["committed_at"] = time.time()
-        self._write_snapshot(new_snap, expected_parent=snap["snapshot_id"])
-        return {"applied": True, "snapshot_id": new_sid, "buckets_rewritten": 0}
+        token = self._commit_or_stage(new_snap, publish)
+        out = {"applied": publish, "snapshot_id": new_sid, "buckets_rewritten": 0}
+        if token:
+            out["staged"] = token
+        return out
 
     def set_properties(self, updates: dict) -> None:
         """Merge key/values into snapshot properties (new metadata snapshot)."""

@@ -474,3 +474,41 @@ def test_concurrent_writers_cas_serializes(spark, tmp_path):
     ks = {r["k"] for r in t.snapshot().collect()}
     for i in oks:
         assert f"w{i}" in ks
+
+
+def test_write_audit_publish(spark, tmp_path):
+    """Iceberg WAP pattern: a staged merge is invisible until published, the
+    staged state is auditable by token, publish is CAS-guarded against
+    intervening commits, and a failed audit discards cleanly."""
+    import pytest
+
+    from data_exchange_hl7_spark.lake.table import ConcurrentCommitError
+
+    t = _mk(spark, tmp_path, "wap", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+
+    r = t.merge(_changes(spark, [("b", "2", 2, 2, "U")]), epoch=1, publish=False)
+    assert r["applied"] is False and "staged" in r
+    token = r["staged"]
+    # invisible to readers of current...
+    assert {x["k"] for x in t.snapshot().collect()} == {"a"}
+    # ...but auditable by token
+    assert {x["k"] for x in t.snapshot(staged=token).collect()} == {"a", "b"}
+
+    assert t.publish_staged(token)["published"]
+    assert {x["k"] for x in t.snapshot().collect()} == {"a", "b"}
+    assert "1" in t.committed_epochs()  # epoch manifest arrived with publish
+
+    # stale stage: another commit lands between stage and publish -> CAS fails
+    r2 = t.merge(_changes(spark, [("c", "3", 3, 3, "U")]), epoch=2, publish=False)
+    t.merge(_changes(spark, [("d", "4", 4, 4, "U")]), epoch=3)
+    with pytest.raises(ConcurrentCommitError):
+        t.publish_staged(r2["staged"])
+    assert {x["k"] for x in t.snapshot().collect()} == {"a", "b", "d"}
+
+    # failed audit: discard; the staged state never becomes visible
+    r3 = t.merge(_changes(spark, [("e", "BAD", 5, 5, "U")]), epoch=4, publish=False)
+    t.discard_staged(r3["staged"])
+    with pytest.raises(ValueError):
+        t.snapshot(staged=r3["staged"])
+    assert "e" not in {x["k"] for x in t.snapshot().collect()}

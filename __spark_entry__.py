@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_quality_flags": qt.repetition_quality_flags,
         "doc_fingerprint": qt.doc_fingerprint,
         "tfidf_top_terms": qt.tfidf_top_terms,
+        "kmv_distinct_sketch": qt.kmv_distinct_sketch,
         # dedup family
         "exact_dup_groups": qt.exact_dup_groups,
         "minhash_signatures": qt.minhash_signatures,
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_quality_flags": qt.ORACLE_REPETITION,
         "doc_fingerprint": qt.ORACLE_FINGERPRINT,
         "tfidf_top_terms": qt.ORACLE_TFIDF,
+        "kmv_distinct_sketch": qt.ORACLE_KMV,
         "exact_dup_groups": qt.ORACLE_EXACT_DUP,
         "minhash_signatures": qt.ORACLE_MINHASH,
         "minhash_dup_pairs": qt.ORACLE_MINHASH_PAIRS,

@@ -204,6 +204,44 @@ class LakeTable:
             f.write(str(sid))
         os.replace(tmp, cur_path)  # atomic on POSIX
 
+    # ------------------------------------------------------------ refs
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Name a committed snapshot (Iceberg tag). Tags live in
+        ``_meta/tags.json`` and pin their snapshot AGAINST expiry — a tagged
+        snapshot's metadata and files are retained until the tag is dropped
+        (checked by ``expire_snapshots``)."""
+        sid = (
+            self.current_snapshot()["snapshot_id"]
+            if snapshot_id is None
+            else self._load_snapshot(snapshot_id)["snapshot_id"]
+        )
+        tags = self.tags()
+        tags[name] = sid
+        with open(os.path.join(self.meta_dir, "tags.json"), "w") as f:
+            json.dump(tags, f)
+        return {"tag": name, "snapshot_id": sid}
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.tags()
+        tags.pop(name, None)
+        with open(os.path.join(self.meta_dir, "tags.json"), "w") as f:
+            json.dump(tags, f)
+
+    def tags(self) -> dict[str, int]:
+        path = os.path.join(self.meta_dir, "tags.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    def _resolve_ref(self, ref: int | str) -> int:
+        if isinstance(ref, str):
+            tags = self.tags()
+            if ref not in tags:
+                raise ValueError(f"unknown tag {ref!r}")
+            return tags[ref]
+        return ref
+
     # ------------------------------------------------ write-audit-publish
     def _commit_or_stage(self, snap: dict, publish: bool) -> str | None:
         """Commit the snapshot (move ``current``) or stage it for audit.
@@ -425,8 +463,16 @@ class LakeTable:
 
         ``staged``: read a write-audit-publish staged snapshot by its token
         (the audit step) instead of a committed one.
+
+        ``as_of`` also accepts a TAG name (``create_tag``) in place of a
+        snapshot id.
         """
-        snap = self._load_staged(staged) if staged else self._load_snapshot(as_of)
+        if staged:
+            snap = self._load_staged(staged)
+        else:
+            snap = self._load_snapshot(
+                self._resolve_ref(as_of) if as_of is not None else None
+            )
         deltas = snap.get("deltas", [])
         keys = snap["key_cols"]
         # stats-based file skipping: sound for any predicate in CoW (rows are
@@ -1045,6 +1091,13 @@ class LakeTable:
                 break
             with open(parent_path) as f:
                 s = json.load(f)
+
+        # tags pin their snapshots: metadata and files survive until dropped
+        for sid in self.tags().values():
+            if sid not in kept_ids and os.path.exists(
+                os.path.join(self.meta_dir, f"v{sid:08d}.json")
+            ):
+                kept_ids.append(sid)
 
         referenced: set[str] = set()
         for sid in kept_ids:

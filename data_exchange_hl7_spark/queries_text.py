@@ -1752,3 +1752,88 @@ FROM (
 WHERE rank <= {TFIDF_TOP_N}
 ORDER BY doc_id, rank
 """
+
+
+KMV_K = 16
+_KMV_MAXH = float(16**15)  # hash space: 15 hex chars
+
+
+def kmv_distinct_sketch(spark, sf_dir, k: int = KMV_K):
+    """Mergeable approximate-distinct sketch (K-Minimum-Values): per source,
+    the k smallest md5-derived hashes of the distinct texts give the
+    estimate floor((k-1) * H / kth_min) (H = hash-space size); the __ALL__
+    row is the MERGE of the per-source sketches (k smallest of their union),
+    which is exactly the global sketch — the property that lets 1000
+    executors sketch partitions independently and combine. All integer/
+    fixed-IEEE arithmetic, so the oracle reproduces it bit-for-bit; exact
+    distinct counts ride along to show the estimate's error."""
+    d = _t(spark, sf_dir, "documents")
+    hashes = d.select(
+        "source",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    per_src = hashes.withColumn("rn", F.row_number().over(w))
+    mins = per_src.filter(F.col("rn") <= k)
+
+    def est(kth, n):
+        return F.when(
+            n >= k, F.floor(F.lit(float(k - 1)) * (F.lit(_KMV_MAXH) / kth))
+        ).otherwise(n).cast("bigint")
+
+    by_src = (
+        per_src.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_min"),
+        )
+        .select("source", "n_exact", est(F.col("kth_min"), F.col("n_exact")).alias("n_est"))
+    )
+    # merge: k smallest of the union of per-source sketches == global sketch
+    wg = Window.orderBy("h")
+    merged = (
+        mins.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= k)
+    )
+    g_exact = hashes.select("h").distinct().count()  # driver-side scalar, test-scale
+    g = merged.agg(
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_min"),
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+    ).select(
+        F.lit("__ALL__").alias("source"),
+        F.lit(g_exact).cast("bigint").alias("n_exact"),
+        est(F.col("kth_min"), F.lit(g_exact)).alias("n_est"),
+    )
+    return by_src.unionByName(g).orderBy("source")
+
+
+ORACLE_KMV = f"""
+WITH hashes AS (
+  SELECT DISTINCT source,
+         CAST(CONCAT('0x', SUBSTRING(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents),
+ranked AS (
+  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hashes),
+by_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_exact,
+         MAX(CASE WHEN rn = {KMV_K} THEN h END) AS kth_min
+  FROM ranked GROUP BY source),
+merged AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+  FROM (SELECT DISTINCT h FROM ranked WHERE rn <= {KMV_K})),
+g AS (
+  SELECT '__ALL__' AS source,
+         (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM hashes) AS n_exact,
+         MAX(CASE WHEN rn = {KMV_K} THEN h END) AS kth_min
+  FROM merged WHERE rn <= {KMV_K})
+SELECT source, n_exact,
+       CAST(CASE WHEN n_exact >= {KMV_K}
+                 THEN FLOOR({KMV_K - 1}.0 * ({16**15}.0 / kth_min))
+                 ELSE n_exact END AS BIGINT) AS n_est
+FROM (SELECT * FROM by_src UNION ALL SELECT * FROM g)
+ORDER BY source
+"""

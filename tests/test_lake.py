@@ -512,3 +512,29 @@ def test_write_audit_publish(spark, tmp_path):
     with pytest.raises(ValueError):
         t.snapshot(staged=r3["staged"])
     assert "e" not in {x["k"] for x in t.snapshot().collect()}
+
+
+def test_tags_pin_snapshots_against_expiry(spark, tmp_path):
+    """A tagged snapshot stays time-travelable (metadata + files) through
+    expire_snapshots until the tag is dropped; as_of accepts tag names."""
+    import pytest
+
+    t = _mk(spark, tmp_path, "tags", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    t.create_tag("v1.0")
+    t.merge(_changes(spark, [("a", "2", 2, 2, "U"), ("b", "9", 9, 3, "U")]), epoch=1)
+    t.merge(_changes(spark, [("c", "3", 3, 4, "U")]), epoch=2)
+
+    # tag read by name
+    assert {x["k"]: x["v"] for x in t.snapshot(as_of="v1.0").collect()} == {"a": "1"}
+
+    r = t.expire_snapshots(keep_last=1)
+    assert 1 in r["kept_snapshots"]  # the tagged snapshot survived
+    assert {x["k"]: x["v"] for x in t.snapshot(as_of="v1.0").collect()} == {"a": "1"}
+    # current unaffected
+    assert {x["k"]: x["v"] for x in t.snapshot().collect()} == {"a": "2", "b": "9", "c": "3"}
+
+    t.drop_tag("v1.0")
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError):
+        t.snapshot(as_of="v1.0")

@@ -173,13 +173,16 @@ class Engine:
         accepted, rejected = validate_ops.branch(ev)
 
         # rejected branch -> queryable reject table (K2/K4); per-epoch dir
-        # overwrite keeps the write idempotent under re-runs
+        # overwrite keeps the write idempotent under re-runs. The FULL event
+        # envelope rides along (a dead-letter queue is useless without the
+        # payload — reprocess_rejects re-drives these after a fix); rejects
+        # are ~1% of rows, so the duplicated content bytes stay negligible.
         if collect_metrics:
             rejected.withColumn(
                 "report_entries", validate_ops.report_entries_expr()
-            ).select(
-                "event_id", "lsn", "op", "repo", "path", "status", "report_entries"
-            ).coalesce(8).write.mode("overwrite").parquet(
+            ).drop("error_count", "warning_count").coalesce(8).write.mode(
+                "overwrite"
+            ).parquet(
                 os.path.join(self.warehouse, "_rejects", table_name(table), f"epoch={epoch}")
             )
 
@@ -401,6 +404,33 @@ class Engine:
         return self.spark.read.option("basePath", os.path.join(self.warehouse, "_rejects", name)).parquet(
             os.path.join(self.warehouse, "_rejects", name, "epoch=*")
         )
+
+    def reprocess_rejects(
+        self,
+        table: LakeTable,
+        epoch: int,
+        fix=None,
+        source_epochs: list[int] | None = None,
+    ) -> dict:
+        """Re-drive dead-lettered events after a fix (the reference's
+        failure-replay path, svc-hl7-replay ReplayController.kt:100-139
+        applied to the reject stream instead of the WAL).
+
+        Reads the reject table (full envelopes), applies ``fix`` (a
+        DataFrame -> DataFrame repair, e.g. backfilling the missing commit
+        metadata that caused the rejection), and runs the normal exactly-once
+        apply under a NEW epoch id. Rows that still fail validation land in
+        that epoch's rejects; epoch ordering vs the live stream is preserved
+        by the events' original lsn, which the per-key latest window orders
+        by — a reprocessed old version can never clobber a newer live one.
+        """
+        rej = self.rejects(table_name(table))
+        if source_epochs is not None:
+            rej = rej.filter(F.col("epoch").isin(*source_epochs))
+        events = rej.drop("status", "report_entries", "epoch")
+        if fix is not None:
+            events = fix(events)
+        return self.apply_epoch(events, table, epoch=epoch)
 
 
 def table_name(table: LakeTable) -> str:

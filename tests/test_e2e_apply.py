@@ -201,3 +201,58 @@ def test_selective_replay_full_filter_surface(spark, events, tmp_path):
     for entry in t2.committed_epochs().values():
         f = entry["replay"]["filter"]
         assert f["path"] == r0["path"] and "ts_range" in f
+
+
+def test_reprocess_rejects_after_fix(spark, tmp_path):
+    """Dead-letter re-drive: rows rejected for missing commit metadata are
+    repaired and re-applied under a new epoch; fixed rows land in the table
+    (without clobbering newer live versions — lsn ordering holds), unfixable
+    rows stay rejected."""
+    from data_exchange_hl7_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    events = change_events(spark, 4000)
+    MicroBatchRunner(eng, epoch_size=2000).run(events, table)
+
+    rej = eng.rejects()
+    n_rej = rej.count()
+    assert n_rej > 0
+    assert "content" in rej.columns  # full envelope rides in the DLQ
+    missing_commit = rej.filter(
+        (F.coalesce(F.trim("commit"), F.lit("")) == "") & ~F.col("op").startswith("SCHEMA")
+    ).count()
+    assert missing_commit > 0
+    before = {(r["repo"], r["path"]): (r["last_lsn"], r["content_sha256"])
+              for r in table.snapshot().collect()}
+
+    def fix(df):
+        return df.withColumn(
+            "commit",
+            F.when(
+                F.coalesce(F.trim("commit"), F.lit("")) == "", F.lit("backfilled")
+            ).otherwise(F.col("commit")),
+        )
+
+    r = eng.reprocess_rejects(table, epoch=10_000, fix=fix)
+    assert r["applied"]
+
+    after = {(r["repo"], r["path"]): (r["last_lsn"], r["content_sha256"])
+             for r in table.snapshot().collect()}
+    # no clobber-by-older: surviving keys are at an lsn >= their old one;
+    # a key may legitimately VANISH if the repaired batch held a DELETE
+    # with a newer lsn than the live state
+    deleted_keys = {}
+    for r in rej.filter(F.col("op") == "DELETE").collect():
+        k = (r["repo"], r["path"])
+        deleted_keys[k] = max(deleted_keys.get(k, 0), r["lsn"])
+    for k, (lsn, _sha) in before.items():
+        if k in after:
+            assert after[k][0] >= lsn
+        else:
+            assert k in deleted_keys and deleted_keys[k] > lsn, k
+    # at least one repaired event landed (new key or newer lsn)
+    assert after != before
+    # still-invalid rows (e.g. unknown op) went to the NEW epoch's rejects
+    rej2 = eng.rejects().filter(F.col("epoch") == 10_000)
+    assert rej2.filter(F.coalesce(F.trim("commit"), F.lit("")) == "").count() == 0

@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebucket_read": q.rebucket_read,
         # streaming analytics surface (2.9): event-time windows, stateful dedup
         "tumbling_window_counts": q.tumbling_window_counts,
+        "sliding_window_counts": q.sliding_window_counts,
         "streaming_dedup_batch": q.streaming_dedup_batch,
         # text analysis
         "token_stats": qt.token_stats,
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution_read": q.ORACLE_SCHEMA_EVOLUTION,
         "rebucket_read": q.ORACLE_REBUCKET,
         "tumbling_window_counts": q.ORACLE_WINDOW_COUNTS,
+        "sliding_window_counts": q.ORACLE_SLIDING_WINDOWS,
         "streaming_dedup_batch": q.ORACLE_STREAM_DEDUP,
         "token_stats": qt.ORACLE_TOKEN_STATS,
         "lang_id_heuristic": qt.ORACLE_LANG_ID,

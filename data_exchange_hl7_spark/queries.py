@@ -1494,3 +1494,38 @@ FROM (
 WHERE rn = 1 AND event_type <> 'error'
 ORDER BY user_id
 """
+
+
+def sliding_window_counts(spark, sf_dir):
+    """Sliding event-time windows (3-hour window, 1-hour slide) through
+    streaming/windowed.windowed_counts — each event lands in 3 overlapping
+    windows. The oracle reproduces Spark's window assignment by generating
+    the 3 covering window starts per event."""
+    from data_exchange_hl7_spark.streaming.windowed import windowed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        windowed_counts(
+            ev, ts_col="ts", keys=("event_type",), window="3 hours", slide="1 hour"
+        )
+        .select(
+            F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_SLIDING_WINDOWS = """
+WITH assigned AS (
+  SELECT e.event_type,
+         DATE_TRUNC('hour', e.ts) - TO_HOURS(g.i) AS window_start
+  FROM events e, GENERATE_SERIES(0, 2) AS g(i))
+SELECT STRFTIME(window_start, '{tsf}') AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM assigned
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""".replace("{tsf}", TS_FMT_DUCK)

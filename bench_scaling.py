@@ -307,8 +307,24 @@ def main() -> None:
         "stage: efficiency >= 0.8, satisfying the scaling criterion on the",
         "resource the sandbox can actually vary.",
     ]
-    with open(os.path.join(repo, "BENCH.md"), "w") as f:
-        f.write("\n".join(md) + "\n")
+    # marker-delimited in-place update (like bench_skew/bench_sustained):
+    # other sections of BENCH.md — skew, sustained, hand-written notes —
+    # must survive a scaling re-run
+    begin, end = "<!-- scaling:begin -->", "<!-- scaling:end -->"
+    section = "\n".join([begin, *md, end])
+    bench_md = os.path.join(repo, "BENCH.md")
+    txt = ""
+    if os.path.exists(bench_md):
+        with open(bench_md) as f:
+            txt = f.read()
+    if begin in txt and end in txt:
+        txt = txt.split(begin)[0] + section + txt.split(end)[1]
+    elif txt:
+        txt = section + "\n\n" + txt
+    else:
+        txt = section + "\n"
+    with open(bench_md, "w") as f:
+        f.write(txt)
 
 
 if __name__ == "__main__":

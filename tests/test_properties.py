@@ -145,3 +145,46 @@ def test_parse_byte_conf(n, suffix):
     mult = {"": 1, "b": 1, "k": 1024, "kb": 1024, "m": 1024**2,
             "mb": 1024**2, "g": 1024**3, "gb": 1024**3}[suffix]
     assert _parse_byte_conf(f"{n}{suffix}") == n * mult
+
+
+@given(
+    st.lists(st.text(min_size=0, max_size=8), min_size=0, max_size=60),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_kmv_merge_equals_global_sketch(values, n_parts):
+    """The mergeability identity kmv_distinct_sketch relies on: the k
+    smallest of the union of per-partition k-minimum sets equals the k
+    smallest of the global distinct set — for ANY partitioning."""
+    import hashlib
+
+    K = 5
+    hashes = sorted({
+        int(hashlib.md5(v.encode()).hexdigest()[:15], 16) for v in values
+    })
+    global_sketch = hashes[:K]
+    parts = [set() for _ in range(n_parts)]
+    for i, v in enumerate(values):
+        parts[i % n_parts].add(int(hashlib.md5(v.encode()).hexdigest()[:15], 16))
+    merged = sorted(set().union(*[sorted(p)[:K] for p in parts]))[:K]
+    assert merged == global_sketch
+
+
+@given(st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=300, deadline=None)
+def test_sliding_window_coverage(epoch_s):
+    """Window-assignment identity the sliding_window_counts oracle relies
+    on: an event at time t is covered by exactly window//slide sliding
+    windows, whose starts are the slide-aligned points in
+    (t - window, t] — i.e. date_trunc(slide) minus 0..n-1 slides."""
+    WINDOW, SLIDE = 3 * 3600, 3600
+    starts = {
+        (epoch_s // SLIDE) * SLIDE - i * SLIDE for i in range(WINDOW // SLIDE)
+    }
+    brute = {
+        s for s in range(
+            ((epoch_s - WINDOW) // SLIDE) * SLIDE, epoch_s + SLIDE, SLIDE
+        )
+        if s <= epoch_s < s + WINDOW
+    }
+    assert starts == brute

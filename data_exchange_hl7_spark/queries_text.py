@@ -1215,33 +1215,69 @@ FROM s ORDER BY doc_id
 # =========================== sequence packing =============================
 
 SEQ_LEN = 64  # token budget per packed training sequence
+SEQ_SUBSHARD = 64  # doc_id rows per packing subshard (hot-source ceiling)
 
 
-def sequence_packing(spark, sf_dir, seq_len: int = SEQ_LEN):
+def sequence_packing(
+    spark, sf_dir, seq_len: int = SEQ_LEN, subshard_rows: int = SEQ_SUBSHARD
+):
     """Concat-and-chunk sequence packing: docs are concatenated in doc_id
-    order within each source shard and chunked into ``seq_len``-token
+    order within each (source, subshard) and chunked into ``seq_len``-token
     training sequences; each doc reports the pack it starts in and its token
-    offset there.
+    offset there. Pack ids are globally consistent per source: each
+    subshard's packs are offset by the cumulative pack count of the
+    subshards before it.
 
-    Scale shape: packing is PER-SOURCE-SHARD (window partitioned by source),
-    which is how real pretraining pipelines shard packing — a single global
-    running sum would serialize the whole corpus through one task. A single
-    HOT source is still one reducer's sort; the mitigation is the same
-    sub-sharding the engine's salted dedup uses (partition by
-    (source, doc_id // K) and offset pack_ids by a per-subshard base), at
-    the cost of one short pack boundary per subshard."""
+    Scale shape: packing is per (source, doc_id // subshard_rows) — a
+    single dominant source (one crawl dump being most of the corpus, the
+    common case) therefore spreads across ceil(rows/K) window partitions
+    instead of serializing through one reducer. The per-subshard pack-id
+    bases come from a SECOND, tiny aggregation (one row per subshard), so
+    the rebase join is a broadcast; the cost of the sub-sharding is one
+    possibly-short final pack per subshard boundary, which pretraining
+    pipelines accept for exactly this reason."""
     d = _t(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " ")).cast("bigint")
+    df = d.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        F.floor(F.col("doc_id") / subshard_rows).cast("bigint").alias("subshard"),
+    )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "subshard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    df = d.select("doc_id", "source", n_tok.alias("n_tokens"))
-    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    local_start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    local = df.select(
+        "doc_id", "source", "n_tokens", "subshard",
+        F.floor(local_start / F.lit(float(seq_len))).cast("bigint").alias("local_pack"),
+        (local_start % seq_len).cast("bigint").alias("offset_in_pack"),
+    )
+    # Per-subshard pack counts -> cumulative bases. One row per subshard:
+    # trivially small, so the window and the rebase join are both cheap.
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("subshard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_packs = F.floor((F.sum("n_tokens") + seq_len - 1) / F.lit(float(seq_len)))
+    bases = (
+        df.groupBy("source", "subshard")
+        .agg(n_packs.cast("bigint").alias("n_packs"))
+        .select(
+            "source", "subshard",
+            (F.sum("n_packs").over(wb) - F.col("n_packs")).alias("pack_base"),
+        )
+    )
     return (
-        df.withColumn("pack_id", F.floor(start / F.lit(float(seq_len))).cast("bigint"))
-        .withColumn("offset_in_pack", (start % seq_len).cast("bigint"))
+        local.join(F.broadcast(bases), ["source", "subshard"])
+        .select(
+            "doc_id", "source", "n_tokens",
+            (F.col("pack_base") + F.col("local_pack")).cast("bigint").alias("pack_id"),
+            "offset_in_pack",
+        )
         .orderBy("doc_id")
     )
 
@@ -1249,17 +1285,29 @@ def sequence_packing(spark, sf_dir, seq_len: int = SEQ_LEN):
 ORACLE_SEQ_PACK = f"""
 WITH t AS (
   SELECT doc_id, source,
-         CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+         CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(FLOOR(doc_id / {SEQ_SUBSHARD}) AS BIGINT) AS subshard
   FROM documents),
 c AS (
   SELECT *,
-         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
-  FROM t)
-SELECT doc_id, source, n_tokens,
-       CAST(FLOOR(start / {float(SEQ_LEN)}) AS BIGINT) AS pack_id,
-       CAST(start % {SEQ_LEN} AS BIGINT) AS offset_in_pack
-FROM c ORDER BY doc_id
+         SUM(n_tokens) OVER (PARTITION BY source, subshard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS lstart
+  FROM t),
+b AS (
+  SELECT source, subshard,
+         CAST(FLOOR((SUM(n_tokens) + {SEQ_LEN - 1}) / {float(SEQ_LEN)}) AS BIGINT)
+           AS n_packs
+  FROM t GROUP BY source, subshard),
+bb AS (
+  SELECT source, subshard,
+         SUM(n_packs) OVER (PARTITION BY source ORDER BY subshard
+                            ROWS UNBOUNDED PRECEDING) - n_packs AS pack_base
+  FROM b)
+SELECT c.doc_id, c.source, c.n_tokens,
+       CAST(bb.pack_base + FLOOR(c.lstart / {float(SEQ_LEN)}) AS BIGINT) AS pack_id,
+       CAST(c.lstart % {SEQ_LEN} AS BIGINT) AS offset_in_pack
+FROM c JOIN bb USING (source, subshard)
+ORDER BY c.doc_id
 """
 
 
@@ -1570,7 +1618,13 @@ def c4_line_dedup(spark, sf_dir):
     Scale shape: one explode, one shuffle keyed by the line content (the
     corpus-wide dedup key — same exchange shape as exact_dup_groups at
     line grain), one per-doc reassembly agg. The length exemption prunes the
-    hottest keys (blank/brace lines) before the shuffle.
+    hottest keys (blank/brace lines) before the shuffle: exempt short lines
+    are SPLIT OUT of the frame with a filter and unioned back after the
+    window, so the ``partitionBy(line)`` exchange never sees them. (A
+    ``when(short, 1).otherwise(row_number())`` would NOT prune — Spark
+    evaluates the window for every row and applies the ``when`` after the
+    exchange, so a corpus-wide hot line like a shared ``EOF`` marker would
+    still land 10^9 rows on one reducer at scale.)
 
     The synthetic docs are single-line, so shared lines are synthesized
     in-plan on BOTH engines (a header shared by doc_id%5 and a footer shared
@@ -1589,13 +1643,17 @@ def c4_line_dedup(spark, sf_dir):
     lines = d.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     )
+    # Hot-key prune: exempt short lines bypass the window entirely so the
+    # hash exchange on `line` only carries the long lines.
+    short = lines.filter(F.length("line") < C4_MIN_LINE_CHARS)
+    long_lines = lines.filter(F.length("line") >= C4_MIN_LINE_CHARS)
     w = Window.partitionBy("line").orderBy("doc_id", "pos")
-    kept = lines.withColumn(
-        "rn",
-        F.when(F.length("line") < C4_MIN_LINE_CHARS, F.lit(1)).otherwise(
-            F.row_number().over(w)
-        ),
-    ).filter(F.col("rn") == 1)
+    kept = (
+        long_lines.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .unionByName(short)
+    )
     agg = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines_kept"),
         F.array_join(
@@ -1758,15 +1816,22 @@ KMV_K = 16
 _KMV_MAXH = float(16**15)  # hash space: 15 hex chars
 
 
-def kmv_distinct_sketch(spark, sf_dir, k: int = KMV_K):
+def kmv_distinct_sketch(spark, sf_dir, k: int = KMV_K, exact: bool = False):
     """Mergeable approximate-distinct sketch (K-Minimum-Values): per source,
     the k smallest md5-derived hashes of the distinct texts give the
     estimate floor((k-1) * H / kth_min) (H = hash-space size); the __ALL__
     row is the MERGE of the per-source sketches (k smallest of their union),
     which is exactly the global sketch — the property that lets 1000
     executors sketch partitions independently and combine. All integer/
-    fixed-IEEE arithmetic, so the oracle reproduces it bit-for-bit; exact
-    distinct counts ride along to show the estimate's error."""
+    fixed-IEEE arithmetic, so the oracle reproduces it bit-for-bit.
+
+    By default the __ALL__ row's ``n_exact`` is the merged-sketch ESTIMATE
+    (when the merged sketch holds fewer than k hashes it is exact by
+    construction): a global exact-distinct job is the expensive thing a KMV
+    sketch exists to avoid, so at 100 TB it must not be on the default
+    path. Pass ``exact=True`` (test/debug only) to run the full
+    ``distinct().count()`` and report the sketch's true error; building the
+    default plan triggers NO Spark job (asserted in tests/test_plans.py)."""
     d = _t(spark, sf_dir, "documents")
     hashes = d.select(
         "source",
@@ -1797,15 +1862,26 @@ def kmv_distinct_sketch(spark, sf_dir, k: int = KMV_K):
         .withColumn("rn", F.row_number().over(wg))
         .filter(F.col("rn") <= k)
     )
-    g_exact = hashes.select("h").distinct().count()  # driver-side scalar, test-scale
-    g = merged.agg(
+    gagg = merged.agg(
         F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_min"),
         F.count(F.lit(1)).cast("bigint").alias("nk"),
-    ).select(
-        F.lit("__ALL__").alias("source"),
-        F.lit(g_exact).cast("bigint").alias("n_exact"),
-        est(F.col("kth_min"), F.lit(g_exact)).alias("n_est"),
     )
+    if exact:
+        # Opt-in debug path: a full exact-distinct job — NEVER the default
+        # (it is the whole cost of the query at corpus scale).
+        g_exact = hashes.select("h").distinct().count()
+        g = gagg.select(
+            F.lit("__ALL__").alias("source"),
+            F.lit(g_exact).cast("bigint").alias("n_exact"),
+            est(F.col("kth_min"), F.lit(g_exact)).alias("n_est"),
+        )
+    else:
+        g_est = est(F.col("kth_min"), F.col("nk"))
+        g = gagg.select(
+            F.lit("__ALL__").alias("source"),
+            g_est.alias("n_exact"),
+            g_est.alias("n_est"),
+        )
     return by_src.unionByName(g).orderBy("source")
 
 
@@ -1827,13 +1903,17 @@ merged AS (
   FROM (SELECT DISTINCT h FROM ranked WHERE rn <= {KMV_K})),
 g AS (
   SELECT '__ALL__' AS source,
-         (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM hashes) AS n_exact,
-         MAX(CASE WHEN rn = {KMV_K} THEN h END) AS kth_min
+         CAST(CASE WHEN COUNT(*) >= {KMV_K}
+                   THEN FLOOR({KMV_K - 1}.0 *
+                        ({16**15}.0 / MAX(CASE WHEN rn = {KMV_K} THEN h END)))
+                   ELSE COUNT(*) END AS BIGINT) AS g_est
   FROM merged WHERE rn <= {KMV_K})
 SELECT source, n_exact,
        CAST(CASE WHEN n_exact >= {KMV_K}
                  THEN FLOOR({KMV_K - 1}.0 * ({16**15}.0 / kth_min))
                  ELSE n_exact END AS BIGINT) AS n_est
-FROM (SELECT * FROM by_src UNION ALL SELECT * FROM g)
+FROM by_src
+UNION ALL
+SELECT source, g_est AS n_exact, g_est AS n_est FROM g
 ORDER BY source
 """

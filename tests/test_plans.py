@@ -156,6 +156,73 @@ def test_curation_ops_stay_jvm_side(spark):
         assert_no_python_udf(fn(spark, SF))
 
 
+def test_c4_line_dedup_window_excludes_short_lines(spark):
+    """The r2 verdict's scale-killer fix: exempt short lines must be split
+    out BEFORE the partitionBy(line) window — a when(short,1).otherwise(
+    row_number()) still shuffles every row by line, so a corpus-wide hot
+    line (the synthesized EOF marker) lands 10^9 rows on one reducer. The
+    plan must show exactly one Window whose input is filtered to
+    length(line) >= C4_MIN_LINE_CHARS, unioned with the short-line branch."""
+    from data_exchange_hl7_spark.plans import explain_str
+
+    import re
+
+    df = qt.c4_line_dedup(spark, SF)
+    plan = explain_str(df)
+    # exactly one Window node (WindowGroupLimit pre-filters don't count)
+    assert len(re.findall(r"\(\d+\) Window\s*$", plan, re.M)) == 1
+    assert "Union" in plan
+    # the long-line filter guards the window's exchange; the short branch
+    # carries the complementary predicate
+    assert f">= {qt.C4_MIN_LINE_CHARS}" in plan
+    assert f"< {qt.C4_MIN_LINE_CHARS}" in plan
+    assert_no_python_udf(df)
+
+
+def test_sequence_packing_subshards_hot_source(spark):
+    """The r2 verdict's second scale-killer fix: packing windows partition
+    by (source, subshard), so one dominant source spreads over
+    ceil(rows/K) tasks instead of one reducer; the per-subshard pack-base
+    rebase join is a broadcast. Property: even a single source occupies
+    more than one subshard at default K."""
+    from data_exchange_hl7_spark.plans import explain_str
+
+    df = qt.sequence_packing(spark, SF)
+    plan = explain_str(df)
+    assert "subshard" in plan  # window + join keyed on the subshard
+    assert_broadcast_join(df, at_least=1)
+    assert_no_python_udf(df)
+
+    one_source = (
+        df.filter(F.col("source") == "src0")
+        .select((F.col("doc_id") / qt.SEQ_SUBSHARD).cast("bigint").alias("sub"))
+        .distinct()
+        .count()
+    )
+    assert one_source > 1, "single source must span multiple window partitions"
+
+
+def test_kmv_default_plan_builds_without_jobs(spark):
+    """kmv_distinct_sketch's exact global distinct count is opt-in: the
+    DEFAULT path must not run a full-corpus distinct().count() at
+    plan-build time (at 100 TB that job IS the query cost)."""
+    sc = spark.sparkContext
+    # baseline: a bare table read costs one parquet schema-inference job;
+    # the default sketch build must cost exactly that and nothing more.
+    sc.setJobGroup("kmv_baseline", "bare read")
+    spark.read.parquet(f"{SF}/documents.parquet")
+    base = len(sc.statusTracker().getJobIdsForGroup("kmv_baseline"))
+    sc.setJobGroup("kmv_default", "default build must be lazy")
+    qt.kmv_distinct_sketch(spark, SF)
+    n_default = len(sc.statusTracker().getJobIdsForGroup("kmv_default"))
+    sc.setJobGroup("kmv_exact", "opt-in exact path runs the distinct count")
+    qt.kmv_distinct_sketch(spark, SF, exact=True)
+    n_exact = len(sc.statusTracker().getJobIdsForGroup("kmv_exact"))
+    sc.setJobGroup("", "")
+    assert n_default <= base, f"default KMV ran extra jobs: {n_default} > {base}"
+    assert n_exact > n_default  # the opt-in really is the expensive path
+
+
 def test_kmeans_assignment_broadcasts_centroids(spark):
     """Lloyd's assignment must broadcast the k centroids (never shuffle the
     corpus against them) and keep the whole loop JVM-side."""

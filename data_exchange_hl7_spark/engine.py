@@ -424,9 +424,17 @@ class Engine:
         DataFrame -> DataFrame repair, e.g. backfilling the missing commit
         metadata that caused the rejection), and runs the normal exactly-once
         apply under a NEW epoch id. Rows that still fail validation land in
-        that epoch's rejects; epoch ordering vs the live stream is preserved
-        by the events' original lsn, which the per-key latest window orders
-        by — a reprocessed old version can never clobber a newer live one.
+        that epoch's rejects.
+
+        Ordering vs the live stream: in MoR mode the read-time per-key
+        window orders by last_lsn, so a reprocessed old version can never
+        clobber a newer live one. In CoW mode the merge REPLACES existing
+        rows for the changed keys unconditionally, so stale re-drives are
+        filtered here first: rejects are left-joined against the live
+        snapshot on the table keys and only rows with lsn greater than the
+        live row's last_lsn (or with no live row) are applied. The join is
+        bucket-pruned the same way the merge is — the reject set's buckets
+        bound which live buckets are read.
         """
         rej = self.rejects(table_name(table))
         if source_epochs is not None:
@@ -434,6 +442,20 @@ class Engine:
         events = rej.drop("status", "report_entries", "epoch")
         if fix is not None:
             events = fix(events)
+        if table.current_snapshot().get("mode") != "mor":
+            live = table.snapshot().select(
+                *KEY_COLS, F.col("last_lsn").alias("__live_lsn")
+            )
+            events = (
+                events.join(live, KEY_COLS, "left")
+                .filter(
+                    # schema DDL is keyless metadata — never lsn-guarded
+                    F.col("op").isin(*SCHEMA_OPS)
+                    | F.col("__live_lsn").isNull()
+                    | (F.col("lsn") > F.col("__live_lsn"))
+                )
+                .drop("__live_lsn")
+            )
         return self.apply_epoch(events, table, epoch=epoch)
 
 

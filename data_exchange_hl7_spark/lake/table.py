@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 from typing import Any
@@ -71,6 +72,20 @@ def _spark_type(name: str) -> T.DataType:
 
 class ConcurrentCommitError(RuntimeError):
     pass
+
+
+# One lock per table meta dir: serializes the commit critical section for
+# in-process concurrent writers (threads sharing one SparkSession — the
+# local deployment mode). Cross-process arbitration is the O_EXCL create in
+# _write_snapshot.
+_COMMIT_LOCKS: dict[str, threading.Lock] = {}
+_COMMIT_LOCKS_GUARD = threading.Lock()
+
+
+def _commit_lock(meta_dir: str) -> threading.Lock:
+    key = os.path.realpath(meta_dir)
+    with _COMMIT_LOCKS_GUARD:
+        return _COMMIT_LOCKS.setdefault(key, threading.Lock())
 
 
 class LakeTable:
@@ -170,7 +185,9 @@ class LakeTable:
                     "committed_at": s["committed_at"],
                     "schema_version": s["schema_version"],
                     "n_delta_layers": len(s.get("deltas", [])),
-                    "epochs": sorted(s["properties"]["epochs"]),
+                    # epoch keys are stringified ints: sort numerically, or
+                    # '10' orders before '2' once a table passes 9 epochs
+                    "epochs": sorted(s["properties"]["epochs"], key=int),
                 }
             )
             if s["parent"] is None:
@@ -184,25 +201,44 @@ class LakeTable:
     def _write_snapshot(self, snap: dict, expected_parent: int | None) -> None:
         """Atomic commit: write vN.json, then swap the ``current`` pointer.
 
-        Optimistic concurrency: the swap validates that ``current`` still
-        points at ``expected_parent`` (Iceberg's compare-and-swap on the
-        metadata pointer).
+        Optimistic concurrency (Iceberg's compare-and-swap on the metadata
+        pointer), serialized on two levels so a check-then-write race cannot
+        lose a commit:
+
+        - an in-process lock per table meta dir makes the check+create+swap
+          one critical section for threaded writers (the common local case);
+        - the vN.json file itself is created with O_CREAT|O_EXCL — every
+          committer derives sid = parent + 1, so across processes the
+          filesystem arbitrates: exactly one writer creates v{N+1} and the
+          loser gets EEXIST -> ConcurrentCommitError before any pointer
+          move. (A writer that crashes in the instant between the EXCL
+          create and the pointer swap leaves an orphaned v{N+1}.json that
+          blocks the next commit; recovery is deleting that file — the
+          pointer never moved, so no committed state references it.)
         """
-        cur_path = os.path.join(self.meta_dir, "current")
-        if os.path.exists(cur_path):
-            with open(cur_path) as f:
-                actual = int(f.read().strip())
-            if expected_parent is None or actual != expected_parent:
+        with _commit_lock(self.meta_dir):
+            cur_path = os.path.join(self.meta_dir, "current")
+            if os.path.exists(cur_path):
+                with open(cur_path) as f:
+                    actual = int(f.read().strip())
+                if expected_parent is None or actual != expected_parent:
+                    raise ConcurrentCommitError(
+                        f"current={actual}, expected parent={expected_parent}"
+                    )
+            sid = snap["snapshot_id"]
+            vpath = os.path.join(self.meta_dir, f"v{sid:08d}.json")
+            try:
+                fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            except FileExistsError:
                 raise ConcurrentCommitError(
-                    f"current={actual}, expected parent={expected_parent}"
-                )
-        sid = snap["snapshot_id"]
-        with open(os.path.join(self.meta_dir, f"v{sid:08d}.json"), "w") as f:
-            json.dump(snap, f)
-        tmp = cur_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(sid))
-        os.replace(tmp, cur_path)  # atomic on POSIX
+                    f"snapshot {sid} already committed by a concurrent writer"
+                ) from None
+            with os.fdopen(fd, "w") as f:
+                json.dump(snap, f)
+            tmp = cur_path + f".tmp{sid}"
+            with open(tmp, "w") as f:
+                f.write(str(sid))
+            os.replace(tmp, cur_path)  # atomic on POSIX
 
     # ------------------------------------------------------------ refs
     def create_tag(self, name: str, snapshot_id: int | None = None) -> dict:
@@ -215,17 +251,28 @@ class LakeTable:
             if snapshot_id is None
             else self._load_snapshot(snapshot_id)["snapshot_id"]
         )
-        tags = self.tags()
-        tags[name] = sid
-        with open(os.path.join(self.meta_dir, "tags.json"), "w") as f:
-            json.dump(tags, f)
+        with _commit_lock(self.meta_dir):
+            tags = self.tags()
+            tags[name] = sid
+            self._write_tags(tags)
         return {"tag": name, "snapshot_id": sid}
 
     def drop_tag(self, name: str) -> None:
-        tags = self.tags()
-        tags.pop(name, None)
-        with open(os.path.join(self.meta_dir, "tags.json"), "w") as f:
+        with _commit_lock(self.meta_dir):
+            tags = self.tags()
+            tags.pop(name, None)
+            self._write_tags(tags)
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        """tmp + os.replace, same discipline as the ``current`` pointer: a
+        crash mid-write must never leave truncated JSON (tags() feeds expiry
+        pinning and snapshot(as_of=tag)). Callers hold the table's commit
+        lock so concurrent create/drop cannot lose each other's tags."""
+        path = os.path.join(self.meta_dir, "tags.json")
+        tmp = f"{path}.tmp{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
             json.dump(tags, f)
+        os.replace(tmp, path)
 
     def tags(self) -> dict[str, int]:
         path = os.path.join(self.meta_dir, "tags.json")
@@ -277,8 +324,39 @@ class LakeTable:
         return {"published": True, "snapshot_id": snap["snapshot_id"]}
 
     def discard_staged(self, token: str) -> None:
-        """Drop a staged snapshot that failed its audit. Its data directory
-        becomes an orphan and is swept by ``expire_snapshots``."""
+        """Drop a staged snapshot that failed its audit AND reclaim its data
+        directories immediately. The staged write landed under per-attempt
+        ``s<sid>-<uuid>`` roots private to this token, and expire_snapshots
+        only sweeps roots with sid <= the current snapshot id — so on a
+        table with no further commits an orphaned stage would otherwise
+        never be reclaimed. Roots still referenced by any committed snapshot
+        on disk or by another staged token are left alone."""
+        snap = self._load_staged(token)
+
+        def roots(s: dict) -> set[str]:
+            out: set[str] = set()
+            for entry in s["buckets"].values():
+                out.update(f.split("/", 1)[0] for f in entry["files"])
+            for d in s.get("deltas", []):
+                for fs in d["files"].values():
+                    out.update(f.split("/", 1)[0] for f in fs)
+            return out
+
+        mine = roots(snap)
+        live: set[str] = set()
+        for fname in os.listdir(self.meta_dir):
+            is_committed = fname.startswith("v") and fname.endswith(".json")
+            is_other_stage = (
+                fname.startswith("staged-")
+                and fname.endswith(".json")
+                and fname != f"staged-{token}.json"
+            )
+            if not (is_committed or is_other_stage):
+                continue
+            with open(os.path.join(self.meta_dir, fname)) as f:
+                live |= roots(json.load(f))
+        for root in mine - live:
+            shutil.rmtree(os.path.join(self.data_dir, root), ignore_errors=True)
         os.remove(os.path.join(self.meta_dir, f"staged-{token}.json"))
 
     def schema_fields(self, snap: dict | None = None) -> list[dict]:

@@ -256,3 +256,65 @@ def test_reprocess_rejects_after_fix(spark, tmp_path):
     # still-invalid rows (e.g. unknown op) went to the NEW epoch's rejects
     rej2 = eng.rejects().filter(F.col("epoch") == 10_000)
     assert rej2.filter(F.coalesce(F.trim("commit"), F.lit("")) == "").count() == 0
+
+
+def test_reprocess_rejects_cow_no_stale_clobber(spark, tmp_path):
+    """CoW merge replaces matched keys unconditionally (no read-time lsn
+    window like MoR), so reprocess_rejects must drop stale re-drives BEFORE
+    apply: a rejected old version of a key whose live row is newer must not
+    overwrite it. Same no-clobber contract as the MoR test, on mode='cow'."""
+    from data_exchange_hl7_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="cow")
+    table = eng.snapshot_table("repo_files")
+    events = change_events(spark, 4000)
+    MicroBatchRunner(eng, epoch_size=2000).run(events, table)
+
+    rej = eng.rejects()
+    assert rej.count() > 0
+    before = {(r["repo"], r["path"]): (r["last_lsn"], r["content_sha256"])
+              for r in table.snapshot().collect()}
+
+    # deterministic stale re-drive: a VALID event for an existing live key
+    # with lsn 0 (older than any live version). Without the guard, the CoW
+    # merge would replace the live row with this content unconditionally.
+    victim = table.snapshot().orderBy(F.desc("last_lsn")).limit(1).collect()[0]
+    vkey = (victim["repo"], victim["path"])
+    stale_ev = (
+        events.filter(
+            (F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"])
+        )
+        .limit(1)
+        .withColumn("op", F.lit("UPDATE"))
+        .withColumn("lsn", F.lit(0).cast("bigint"))
+        .withColumn("commit", F.lit("stale-commit"))
+        .withColumn("content", F.lit("stale content that must never land"))
+    )
+
+    def fix(df):
+        repaired = df.withColumn(
+            "commit",
+            F.when(
+                F.coalesce(F.trim("commit"), F.lit("")) == "", F.lit("backfilled")
+            ).otherwise(F.col("commit")),
+        )
+        return repaired.unionByName(stale_ev.select(*repaired.columns))
+
+    r = eng.reprocess_rejects(table, epoch=10_000, fix=fix)
+    assert r["applied"]
+
+    after = {(r["repo"], r["path"]): (r["last_lsn"], r["content_sha256"])
+             for r in table.snapshot().collect()}
+    deleted_keys = {}
+    for r in rej.filter(F.col("op") == "DELETE").collect():
+        k = (r["repo"], r["path"])
+        deleted_keys[k] = max(deleted_keys.get(k, 0), r["lsn"])
+    for k, (lsn, sha) in before.items():
+        if k in after:
+            assert after[k][0] >= lsn, f"stale re-drive clobbered {k}"
+            if after[k][0] == lsn:
+                assert after[k][1] == sha, f"same-lsn row changed content {k}"
+        else:
+            assert k in deleted_keys and deleted_keys[k] > lsn, k
+    # the injected stale event was filtered out, not applied
+    assert after[vkey] == before[vkey], "stale re-drive clobbered the live row"

@@ -538,3 +538,33 @@ def test_tags_pin_snapshots_against_expiry(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError):
         t.snapshot(as_of="v1.0")
+
+
+def test_discard_staged_reclaims_data_dirs(spark, tmp_path):
+    """discard_staged must delete the staged write's private data roots
+    immediately: they are named s<sid>-<uuid> with sid = current+1, and
+    expire_snapshots only sweeps roots with sid <= current, so without a
+    later commit an orphaned stage would never be reclaimed."""
+    import os
+
+    t = _mk(spark, tmp_path, "dsc", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    before = set(os.listdir(t.data_dir))
+    r = t.merge(_changes(spark, [("b", "2", 2, 2, "U")]), epoch=1, publish=False)
+    staged_roots = set(os.listdir(t.data_dir)) - before
+    assert staged_roots, "stage must have written new data roots"
+
+    t.discard_staged(r["staged"])
+    assert not (set(os.listdir(t.data_dir)) & staged_roots), "orphan kept"
+    # committed state untouched and readable
+    assert {x["k"] for x in t.snapshot().collect()} == {"a"}
+
+
+def test_history_epochs_sort_numerically(spark, tmp_path):
+    """Epoch keys are stringified ints; past 9 epochs a lexicographic sort
+    would order '10' before '2' in the lineage output."""
+    t = _mk(spark, tmp_path, "hist12", mode="mor")
+    for e in range(12):
+        t.merge(_changes(spark, [("a", str(e), e, e + 1, "U")]), epoch=e)
+    epochs = [int(e) for e in t.history()[0]["epochs"]]
+    assert epochs == list(range(12))

@@ -4,6 +4,19 @@
 section 2 (+ the training-data ops); ``oracle_sql()`` gives the DuckDB
 equivalent for the value-hash correctness gate. Implementation lives in
 ``data_exchange_hl7_spark/queries*.py``.
+
+ORDERING CONTRACT: the driver's correctness harness certifies the FIRST 50
+entries of ``queries()`` each round. The dict is therefore ordered by
+certification need, not by topic:
+  1. operators that have never had a green CORRECTNESS row (r2 verdict's
+     top item — positions 1-10),
+  2. operators green in r1 but modified since (11-17),
+  3. operators new this round (18-22),
+  4. operators whose code changed this round (23-28),
+  5. the core CDC/lake/streaming family (29-50),
+  6. tail: stable queries already green in BOTH r1 and r2, byte-unchanged
+     since — rotated out of the window to make room (51+).
+Rotate per round so every operator accumulates green rows across rounds.
 """
 
 from __future__ import annotations
@@ -27,87 +40,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # TPC-H-ish core: scan/filter/agg/join
-        "q1_pricing_summary": q.q1_pricing_summary,
-        "q3_shipping_priority": q.q3_shipping_priority,
-        "q5_region_revenue": q.q5_region_revenue,
-        # CDC ordering / dedup (A1, A2, A6)
+        # --- 1-10: never oracle-certified before this round -------------
+        "simhash_dup_pairs": qt.simhash_dup_pairs,
+        "decontamination": qt.decontamination,
+        "c4_line_dedup": qt.c4_line_dedup,
+        "ivf_train_kmeans": qt.ivf_train_kmeans,
+        "ivf_topk_trained": qt.ivf_topk_trained,
+        "ann_recall_at_k": qt.ann_recall_at_k,
+        "pii_scrub": qt.pii_scrub,
+        "sequence_packing": qt.sequence_packing,
+        "stratified_sample": qt.stratified_sample,
+        "corpus_prep_neardup": qt.corpus_prep_neardup,
+        # --- 11-17: green in r1, modified since, untested in r2 ---------
+        "simhash_signatures": qt.simhash_signatures,
+        "ann_bruteforce_topk": qt.ann_bruteforce_topk,
+        "ivf_partition_assign": qt.ivf_partition_assign,
+        "ivf_topk": qt.ivf_topk,
+        "embedding_cosine_dups": qt.embedding_cosine_dups,
+        "corpus_prep_pipeline": qt.corpus_prep_pipeline,
+        "multimodal_binary_meta": qt.multimodal_binary_meta,
+        # --- 18-22: new this round ---------------------------------------
+        "errors_by_message": q.errors_by_message,
+        "sql_model_vocab_enriched": q.sql_model_vocab_enriched,
+        "obx_epi_split": q.obx_epi_split,
+        "multimodal_extract_features": qt.multimodal_extract_features,
+        "simhash_dup_pairs_wide": qt.simhash_dup_pairs_wide,
+        # --- 23-28: code touched this round — re-certify ------------------
+        "kmv_distinct_sketch": qt.kmv_distinct_sketch,
+        "nist_report_counts": q.nist_report_counts,
+        "vocab_validation": q.vocab_validation,
+        "sql_model_child": q.sql_model_child,
+        "hl7_segments": q.hl7_segments,
+        "nearest_preceding_anchor": q.nearest_preceding_anchor,
+        # --- 29-50: core CDC / lake / streaming family --------------------
         "cdc_latest_state": q.cdc_latest_state,
         "latest_flag_sequencing": q.latest_flag_sequencing,
         "latest_state_salted": q.latest_state_salted,
-        "case_id_derivation": q.case_id_derivation,
         "dup_detection": q.dup_detection,
-        # reports / aggregation / branch (A3, A4, A5, K2)
-        "error_summary": q.error_summary,
-        "errors_by_category": q.errors_by_category,
-        "errors_by_path": q.errors_by_path,
-        "receiver_file_report": q.receiver_file_report,
-        "branch_router": q.branch_router,
-        "distinct_profiles": q.distinct_profiles,
-        # validation reports (V2 three-category NistReport, V4/V6 vocab)
-        "vocab_validation": q.vocab_validation,
-        "nist_report_counts": q.nist_report_counts,
-        "profile_resolution": q.profile_resolution,
-        "embedded_binary_strip": q.embedded_binary_strip,
-        "sql_model_child": q.sql_model_child,
-        "hl7_debatch": q.hl7_debatch,
-        "hl7_segments": q.hl7_segments,
-        "redaction": q.redaction,
-        "mmg_content_validation": q.mmg_content_validation,
-        # scalar surface (2.8) + as-of / sessionize (J4, 2.9)
-        "scalar_functions": q.scalar_functions,
-        "name_normalization": q.name_normalization,
-        "nearest_preceding_anchor": q.nearest_preceding_anchor,
-        "sessionize": q.sessionize,
-        "interval_range_join": q.interval_range_join,
-        # debatch / segments (D2, T2)
-        "debatch_documents": q.debatch_documents,
-        "segment_rows": q.segment_rows,
-        # lake surface: time travel, CDF, stats-pruned read (K3/K6, 2.9)
         "time_travel_as_of": q.time_travel_as_of,
         "change_data_feed": q.change_data_feed,
         "filtered_snapshot_read": q.filtered_snapshot_read,
         "schema_evolution_read": q.schema_evolution_read,
         "rebucket_read": q.rebucket_read,
-        # streaming analytics surface (2.9): event-time windows, stateful dedup
         "tumbling_window_counts": q.tumbling_window_counts,
         "sliding_window_counts": q.sliding_window_counts,
         "streaming_dedup_batch": q.streaming_dedup_batch,
-        # text analysis
+        "hl7_debatch": q.hl7_debatch,
+        "redaction": q.redaction,
+        "mmg_content_validation": q.mmg_content_validation,
+        "profile_resolution": q.profile_resolution,
+        "embedded_binary_strip": q.embedded_binary_strip,
+        "sessionize": q.sessionize,
+        "interval_range_join": q.interval_range_join,
+        "exact_dup_groups": qt.exact_dup_groups,
+        "minhash_dup_pairs": qt.minhash_dup_pairs,
+        "dup_clusters": qt.dup_clusters,
+        # --- 51+: stable, green in r1 AND r2, unchanged — rotated out ----
+        "minhash_signatures": qt.minhash_signatures,
+        "ngram_jaccard_pairs": qt.ngram_jaccard_pairs,
         "token_stats": qt.token_stats,
         "lang_id_heuristic": qt.lang_id_heuristic,
         "quality_score": qt.quality_score,
         "repetition_quality_flags": qt.repetition_quality_flags,
         "doc_fingerprint": qt.doc_fingerprint,
         "tfidf_top_terms": qt.tfidf_top_terms,
-        "kmv_distinct_sketch": qt.kmv_distinct_sketch,
-        # dedup family
-        "exact_dup_groups": qt.exact_dup_groups,
-        "minhash_signatures": qt.minhash_signatures,
-        "minhash_dup_pairs": qt.minhash_dup_pairs,
-        "dup_clusters": qt.dup_clusters,
-        "ngram_jaccard_pairs": qt.ngram_jaccard_pairs,
-        "simhash_signatures": qt.simhash_signatures,
-        "simhash_dup_pairs": qt.simhash_dup_pairs,
-        "decontamination": qt.decontamination,
-        "c4_line_dedup": qt.c4_line_dedup,
-        # similarity search
-        "ann_bruteforce_topk": qt.ann_bruteforce_topk,
-        "ivf_partition_assign": qt.ivf_partition_assign,
-        "ivf_train_kmeans": qt.ivf_train_kmeans,
-        "ivf_topk": qt.ivf_topk,
-        "ivf_topk_trained": qt.ivf_topk_trained,
-        "ann_recall_at_k": qt.ann_recall_at_k,
-        "embedding_cosine_dups": qt.embedding_cosine_dups,
-        # corpus curation: PII scrub, packing, sampling
-        "pii_scrub": qt.pii_scrub,
-        "sequence_packing": qt.sequence_packing,
-        "stratified_sample": qt.stratified_sample,
-        # composed corpus-prep pipeline
-        "corpus_prep_pipeline": qt.corpus_prep_pipeline,
-        "corpus_prep_neardup": qt.corpus_prep_neardup,
-        # multimodal plumbing
-        "multimodal_binary_meta": qt.multimodal_binary_meta,
+        "q1_pricing_summary": q.q1_pricing_summary,
+        "q3_shipping_priority": q.q3_shipping_priority,
+        "q5_region_revenue": q.q5_region_revenue,
+        "case_id_derivation": q.case_id_derivation,
+        "error_summary": q.error_summary,
+        "errors_by_category": q.errors_by_category,
+        "errors_by_path": q.errors_by_path,
+        "receiver_file_report": q.receiver_file_report,
+        "branch_router": q.branch_router,
+        "distinct_profiles": q.distinct_profiles,
+        "scalar_functions": q.scalar_functions,
+        "name_normalization": q.name_normalization,
+        "debatch_documents": q.debatch_documents,
+        "segment_rows": q.segment_rows,
     }
 
 
@@ -124,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "error_summary": q.ORACLE_ERROR_SUMMARY,
         "errors_by_category": q.ORACLE_ERR_BY_CAT,
         "errors_by_path": q.ORACLE_ERR_BY_PATH,
+        "errors_by_message": q.ORACLE_ERR_BY_MESSAGE,
         "receiver_file_report": q.ORACLE_RECEIVER,
         "branch_router": q.ORACLE_BRANCH,
         "distinct_profiles": q.ORACLE_DISTINCT,
@@ -132,6 +143,8 @@ def oracle_sql() -> dict[str, str]:
         "profile_resolution": q.ORACLE_PROFILE_RESOLUTION,
         "embedded_binary_strip": q.ORACLE_EMBEDDED_STRIP,
         "sql_model_child": q.ORACLE_SQL_MODEL_CHILD,
+        "sql_model_vocab_enriched": q.ORACLE_SQL_MODEL_ENRICHED,
+        "obx_epi_split": q.ORACLE_OBX_EPI_SPLIT,
         "hl7_debatch": q.ORACLE_HL7_DEBATCH,
         "hl7_segments": q.ORACLE_HL7_SEGMENTS,
         "redaction": q.ORACLE_REDACTION,
@@ -165,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": qt.ORACLE_JACCARD,
         "simhash_signatures": qt.ORACLE_SIMHASH,
         "simhash_dup_pairs": qt.ORACLE_SIMHASH_PAIRS,
+        "simhash_dup_pairs_wide": qt.ORACLE_SIMHASH_PAIRS_WIDE,
         "decontamination": qt.ORACLE_DECON,
         "c4_line_dedup": qt.ORACLE_C4_LINES,
         "pii_scrub": qt.ORACLE_PII,
@@ -180,4 +194,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep_pipeline": qt.ORACLE_CORPUS_PREP,
         "corpus_prep_neardup": qt.ORACLE_CORPUS_PREP_NEARDUP,
         "multimodal_binary_meta": qt.ORACLE_MULTIMODAL,
+        "multimodal_extract_features": qt.ORACLE_MULTIMODAL_FEATURES,
     }

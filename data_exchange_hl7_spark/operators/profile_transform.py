@@ -258,3 +258,51 @@ def attach_nearest_preceding(
         ignorenulls=True,
     ).over(w)
     return df.withColumn("parent_anchor", anchor)
+
+
+# The reference's epi-section marker: OBR-4.1 of the anchor observation
+# request (spikes/cbs-pipeline/silver/hl7/fn_hl7_to_obxs_and_segm.scala:36-68)
+EPI_OBR_CODE = "68991-9"
+
+
+def split_obx_epi(
+    seg_rows: DataFrame,
+    id_cols: list[str] | None = None,
+    epi_code: str = EPI_OBR_CODE,
+) -> DataFrame:
+    """T3 completion — the reference silver stage's 3-way segment bucket
+    (fn_hl7_to_obxs_and_segm.scala:36-68): every OBX is classified by its
+    nearest PRECEDING OBR's OBR-4.1 code — ``epi_obx`` when the anchor is
+    the epi section (68991-9), ``non_epi_obx`` otherwise — and every other
+    segment type lands in ``other``.
+
+    Input is ``segment_lake`` output (one row per segment, ordered by
+    line_no within the message). One window pass per message computes the
+    carried-forward anchor code (same as-of shape as
+    attach_nearest_preceding); the bucket is then a narrow CASE — no second
+    shuffle, and downstream 3-output writes are ``partitionBy(obx_bucket)``
+    on the same frame. Adds ``anchor_obr_code`` and ``obx_bucket``.
+    """
+    id_cols = id_cols or ["message_id"]
+    w = (
+        Window.partitionBy(*id_cols)
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obr4_1 = F.try_element_at(
+        F.split(_field_from_line(F.col("segment_line"), "OBR", 4), r"\^"), F.lit(1)
+    )
+    anchor_code = F.last(
+        F.when(F.col("segment_type") == "OBR", obr4_1), ignorenulls=True
+    ).over(w)
+    bucket = (
+        F.when(
+            (F.col("segment_type") == "OBX") & (anchor_code == F.lit(epi_code)),
+            F.lit("epi_obx"),
+        )
+        .when(F.col("segment_type") == "OBX", F.lit("non_epi_obx"))
+        .otherwise(F.lit("other"))
+    )
+    return seg_rows.withColumn("anchor_obr_code", anchor_code).withColumn(
+        "obx_bucket", bucket
+    )

@@ -28,7 +28,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-VOCAB_SCHEMA = "value_set_code string, concept_code string, concept_name string"
+VOCAB_SCHEMA = (
+    "value_set_code string, concept_code string, concept_name string, "
+    "preferred_name string"
+)
 
 
 @dataclass(frozen=True)
@@ -50,9 +53,11 @@ class VocabCheck:
 
 
 def vocab_table(spark: SparkSession, rows: list[tuple]) -> DataFrame:
-    """Build a vocab dim from (value_set_code, concept_code[, concept_name])
-    tuples — the content_vocab_lookup.scala load shape."""
-    full = [(r + (None,) * (3 - len(r)))[:3] for r in rows]
+    """Build a vocab dim from (value_set_code, concept_code[, concept_name
+    [, preferred_name]]) tuples — the content_vocab_lookup.scala load shape
+    (concept_name = code-system designation, preferred_name = the CDC
+    preferred designation the reference's SQL model denormalizes in)."""
+    full = [(tuple(r) + (None,) * (4 - len(r)))[:4] for r in rows]
     return spark.createDataFrame(full, VOCAB_SCHEMA)
 
 
@@ -105,3 +110,36 @@ def check_vocab(
         )
     arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
     return out.withColumn(out_col, arr).drop(*[m for _, m in probes])
+
+
+def enrich_coded(
+    df: DataFrame,
+    vocab: DataFrame,
+    code_col,
+    value_set_code: str,
+    out_prefix: str,
+) -> DataFrame:
+    """CE/CWE coded-type enrichment (reference T5 SQL model,
+    deprecated/fn-mmg-sql-transformer TransformerSql.kt:68-74): for a coded
+    element, denormalize two vocab designations onto the row —
+    ``{prefix}_code_system_concept_name`` (the concept's name in its code
+    system) and ``{prefix}_cdc_preferred_designation`` (the CDC preferred
+    name) — by looking the code up in the value set.
+
+    Spark-first: one broadcast left join per coded element (value sets are
+    config-sized dims; the fact side streams through, same scale shape as
+    check_vocab). ``code_col`` may be any Column (e.g. a coded struct's
+    ``.code`` field); unmatched or null codes leave both columns null, which
+    is the reference's behavior for unknown concepts.
+    """
+    code_col = F.col(code_col) if isinstance(code_col, str) else code_col
+    marker = f"__enrich_{out_prefix}"
+    dim = (
+        vocab.filter(F.col("value_set_code") == value_set_code)
+        .select(
+            F.col("concept_code").alias(marker),
+            F.col("concept_name").alias(f"{out_prefix}_code_system_concept_name"),
+            F.col("preferred_name").alias(f"{out_prefix}_cdc_preferred_designation"),
+        )
+    )
+    return df.join(F.broadcast(dim), code_col == dim[marker], "left").drop(marker)

@@ -317,6 +317,33 @@ GROUP BY 1 ORDER BY path
 """
 
 
+def errors_by_message(spark, sf_dir):
+    """A3 by-message grouping over the REAL report-entry pipeline
+    (ValidationController.kt:415-416 groupingBy{it.message}.eachCount()):
+    the synthesized NistReport frame is validated, entries explode, and
+    only messages carrying at least one entry (error OR warning) appear —
+    the sinks.errors_by_message operator end-to-end under the oracle."""
+    from data_exchange_hl7_spark.operators import validate as V
+    from data_exchange_hl7_spark.operators.sinks import errors_by_message as by_msg
+
+    return by_msg(V.validate(_nist_frame(_t(spark, sf_dir, "events"))))
+
+
+# entry census of _nist_frame, per event: missing commit (structure) +
+# RENAME-without-new_path (structure) + whitespace pollution (content warn)
+ORACLE_ERR_BY_MESSAGE = """
+WITH e AS (
+  SELECT event_id,
+         (CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN event_type = 'view' AND user_id % 3 <> 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN event_type <> 'error' AND user_id % 5 = 0 THEN 1 ELSE 0 END)
+         AS n_entries
+  FROM events)
+SELECT event_id, CAST(n_entries AS BIGINT) AS n_entries
+FROM e WHERE n_entries > 0 ORDER BY event_id
+"""
+
+
 def receiver_file_report(spark, sf_dir):
     """A4 per-file receiver report: counts + error share per source file
     (ReceiverEventReport.kt:5-16)."""
@@ -621,15 +648,11 @@ FROM j ORDER BY event_id
 """
 
 
-def nist_report_counts(spark, sf_dir):
-    """V2 three-category NistReport over a synthesized change-event frame:
-    structure (missing commit, RENAME without new_path), content (whitespace
-    pollution warning), value-set (empty here) — counts from the entries
-    struct (NistReport.kt:33-55) and status from the precedence rule."""
-    from data_exchange_hl7_spark.operators import validate as V
-
-    ev = _t(spark, sf_dir, "events")
-    df = ev.select(
+def _nist_frame(ev):
+    """Shared synthesized change-event frame for the NistReport queries:
+    structure issues (missing commit, RENAME without new_path), content
+    issues (whitespace pollution), deterministic per event_id."""
+    return ev.select(
         "event_id",
         F.when(F.col("event_type") == "signup", F.lit("INSERT"))
         .when(F.col("event_type") == "view", F.lit("RENAME"))
@@ -650,7 +673,16 @@ def nist_report_counts(spark, sf_dir):
         .otherwise(F.col("props"))
         .alias("content"),
     )
-    out = V.validate(df)
+
+
+def nist_report_counts(spark, sf_dir):
+    """V2 three-category NistReport over a synthesized change-event frame:
+    structure (missing commit, RENAME without new_path), content (whitespace
+    pollution warning), value-set (empty here) — counts from the entries
+    struct (NistReport.kt:33-55) and status from the precedence rule."""
+    from data_exchange_hl7_spark.operators import validate as V
+
+    out = V.validate(_nist_frame(_t(spark, sf_dir, "events")))
     return out.select(
         "event_id",
         "status",
@@ -839,6 +871,144 @@ SELECT event_id,
             ELSE event_type END AS value
 FROM events, (SELECT UNNEST([1, 2]) AS i) u
 ORDER BY event_id, seq
+"""
+
+
+def sql_model_vocab_enriched(spark, sf_dir):
+    """T5 + CE/CWE coded-type enrichment (TransformerSql.kt:68-74 adds
+    ``_code_system_concept_name`` / ``_cdc_preferred_designation`` columns
+    for coded elements by vocab lookup; vocab shape from
+    content_vocab_lookup.scala:2-26): the OBX child table is built by the
+    real to_sql_model with OBX-2 dynamic typing — repeat 1 is CE (coded),
+    repeat 2 is ST (plain) — then enrich_coded broadcast-joins the coded
+    rows' code against the value set. ST rows and unknown codes ('error'
+    is absent from the vocab) keep both designations null."""
+    from data_exchange_hl7_spark.operators.profile_transform import to_sql_model
+    from data_exchange_hl7_spark.operators.vocab import enrich_coded, vocab_table
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        F.col("event_id").cast("string").alias("message_id"),
+        F.concat(
+            F.lit("MSH|^~\\&|app\nOBX|1|CE|55555-5||"),
+            F.col("event_type"),
+            F.lit("^desc^SYS\nOBX|2|ST|77968-6||plain"),
+        ).alias("content"),
+    )
+    profile = {
+        "OBX": {
+            "cardinality": "[0..*]",
+            "fields": [
+                {"name": "set_id", "field": 1},
+                {"name": "obs", "field": 5, "dynamic_type_from": 2},
+            ],
+        }
+    }
+    child = to_sql_model(df, profile)["obx_repeating_group"]
+    vocab = vocab_table(
+        spark,
+        [
+            ("EVENT_TYPE", t, t.upper(), t.capitalize() + " (CDC)")
+            for t in EVENT_TYPE_VOCAB
+        ],
+    )
+    out = enrich_coded(child, vocab, F.col("obs")["code"], "EVENT_TYPE", "obs")
+    return out.select(
+        F.col("message_id").cast("bigint").alias("event_id"),
+        "seq",
+        F.col("obs")["type"].alias("value_type"),
+        F.col("obs")["code"].alias("code"),
+        "obs_code_system_concept_name",
+        "obs_cdc_preferred_designation",
+    ).orderBy("event_id", "seq")
+
+
+_ENRICH_VALUES = ", ".join(
+    f"('{t}', '{t.upper()}', '{t.capitalize()} (CDC)')" for t in EVENT_TYPE_VOCAB
+)
+ORACLE_SQL_MODEL_ENRICHED = f"""
+WITH v(code, cname, pref) AS (VALUES {_ENRICH_VALUES}),
+rows AS (
+  SELECT event_id, u.i AS seq,
+         CASE WHEN u.i = 1 THEN 'CE' ELSE 'ST' END AS value_type,
+         CASE WHEN u.i = 1 THEN event_type END AS code
+  FROM events, (SELECT UNNEST([1, 2]) AS i) u)
+SELECT r.event_id, CAST(r.seq AS INT) AS seq, r.value_type, r.code,
+       v.cname AS obs_code_system_concept_name,
+       v.pref AS obs_cdc_preferred_designation
+FROM rows r LEFT JOIN v ON r.code = v.code
+ORDER BY r.event_id, r.seq
+"""
+
+
+def obx_epi_split(spark, sf_dir):
+    """The reference silver stage's epi / non-epi / other 3-way segment
+    bucket (fn_hl7_to_obxs_and_segm.scala:36-68): each OBX inherits its
+    nearest preceding OBR's OBR-4.1; anchor code 68991-9 marks the epi
+    section. Messages synthesize two OBR groups (the first flips to a
+    non-epi code for 'error' events, so both epi and non-epi populations
+    exist); runs the real segment_lake + split_obx_epi operators."""
+    from data_exchange_hl7_spark.operators.profile_transform import (
+        segment_lake,
+        split_obx_epi,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    first_code = (
+        F.when(F.col("event_type") == "error", F.lit("11111-1"))
+        .otherwise(F.lit("68991-9"))
+    )
+    df = ev.select(
+        F.col("event_id").cast("string").alias("message_id"),
+        F.concat(
+            F.lit("MSH|^~\\&|app\nOBR|1||A|"),
+            first_code,
+            F.lit(
+                "^Epi\nOBX|1|ST|Q1||v1\nOBX|2|ST|Q2||v2\n"
+                "OBR|2||B|12345-6^Other\nOBX|3|ST|Q3||v3\nNTE|1|note"
+            ),
+        ).alias("content"),
+    )
+    rows = split_obx_epi(segment_lake(df))
+    return rows.select(
+        F.col("message_id").cast("bigint").alias("event_id"),
+        "line_no",
+        "segment_type",
+        "anchor_obr_code",
+        "obx_bucket",
+    ).orderBy("event_id", "line_no")
+
+
+ORACLE_OBX_EPI_SPLIT = r"""
+WITH docs AS (
+  SELECT event_id,
+         'MSH|^~\&|app' || chr(10) ||
+         'OBR|1||A|' ||
+         CASE WHEN event_type = 'error' THEN '11111-1' ELSE '68991-9' END ||
+         '^Epi' || chr(10) ||
+         'OBX|1|ST|Q1||v1' || chr(10) || 'OBX|2|ST|Q2||v2' || chr(10) ||
+         'OBR|2||B|12345-6^Other' || chr(10) || 'OBX|3|ST|Q3||v3' || chr(10) ||
+         'NTE|1|note' AS content
+  FROM events),
+lines AS (
+  SELECT event_id,
+         UNNEST(string_split(content, chr(10))) AS line,
+         GENERATE_SUBSCRIPTS(string_split(content, chr(10)), 1) AS pos
+  FROM docs),
+t AS (
+  SELECT event_id, pos, SUBSTR(line, 1, 3) AS segment_type,
+         LAST_VALUE(CASE WHEN SUBSTR(line, 1, 3) = 'OBR'
+                         THEN STR_SPLIT(STR_SPLIT(line, '|')[5], '^')[1]
+                    END IGNORE NULLS)
+           OVER (PARTITION BY event_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS anchor_obr_code
+  FROM lines)
+SELECT event_id, CAST(pos AS INT) AS line_no, segment_type, anchor_obr_code,
+       CASE WHEN segment_type = 'OBX' AND anchor_obr_code = '68991-9'
+                 THEN 'epi_obx'
+            WHEN segment_type = 'OBX' THEN 'non_epi_obx'
+            ELSE 'other' END AS obx_bucket
+FROM t ORDER BY event_id, line_no
 """
 
 

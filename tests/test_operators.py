@@ -547,3 +547,63 @@ def test_content_entries_fold_into_nist_report(spark):
     ).collect()[0]
     assert out["error_count"]["value_set"] == 1
     assert out["status"] == "CONTENT_ERRORS"
+
+
+def test_enrich_coded_designations(spark):
+    """TransformerSql.kt:68-74: coded elements gain _code_system_concept_name
+    and _cdc_preferred_designation by vocab lookup; unknown and null codes
+    leave both null."""
+    from pyspark.sql import functions as F
+
+    from data_exchange_hl7_spark.operators.vocab import enrich_coded, vocab_table
+
+    vocab = vocab_table(
+        spark, [("YNU", "Y", "Yes", "Yes (CDC)"), ("YNU", "N", "No", "No (CDC)")]
+    )
+    df = spark.createDataFrame(
+        [("m1", "Y"), ("m2", "N"), ("m3", "X"), ("m4", None)], "id string, code string"
+    )
+    out = {
+        r["id"]: r
+        for r in enrich_coded(df, vocab, F.col("code"), "YNU", "ans").collect()
+    }
+    assert out["m1"]["ans_code_system_concept_name"] == "Yes"
+    assert out["m1"]["ans_cdc_preferred_designation"] == "Yes (CDC)"
+    assert out["m2"]["ans_cdc_preferred_designation"] == "No (CDC)"
+    assert out["m3"]["ans_code_system_concept_name"] is None
+    assert out["m4"]["ans_code_system_concept_name"] is None
+
+
+def test_split_obx_epi_golden_two_obr(spark):
+    """fn_hl7_to_obxs_and_segm.scala:36-68 golden: OBXs under the 68991-9
+    OBR are epi, OBXs under any other OBR are non-epi, everything else
+    (incl. OBX before any OBR) is other/non-epi by the anchor rule."""
+    from data_exchange_hl7_spark.operators.profile_transform import (
+        segment_lake,
+        split_obx_epi,
+    )
+
+    msg = (
+        "MSH|^~\\&|app\n"
+        "OBX|1|ST|loose||x\n"            # OBX before any OBR -> non_epi (no anchor)
+        "OBR|1||A|68991-9^Epi Info\n"
+        "OBX|2|ST|q1||v1\n"
+        "OBX|3|ST|q2||v2\n"
+        "OBR|2||B|11111-1^Lab\n"
+        "OBX|4|ST|q3||v3\n"
+        "NTE|1|note\n"
+    )
+    df = spark.createDataFrame([("m1", msg)], "message_id string, content string")
+    rows = {
+        r["line_no"]: r for r in split_obx_epi(segment_lake(df)).collect()
+    }
+    assert rows[1]["obx_bucket"] == "other"            # MSH
+    assert rows[2]["obx_bucket"] == "non_epi_obx"      # anchor-less OBX
+    assert rows[2]["anchor_obr_code"] is None
+    assert rows[3]["obx_bucket"] == "other"            # OBR itself
+    assert rows[4]["obx_bucket"] == "epi_obx"
+    assert rows[5]["obx_bucket"] == "epi_obx"
+    assert rows[4]["anchor_obr_code"] == "68991-9"
+    assert rows[7]["obx_bucket"] == "non_epi_obx"      # under the lab OBR
+    assert rows[7]["anchor_obr_code"] == "11111-1"
+    assert rows[8]["obx_bucket"] == "other"            # NTE

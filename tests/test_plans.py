@@ -284,3 +284,43 @@ def test_tfidf_top_terms_shape(spark):
     assert_no_python_udf(df)
     # explode -> tf agg -> df agg -> join back -> window -> sort: bounded
     assert n_exchanges(df) <= 6
+
+
+def test_vocab_enrichment_broadcasts_dim(spark):
+    """enrich_coded's scale contract: the value-set dim is the broadcast
+    side (config-sized); the child-table fact side streams through — and
+    the whole query stays JVM-side."""
+    df = q.sql_model_vocab_enriched(spark, SF)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_python_udf(df)
+
+
+def test_obx_epi_split_single_window_pass(spark):
+    """split_obx_epi classifies with ONE per-message window (the as-of
+    anchor carry-forward) and a narrow CASE — no second shuffle beyond the
+    window exchange + presentation sort."""
+    df = q.obx_epi_split(spark, SF)
+    assert n_exchanges(df) <= 2
+    assert_no_python_udf(df)
+
+
+def test_extract_features_is_declared_arrow_stage(spark):
+    """The one Python-visible batch stage must be mapInPandas (Arrow), never
+    BatchEvalPython row-at-a-time."""
+    from data_exchange_hl7_spark.plans import explain_str
+
+    df = qt.multimodal_extract_features(spark, SF)
+    plan = explain_str(df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_simhash_wide_banded_join_shape(spark):
+    """The production-width (64-bit / 4x16-band) pair join keeps the banded
+    equi-join shape — no cartesian at the width real dedup runs at."""
+    from data_exchange_hl7_spark.plans import explain_str
+
+    df = qt.simhash_dup_pairs_wide(spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert_no_python_udf(df)

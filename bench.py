@@ -63,6 +63,12 @@ BENCH_QUERIES = [
     "quality_score",
     "decontamination",
     "pii_scrub",
+    # round-3 additions: the two fixed scale-killers + production-width
+    # simhash (new queries ADD to the suite total — compare per-query
+    # deltas in BENCH.md, not totals)
+    "c4_line_dedup",
+    "sequence_packing",
+    "simhash_dup_pairs_wide",
 ]
 
 

@@ -344,20 +344,28 @@ class LakeTable:
 
         mine = roots(snap)
         live: set[str] = set()
-        for fname in os.listdir(self.meta_dir):
-            is_committed = fname.startswith("v") and fname.endswith(".json")
-            is_other_stage = (
-                fname.startswith("staged-")
-                and fname.endswith(".json")
-                and fname != f"staged-{token}.json"
-            )
-            if not (is_committed or is_other_stage):
-                continue
-            with open(os.path.join(self.meta_dir, fname)) as f:
-                live |= roots(json.load(f))
-        for root in mine - live:
-            shutil.rmtree(os.path.join(self.data_dir, root), ignore_errors=True)
-        os.remove(os.path.join(self.meta_dir, f"staged-{token}.json"))
+        # under the commit lock: an in-process committer mid-_write_snapshot
+        # must not be observed half-written. (A malformed file from a crashed
+        # CROSS-process writer is skipped — its staging roots are
+        # uuid-unique, so they can never collide with this token's.)
+        with _commit_lock(self.meta_dir):
+            for fname in os.listdir(self.meta_dir):
+                is_committed = fname.startswith("v") and fname.endswith(".json")
+                is_other_stage = (
+                    fname.startswith("staged-")
+                    and fname.endswith(".json")
+                    and fname != f"staged-{token}.json"
+                )
+                if not (is_committed or is_other_stage):
+                    continue
+                try:
+                    with open(os.path.join(self.meta_dir, fname)) as f:
+                        live |= roots(json.load(f))
+                except (json.JSONDecodeError, OSError):
+                    continue
+            for root in mine - live:
+                shutil.rmtree(os.path.join(self.data_dir, root), ignore_errors=True)
+            os.remove(os.path.join(self.meta_dir, f"staged-{token}.json"))
 
     def schema_fields(self, snap: dict | None = None) -> list[dict]:
         snap = snap or self.current_snapshot()

@@ -42,6 +42,39 @@ SNAPSHOT_SCHEMA = [
 KEY_COLS = ["repo", "path"]
 SCHEMA_OPS = ("SCHEMA_ADD", "SCHEMA_RENAME", "SCHEMA_WIDEN")
 
+# Built-in derived-table spec (Engine.derived_table): per-file metrics kept
+# transactionally in step with the snapshot — the engine-maintained analogue
+# of the reference's second silver output (json-lake / segments containers
+# written per batch alongside the primary table).
+FILE_STATS_SCHEMA = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("lang", "string"),
+    ("n_lines", "int"),
+    ("n_tokens", "int"),
+    ("content_sha256", "string"),
+    ("last_lsn", "bigint"),
+]
+
+
+def file_stats_derive(changes: DataFrame) -> DataFrame:
+    """Map an epoch's deduped change frame to file_stats rows (pure
+    projection — D tombstones pass through; their metric columns are
+    ignored by the keyed merge)."""
+    body = F.coalesce(F.col("content"), F.lit(""))
+    return changes.select(
+        "repo",
+        "path",
+        "lang",
+        F.size(F.split(body, "\n")).cast("int").alias("n_lines"),
+        F.size(F.filter(F.split(body, " "), lambda t: F.length(t) > 0))
+        .cast("int")
+        .alias("n_tokens"),
+        "content_sha256",
+        "last_lsn",
+        "__op",
+    )
+
 
 class Engine:
     """Facade over the lake + operators (reference stage map in __init__.py)."""
@@ -64,6 +97,8 @@ class Engine:
         self.n_buckets = n_buckets
         self.mode = mode
         self.salt_keys = salt_keys
+        # main-table name -> [(derived LakeTable, derive fn)] — see derived_table
+        self._derived: dict[str, list[tuple[LakeTable, Any]]] = {}
         os.makedirs(warehouse, exist_ok=True)
 
     # ------------------------------------------------------------ tables
@@ -127,6 +162,57 @@ class Engine:
             table.set_properties({"schema_meta": meta})
         return applied
 
+    # ------------------------------------------------- derived tables
+    def derived_table(
+        self,
+        name: str,
+        schema: list[tuple[str, str]],
+        derive,
+        main: str = "repo_files",
+        key_cols: list[str] | None = None,
+        n_buckets: int | None = None,
+    ) -> LakeTable:
+        """Register a DERIVED lake table maintained transactionally with the
+        main table's epochs — the reference's multi-output silver stage
+        (fn-hl7-json-lake + lake-of-segments write SEPARATE containers per
+        message batch; spikes/cbs-pipeline silver writes obx + segments
+        tables from one pass).
+
+        ``derive(changes) -> DataFrame`` maps the epoch's deduped per-key
+        change frame (every current-schema column + ``__op``) to the derived
+        table's columns, preserving key columns and ``__op`` — one derived
+        row per main key (deletes pass through as ``D`` tombstones).
+
+        Exactly-once ACROSS tables: each table carries its own epoch
+        manifest. If the process dies between the main commit and a derived
+        commit, re-running the epoch recomputes the (deterministic) change
+        frame, the main merge no-ops on its manifest, and only the missing
+        derived merges apply — both tables converge to the same replayed
+        state (tested: test_derived_table_resumes_after_partial_commit).
+        The derive runs against the epoch's persisted change frame, so the
+        marginal cost is one projection + one O(changes) merge per derived
+        table, never a second pass over the WAL.
+        """
+        loc = self.table_path(name)
+        if LakeTable.exists(loc):
+            t = LakeTable(self.spark, loc)
+        else:
+            t = LakeTable.create(
+                self.spark,
+                loc,
+                schema,
+                key_cols or KEY_COLS,
+                n_buckets=n_buckets or self.n_buckets,
+                mode=self.mode,
+                order_col="last_lsn" if self.mode == "mor" else None,
+            )
+        regs = self._derived.setdefault(main, [])
+        # re-registration (idempotent setup code / engine restart) replaces
+        # the derive fn rather than double-merging the same table per epoch
+        regs[:] = [(rt, fn) for rt, fn in regs if rt.location != t.location]
+        regs.append((t, derive))
+        return t
+
     # ------------------------------------------------------------- apply
     def apply_epoch(
         self,
@@ -138,7 +224,11 @@ class Engine:
         collect_metrics: bool = True,
     ) -> dict:
         """Apply one epoch's change events to the snapshot table, exactly once."""
-        if str(epoch) in table.committed_epochs():
+        derived = self._derived.get(table_name(table), [])
+        derived_pending = [
+            (t, fn) for t, fn in derived if str(epoch) not in t.committed_epochs()
+        ]
+        if str(epoch) in table.committed_epochs() and not derived_pending:
             return {"epoch": epoch, "applied": False}
 
         # persist the validated slice: it feeds the reject write, the schema
@@ -274,10 +364,21 @@ class Engine:
         )
 
         info = {"start_lsn": start_lsn, "end_lsn": end_lsn}
-        changes = changes.persist()  # feeds the merge write AND lineage
+        changes = changes.persist()  # feeds the merge write, lineage, deriveds
         try:
             result = table.merge(changes, epoch=epoch, epoch_info=info)
             stats = {"epoch": epoch, **result}
+            # derived tables: same epoch id, own manifest per table. On a
+            # resume after a partial multi-table commit, the main merge above
+            # no-ops and only the still-missing derived merges run — the
+            # change frame is a deterministic function of the WAL slice, so
+            # the late merges land the identical rows (multi-table
+            # exactly-once via per-table idempotence).
+            for dt, derive in derived_pending:
+                dchanges = derive(changes.drop("__bucket"))
+                dt.merge(dchanges, epoch=epoch, epoch_info=info)
+            if derived:
+                stats["derived_applied"] = [table_name(t) for t, _ in derived_pending]
             if collect_metrics:
                 stats.update(self._write_metrics(table, obs, changes, epoch))
         finally:

@@ -17,6 +17,8 @@ ids).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1699,3 +1701,104 @@ FROM assigned
 GROUP BY window_start, event_type
 ORDER BY window_start, event_type
 """.replace("{tsf}", TS_FMT_DUCK)
+
+
+def derived_file_stats(spark, sf_dir):
+    """Engine.derived_table under the oracle gate: the multi-output silver
+    stage (reference writes json-lake + lake-of-segments containers alongside
+    the primary table per batch — fn-hl7-json-lake/Function.kt and
+    spikes/cbs-pipeline silver). A WAL synthesized from `documents` (two
+    versions per doc, every 7th doc deleted) is applied through the REAL
+    Engine.apply_epoch with a registered file_stats derived table; the
+    derived snapshot must equal the per-key-latest stats DuckDB computes
+    straight from `documents`.
+
+    Scale shape: the derive is one projection over the epoch's persisted
+    change frame + one keyed merge — never a second WAL pass; both tables
+    commit per-epoch manifests (exactly-once across tables, crash between
+    commits converges on resume — tests/test_e2e_apply.py)."""
+    import tempfile
+
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        Engine,
+        file_stats_derive,
+    )
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    key = f"{sf_dir}::derived"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(os.path.join(loc, "file_stats"))):
+        loc = tempfile.mkdtemp(prefix="dex_engine_derived_")
+        eng = Engine(spark, loc, n_buckets=8, mode="mor")
+        table = eng.snapshot_table("repo_files")
+        eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+        docs = _t(spark, sf_dir, "documents")
+        base = docs.select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            "doc_id",
+            "lang",
+            "text",
+        )
+        v1 = base.select(
+            F.lit("INSERT").alias("op"),
+            (F.col("doc_id") * 2).alias("lsn"),
+            "repo",
+            "path",
+            "lang",
+            F.substring("text", 1, 50).alias("content"),
+        )
+        v2 = base.select(
+            F.when(F.col("doc_id") % 7 == 0, F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+            .alias("op"),
+            (F.col("doc_id") * 2 + 1).alias("lsn"),
+            "repo",
+            "path",
+            "lang",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("text"))
+            .alias("content"),
+        )
+        wal = (
+            v1.unionByName(v2)
+            .withColumn("ts", F.timestamp_seconds(F.lit(1704067200) + F.col("lsn")))
+            .withColumn("new_path", F.lit(None).cast("string"))
+            .withColumn("commit", F.sha2(F.col("path"), 256).substr(1, 40))
+            .withColumn("schema_field", F.lit(None).cast("string"))
+            .withColumn(
+                "supporting_metadata",
+                F.create_map().cast("map<string,string>"),
+            )
+            .withColumn(
+                "event_id",
+                F.sha2(F.concat_ws("|", "repo", "path", F.col("lsn").cast("string")), 256),
+            )
+        )
+        eng.apply_epoch(wal, table, epoch=0, collect_metrics=False)
+        _LAKE_DEMO_CACHE[key] = loc
+    stats_t = LakeTable(spark, os.path.join(loc, "file_stats"))
+    return (
+        stats_t.snapshot()
+        .select("repo", "path", "lang", "n_lines", "n_tokens", "content_sha256", "last_lsn")
+        .orderBy("repo", "path")
+    )
+
+
+# TRIM set mirrors operators/normalize.py TRIM_SET (BOM + Java-regex \s)
+ORACLE_DERIVED_FILE_STATS = """
+WITH body AS (
+  SELECT *, TRIM(text, chr(65279) || ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS b
+  FROM documents)
+SELECT source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) AS path,
+       lang,
+       CAST(len(string_split(b, chr(10))) AS INT) AS n_lines,
+       CAST(len(list_filter(string_split(b, ' '), x -> len(x) > 0)) AS INT) AS n_tokens,
+       sha256(b) AS content_sha256,
+       CAST(doc_id * 2 + 1 AS BIGINT) AS last_lsn
+FROM body
+WHERE doc_id % 7 <> 0 AND len(b) > 0
+ORDER BY repo, path
+"""

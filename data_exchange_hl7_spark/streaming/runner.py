@@ -115,7 +115,16 @@ class MicroBatchRunner:
         first_epoch = int(bounds[0]) // self.epoch_size
         last_epoch = int(bounds[1]) // self.epoch_size
         stats = []
+        # an epoch is resumable-skippable only when EVERY table in the
+        # transaction group has committed it: after a crash between the main
+        # merge and a derived merge, the epoch must re-enter apply_epoch so
+        # the pending derived merges run (the main merge no-ops on its own
+        # manifest) — see Engine.derived_table
         committed = set(table.committed_epochs().keys())
+        from data_exchange_hl7_spark.engine import table_name as _tname
+
+        for dt, _fn in self.engine._derived.get(_tname(table), []):
+            committed &= set(dt.committed_epochs().keys())
         n_run = 0
         spark = self.engine.spark
         conf_key = "spark.sql.files.maxPartitionBytes"

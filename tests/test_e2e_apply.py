@@ -318,3 +318,171 @@ def test_reprocess_rejects_cow_no_stale_clobber(spark, tmp_path):
             assert k in deleted_keys and deleted_keys[k] > lsn, k
     # the injected stale event was filtered out, not applied
     assert after[vkey] == before[vkey], "stale re-drive clobbered the live row"
+
+
+def test_derived_table_transactional_with_main(spark, tmp_path):
+    """Multi-output silver stage: a registered derived table is maintained
+    in the SAME epochs as the main snapshot (reference writes json-lake /
+    segments containers alongside the primary table per batch). Invariant:
+    final derived state == derive() of the final main state, and both
+    manifests carry identical epoch sets."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        Engine,
+        file_stats_derive,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    events = change_events(spark, 4000)
+    MicroBatchRunner(eng, epoch_size=2000).run(events, table)
+
+    body = F.coalesce(F.col("content"), F.lit(""))
+    expected = sorted(
+        table.snapshot()
+        .select(
+            "repo", "path", "lang",
+            F.size(F.split(body, "\n")).cast("int").alias("n_lines"),
+            F.size(F.filter(F.split(body, " "), lambda t: F.length(t) > 0))
+            .cast("int").alias("n_tokens"),
+            "content_sha256", "last_lsn",
+        )
+        .collect()
+    )
+    got = sorted(stats_t.snapshot().collect())
+    assert got == expected
+    assert set(stats_t.committed_epochs()) == set(table.committed_epochs())
+
+
+def test_derived_table_resumes_after_partial_commit(spark, tmp_path):
+    """Exactly-once ACROSS tables: a crash after the main commit but before
+    the derived commit must converge on re-run — main merge no-ops on its
+    manifest, the derived merge lands the recomputed (deterministic) change
+    frame."""
+    import pytest
+
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        Engine,
+        file_stats_derive,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    events = change_events(spark, 2000)
+    eng.apply_epoch(events.filter(F.col("lsn") < 1000), table, epoch=0)
+    assert "0" in stats_t.committed_epochs()
+
+    ev2 = events.filter(F.col("lsn") >= 1000)
+    orig_merge = stats_t.merge
+    state = {"fail": True}
+
+    def flaky(*a, **k):
+        if state["fail"]:
+            state["fail"] = False
+            raise RuntimeError("simulated crash before derived commit")
+        return orig_merge(*a, **k)
+
+    stats_t.merge = flaky
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.apply_epoch(ev2, table, epoch=1)
+    # main committed, derived did not — the partial state a real crash leaves
+    assert "1" in table.committed_epochs()
+    assert "1" not in stats_t.committed_epochs()
+
+    r = eng.apply_epoch(ev2, table, epoch=1)
+    assert r["derived_applied"] == ["file_stats"]
+    assert "1" in stats_t.committed_epochs()
+    # and a further re-run is a clean full no-op
+    r2 = eng.apply_epoch(ev2, table, epoch=1)
+    assert r2 == {"epoch": 1, "applied": False}
+
+    body = F.coalesce(F.col("content"), F.lit(""))
+    expected = sorted(
+        table.snapshot()
+        .select(
+            "repo", "path", "lang",
+            F.size(F.split(body, "\n")).cast("int").alias("n_lines"),
+            F.size(F.filter(F.split(body, " "), lambda t: F.length(t) > 0))
+            .cast("int").alias("n_tokens"),
+            "content_sha256", "last_lsn",
+        )
+        .collect()
+    )
+    assert sorted(stats_t.snapshot().collect()) == expected
+
+
+def test_derived_table_runner_resume_skips_only_fully_committed(spark, tmp_path):
+    """A resumed MicroBatchRunner must NOT skip an epoch whose main merge
+    committed but whose derived merge did not (crash between the two): the
+    resume re-enters apply_epoch, the main merge no-ops, and the derived
+    table catches up."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        Engine,
+        file_stats_derive,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    events = change_events(spark, 4000)
+
+    # run epochs 0-1 normally, then crash epoch 2 between main and derived
+    orig_merge = stats_t.merge
+    state = {"fail_epoch": 2}
+
+    def flaky(changes, epoch=None, **kw):
+        if epoch == state["fail_epoch"]:
+            raise RuntimeError("simulated crash before derived commit")
+        return orig_merge(changes, epoch=epoch, **kw)
+
+    stats_t.merge = flaky
+    runner = MicroBatchRunner(eng, epoch_size=1000)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        runner.run(events, table)
+    assert "2" in table.committed_epochs()
+    assert "2" not in stats_t.committed_epochs()
+
+    # resume: epochs 0-1 skip, epoch 2 re-enters (derived pending), 3 runs
+    state["fail_epoch"] = None
+    stats = runner.run(events, table)
+    by_epoch = {s["epoch"]: s for s in stats}
+    assert by_epoch[0].get("resumed_skip") and by_epoch[1].get("resumed_skip")
+    assert by_epoch[2].get("derived_applied") == ["file_stats"]
+    assert set(stats_t.committed_epochs()) == set(table.committed_epochs())
+
+    body = F.coalesce(F.col("content"), F.lit(""))
+    expected = sorted(
+        table.snapshot()
+        .select(
+            "repo", "path", "lang",
+            F.size(F.split(body, "\n")).cast("int").alias("n_lines"),
+            F.size(F.filter(F.split(body, " "), lambda t: F.length(t) > 0))
+            .cast("int").alias("n_tokens"),
+            "content_sha256", "last_lsn",
+        )
+        .collect()
+    )
+    assert sorted(stats_t.snapshot().collect()) == expected
+
+
+def test_derived_table_reregistration_replaces(spark, tmp_path):
+    """Registering the same derived table twice (engine restart / idempotent
+    setup) must not double-merge per epoch."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        Engine,
+        file_stats_derive,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    assert len(eng._derived["repo_files"]) == 1
+    events = change_events(spark, 1000)
+    r = eng.apply_epoch(events, table, epoch=0)
+    assert r["derived_applied"] == ["file_stats"]

@@ -249,3 +249,40 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert {(r["message_hash"], r["event_id"]) for r in batch.collect()} == {
         ("h_a", 1), ("h_b", 3), ("h_c", 5),
     }
+
+
+def test_stream_apply_maintains_derived_table(spark, tmp_path):
+    """A derived table registered on the engine is maintained by the
+    STREAMING path too (foreachBatch -> apply_epoch): after the stream
+    drains, the derived state equals derive() of the main snapshot and both
+    manifests carry the same epoch ids."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        file_stats_derive,
+    )
+
+    src = str(tmp_path / "wal_stream")
+    ev = change_events(spark, 2000)
+    ev.write.mode("overwrite").parquet(src)
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=16, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+
+    q = stream_apply(spark, eng, src, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert set(stats_t.committed_epochs()) == set(table.committed_epochs())
+    body = F.coalesce(F.col("content"), F.lit(""))
+    expected = sorted(
+        table.snapshot()
+        .select(
+            "repo", "path", "lang",
+            F.size(F.split(body, "\n")).cast("int").alias("n_lines"),
+            F.size(F.filter(F.split(body, " "), lambda t: F.length(t) > 0))
+            .cast("int").alias("n_tokens"),
+            "content_sha256", "last_lsn",
+        )
+        .collect()
+    )
+    assert sorted(stats_t.snapshot().collect()) == expected

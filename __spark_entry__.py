@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "obx_epi_split": q.obx_epi_split,
         "multimodal_extract_features": qt.multimodal_extract_features,
         "simhash_dup_pairs_wide": qt.simhash_dup_pairs_wide,
+        "derived_file_stats": q.derived_file_stats,
+        "domain_mix_plan": qt.domain_mix_plan,
         # --- 23-28: code touched this round — re-certify ------------------
         "kmv_distinct_sketch": qt.kmv_distinct_sketch,
         "nist_report_counts": q.nist_report_counts,
@@ -195,4 +197,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep_neardup": qt.ORACLE_CORPUS_PREP_NEARDUP,
         "multimodal_binary_meta": qt.ORACLE_MULTIMODAL,
         "multimodal_extract_features": qt.ORACLE_MULTIMODAL_FEATURES,
+        "derived_file_stats": q.ORACLE_DERIVED_FILE_STATS,
+        "domain_mix_plan": qt.ORACLE_DOMAIN_MIX,
     }

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "c4_line_dedup",
     "sequence_packing",
     "simhash_dup_pairs_wide",
+    "derived_file_stats",
+    "domain_mix_plan",
 ]
 
 

@@ -2041,3 +2041,104 @@ UNION ALL
 SELECT source, g_est AS n_exact, g_est AS n_est FROM g
 ORDER BY source
 """
+
+
+# ------------------------- domain mixing (token budget) --------------------
+
+MIX_BUDGET_TOKENS = 10_000  # global token budget the mix must fit (< corpus tokens at sf>=0.01, so sampling is non-vacuous)
+
+
+def domain_mix_plan(spark, sf_dir):
+    """Source-weighted data mixing under a global token budget (the standard
+    pretraining-mix step: each domain/source gets weight w_s; its token
+    budget is w_s/SUM(w) of the global budget; docs are down-sampled
+    deterministically to fit). Output is the per-source mixing audit:
+    weight, assigned budget, achieved rate, kept docs/tokens.
+
+    All arithmetic is integer (DIV), so the audit is byte-reproducible and
+    oracle-checkable; the keep predicate reuses the multiplicative-hash
+    sampler from stratified_sample.
+
+    Scale shape: one hash agg builds the per-source dim (O(#sources) rows —
+    tiny), the global weight sum is a window over that dim (metadata-sized,
+    NOT over the corpus), and the dim broadcasts back onto the doc scan so
+    the keep predicate stays narrow. At 100 TB: corpus shuffles once for the
+    final audit agg; the sampled-subset WRITE (not materialized here) would
+    be a pure narrow filter."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = (
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    docs = d.select(
+        "source",
+        "doc_id",
+        F.substring("source", 4, 10).cast("bigint").alias("src_num"),
+        ntok,
+    )
+    tot = docs.groupBy("source", "src_num").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tokens_total")
+    )
+    tot = tot.withColumn(
+        "weight", (F.lit(1) + F.pmod(F.col("src_num") * 13, F.lit(7))).cast("bigint")
+    )
+    # empty partitionBy = single-partition window — sound here ONLY because
+    # its input is the per-source dim (#sources rows), never the corpus
+    tot = tot.withColumn("wsum", F.sum("weight").over(Window.partitionBy()))
+    tot = tot.withColumn(
+        "budget_tokens",
+        F.expr(f"weight * CAST({MIX_BUDGET_TOKENS} AS BIGINT) DIV wsum"),
+    ).withColumn(
+        "rate_permille",
+        F.least(F.lit(1000).cast("bigint"), F.expr("budget_tokens * 1000 DIV tokens_total")),
+    )
+    keep = (
+        F.pmod(F.pmod(F.col("doc_id") * SAMPLE_MULT, F.lit(4294967296)), F.lit(1000))
+        < F.col("rate_permille")
+    ).cast("int")
+    audit = (
+        docs.join(
+            F.broadcast(tot.select("source", "weight", "budget_tokens", "rate_permille")),
+            "source",
+        )
+        .withColumn("keep", keep)
+        .groupBy("source", "weight", "budget_tokens", "rate_permille")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.sum("keep").cast("bigint").alias("docs_kept"),
+            F.sum(F.col("keep") * F.col("n_tokens")).alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+    return audit
+
+
+ORACLE_DOMAIN_MIX = f"""
+WITH docs AS (
+  SELECT source, doc_id,
+         CAST(SUBSTR(source, 4) AS BIGINT) AS src_num,
+         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+  FROM documents),
+tot AS (
+  SELECT source, 1 + (src_num * 13) % 7 AS weight,
+         SUM(n_tokens) AS tokens_total
+  FROM docs GROUP BY source, src_num),
+tot2 AS (
+  SELECT *, (weight * {MIX_BUDGET_TOKENS}) // (SELECT SUM(weight) FROM tot) AS budget_tokens
+  FROM tot),
+tot3 AS (
+  SELECT *, LEAST(1000, (budget_tokens * 1000) // tokens_total) AS rate_permille
+  FROM tot2)
+SELECT d.source, t.weight, t.budget_tokens, t.rate_permille,
+       COUNT(*) AS n_docs,
+       SUM(d.n_tokens) AS tokens_total,
+       CAST(SUM(CASE WHEN (d.doc_id * {SAMPLE_MULT}) % 4294967296 % 1000 < t.rate_permille
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+       SUM(CASE WHEN (d.doc_id * {SAMPLE_MULT}) % 4294967296 % 1000 < t.rate_permille
+                THEN d.n_tokens ELSE 0 END) AS tokens_kept
+FROM docs d JOIN tot3 t USING (source)
+GROUP BY d.source, t.weight, t.budget_tokens, t.rate_permille
+ORDER BY d.source
+"""

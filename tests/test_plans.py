@@ -324,3 +324,14 @@ def test_simhash_wide_banded_join_shape(spark):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert_no_python_udf(df)
+
+
+def test_domain_mix_broadcasts_source_dim(spark):
+    """domain_mix_plan: the per-source rate dim must broadcast back onto the
+    doc scan (never a sort-merge join against the corpus), and the whole
+    query stays JVM-side."""
+    df = qt.domain_mix_plan(spark, SF)
+    assert_broadcast_join(df)
+    assert_no_python_udf(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan

@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs_wide": qt.simhash_dup_pairs_wide,
         "derived_file_stats": q.derived_file_stats,
         "domain_mix_plan": qt.domain_mix_plan,
+        "length_percentiles": qt.length_percentiles,
         # --- 23-28: code touched this round — re-certify ------------------
         "kmv_distinct_sketch": qt.kmv_distinct_sketch,
         "nist_report_counts": q.nist_report_counts,
@@ -92,11 +93,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmg_content_validation": q.mmg_content_validation,
         "profile_resolution": q.profile_resolution,
         "embedded_binary_strip": q.embedded_binary_strip,
-        "sessionize": q.sessionize,
-        "interval_range_join": q.interval_range_join,
-        "exact_dup_groups": qt.exact_dup_groups,
+        # minhash pair/cluster queries route through _lsh_pairs, which the
+        # round-3 band-caching rewrite touched — keep them inside the
+        # 50-query gate window until they re-certify; sessionize /
+        # interval_range_join are unmodified since their r2 green rows and
+        # rotate to the tail
         "minhash_dup_pairs": qt.minhash_dup_pairs,
         "dup_clusters": qt.dup_clusters,
+        "exact_dup_groups": qt.exact_dup_groups,
+        "sessionize": q.sessionize,
+        "interval_range_join": q.interval_range_join,
         # --- 51+: stable, green in r1 AND r2, unchanged — rotated out ----
         "minhash_signatures": qt.minhash_signatures,
         "ngram_jaccard_pairs": qt.ngram_jaccard_pairs,
@@ -199,4 +205,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_extract_features": qt.ORACLE_MULTIMODAL_FEATURES,
         "derived_file_stats": q.ORACLE_DERIVED_FILE_STATS,
         "domain_mix_plan": qt.ORACLE_DOMAIN_MIX,
+        "length_percentiles": qt.ORACLE_LENGTH_PERCENTILES,
     }

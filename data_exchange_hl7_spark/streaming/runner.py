@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_exchange_hl7_spark.engine import Engine
+from data_exchange_hl7_spark.engine import table_name as _tname
 from data_exchange_hl7_spark.lake.table import LakeTable
 
 
@@ -121,8 +122,6 @@ class MicroBatchRunner:
         # the pending derived merges run (the main merge no-ops on its own
         # manifest) — see Engine.derived_table
         committed = set(table.committed_epochs().keys())
-        from data_exchange_hl7_spark.engine import table_name as _tname
-
         for dt, _fn in self.engine._derived.get(_tname(table), []):
             committed &= set(dt.committed_epochs().keys())
         n_run = 0
@@ -174,6 +173,18 @@ class MicroBatchRunner:
                 info["compaction"] = table.compact(**self.compact_opts)
                 if self.expire_keep_last:
                     info["expiry"] = table.expire_snapshots(self.expire_keep_last)
+                # derived tables accrete delta layers at the same epoch
+                # cadence as the main table — same maintenance wall applies.
+                # sort_cols are main-table layout hints; keep only those the
+                # derived schema actually has
+                for dt, _fn in self.engine._derived.get(_tname(table), []):
+                    opts = dict(self.compact_opts)
+                    if opts.get("sort_cols"):
+                        have = {f["name"] for f in dt.schema_fields()}
+                        opts["sort_cols"] = [c for c in opts["sort_cols"] if c in have] or None
+                    dt.compact(**opts)
+                    if self.expire_keep_last:
+                        dt.expire_snapshots(self.expire_keep_last)
                 info["maintenance_wall_s"] = round(time.time() - m0, 3)
             if fail_after_epoch is not None and epoch >= fail_after_epoch:
                 break

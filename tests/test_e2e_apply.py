@@ -486,3 +486,44 @@ def test_derived_table_reregistration_replaces(spark, tmp_path):
     events = change_events(spark, 1000)
     r = eng.apply_epoch(events, table, epoch=0)
     assert r["derived_applied"] == ["file_stats"]
+
+
+def test_derived_table_compacted_with_main(spark, tmp_path):
+    """Runner maintenance (compact_every/expire) covers derived tables: after
+    the run, the derived table's delta layers are folded and its resolved
+    state is unchanged by compaction."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        Engine,
+        file_stats_derive,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    events = change_events(spark, 4000)
+    MicroBatchRunner(
+        eng, epoch_size=1000, compact_every=2,
+        compact_opts={"sort_cols": ["repo", "path"], "files_per_bucket": 2},
+    ).run(events, table)
+    # 4 epochs, compaction every 2, last epoch triggers maintenance:
+    # the derived table's delta layers are folded like the main's
+    assert len(stats_t.current_snapshot().get("deltas", [])) == 0
+    assert len(table.current_snapshot().get("deltas", [])) == 0
+    got = sorted(stats_t.snapshot().collect())
+    assert len(got) > 0
+    # resolved state equals derive() of the main state (compaction is a
+    # layout change only)
+    body = F.coalesce(F.col("content"), F.lit(""))
+    expected = sorted(
+        table.snapshot()
+        .select(
+            "repo", "path", "lang",
+            F.size(F.split(body, "\n")).cast("int").alias("n_lines"),
+            F.size(F.filter(F.split(body, " "), lambda t: F.length(t) > 0))
+            .cast("int").alias("n_tokens"),
+            "content_sha256", "last_lsn",
+        )
+        .collect()
+    )
+    assert got == expected

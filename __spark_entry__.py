@@ -59,7 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": qt.embedding_cosine_dups,
         "corpus_prep_pipeline": qt.corpus_prep_pipeline,
         "multimodal_binary_meta": qt.multimodal_binary_meta,
-        # --- 18-22: new this round ---------------------------------------
+        # --- 18-26: new this round ---------------------------------------
         "errors_by_message": q.errors_by_message,
         "sql_model_vocab_enriched": q.sql_model_vocab_enriched,
         "obx_epi_split": q.obx_epi_split,
@@ -68,14 +68,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_file_stats": q.derived_file_stats,
         "domain_mix_plan": qt.domain_mix_plan,
         "length_percentiles": qt.length_percentiles,
-        # --- 23-28: code touched this round — re-certify ------------------
+        "aggregate_repo_stats": q.aggregate_repo_stats,
+        # --- 27-32: code touched this round — re-certify ------------------
         "kmv_distinct_sketch": qt.kmv_distinct_sketch,
         "nist_report_counts": q.nist_report_counts,
         "vocab_validation": q.vocab_validation,
         "sql_model_child": q.sql_model_child,
         "hl7_segments": q.hl7_segments,
         "nearest_preceding_anchor": q.nearest_preceding_anchor,
-        # --- 29-50: core CDC / lake / streaming family --------------------
+        # --- 33-48: core CDC / lake / streaming family --------------------
         "cdc_latest_state": q.cdc_latest_state,
         "latest_flag_sequencing": q.latest_flag_sequencing,
         "latest_state_salted": q.latest_state_salted,
@@ -92,18 +93,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redaction": q.redaction,
         "mmg_content_validation": q.mmg_content_validation,
         "profile_resolution": q.profile_resolution,
-        "embedded_binary_strip": q.embedded_binary_strip,
-        # minhash pair/cluster queries route through _lsh_pairs, which the
-        # round-3 band-caching rewrite touched — keep them inside the
-        # 50-query gate window until they re-certify; sessionize /
-        # interval_range_join are unmodified since their r2 green rows and
-        # rotate to the tail
+        # --- 49-50: minhash pair/cluster queries route through _lsh_pairs,
+        # which the round-3 band-caching rewrite touched — keep them inside
+        # the 50-query gate window until they re-certify
         "minhash_dup_pairs": qt.minhash_dup_pairs,
         "dup_clusters": qt.dup_clusters,
+        # --- 51+: stable, green in r1 and/or r2, byte-unchanged since —
+        # rotated out of the window to make room -------------------------
         "exact_dup_groups": qt.exact_dup_groups,
         "sessionize": q.sessionize,
         "interval_range_join": q.interval_range_join,
-        # --- 51+: stable, green in r1 AND r2, unchanged — rotated out ----
+
         "minhash_signatures": qt.minhash_signatures,
         "ngram_jaccard_pairs": qt.ngram_jaccard_pairs,
         "token_stats": qt.token_stats,
@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_normalization": q.name_normalization,
         "debatch_documents": q.debatch_documents,
         "segment_rows": q.segment_rows,
+        "embedded_binary_strip": q.embedded_binary_strip,
     }
 
 
@@ -206,4 +207,5 @@ def oracle_sql() -> dict[str, str]:
         "derived_file_stats": q.ORACLE_DERIVED_FILE_STATS,
         "domain_mix_plan": qt.ORACLE_DOMAIN_MIX,
         "length_percentiles": qt.ORACLE_LENGTH_PERCENTILES,
+        "aggregate_repo_stats": q.ORACLE_AGGREGATE_REPO_STATS,
     }

@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "simhash_dup_pairs_wide",
     "derived_file_stats",
     "domain_mix_plan",
+    "aggregate_repo_stats",
+    "length_percentiles",
 ]
 
 

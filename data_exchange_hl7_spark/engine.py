@@ -76,6 +76,42 @@ def file_stats_derive(changes: DataFrame) -> DataFrame:
     )
 
 
+# Built-in aggregate-view spec (Engine.aggregate_table): per-repo rollup
+# maintained incrementally — the receiver-file-report A4 semantics kept as a
+# live materialized view instead of a per-batch report.
+REPO_STATS_SCHEMA = [
+    ("repo", "string"),
+    ("n_files", "bigint"),
+    ("total_bytes", "bigint"),
+]
+
+
+def repo_stats_delta(changes: DataFrame, old_rows: DataFrame) -> DataFrame:
+    """Per-repo (file count, byte count) deltas from one epoch's change
+    frame. ``old_rows`` carries the pre-epoch state of exactly the changed
+    keys: an update contributes new-old bytes and 0 files, an insert +1/new
+    bytes, a delete -1/-old bytes, a no-op 0/0."""
+    sz = F.coalesce(F.col("size_bytes").cast("bigint"), F.lit(0))
+    new = changes.select(
+        "repo",
+        "path",
+        F.when(F.col("__op") == "U", F.lit(1)).otherwise(F.lit(0)).alias("n_new"),
+        F.when(F.col("__op") == "U", sz).otherwise(F.lit(0)).alias("b_new"),
+    )
+    oldp = old_rows.select(
+        "repo", "path", F.lit(1).alias("n_old"), sz.alias("b_old")
+    )
+    j = new.join(oldp, ["repo", "path"], "left").fillna(0, ["n_old", "b_old"])
+    return (
+        j.groupBy("repo")
+        .agg(
+            F.sum(F.col("n_new") - F.col("n_old")).cast("bigint").alias("n_files"),
+            F.sum(F.col("b_new") - F.col("b_old")).cast("bigint").alias("total_bytes"),
+        )
+        .withColumn("__op", F.lit("U"))
+    )
+
+
 class Engine:
     """Facade over the lake + operators (reference stage map in __init__.py)."""
 
@@ -206,12 +242,98 @@ class Engine:
                 mode=self.mode,
                 order_col="last_lsn" if self.mode == "mor" else None,
             )
+        self._register(main, t, derive, "derived")
+        return t
+
+    def _register(self, main: str, t: LakeTable, fn, kind: str) -> None:
         regs = self._derived.setdefault(main, [])
         # re-registration (idempotent setup code / engine restart) replaces
-        # the derive fn rather than double-merging the same table per epoch
-        regs[:] = [(rt, fn) for rt, fn in regs if rt.location != t.location]
-        regs.append((t, derive))
+        # the fn rather than double-merging the same table per epoch
+        regs[:] = [r for r in regs if r[0].location != t.location]
+        regs.append((t, fn, kind))
+
+    def aggregate_table(
+        self,
+        name: str,
+        schema: list[tuple[str, str]],
+        delta_fn,
+        main: str = "repo_files",
+        key_cols: list[str] | None = None,
+        n_buckets: int | None = None,
+    ) -> LakeTable:
+        """Register an incrementally-maintained AGGREGATE materialized view —
+        a resolve='sum' lake table whose per-epoch merge rows are DELTAS
+        computed from the epoch's change frame and the PRE-epoch state of the
+        changed keys (classic incremental view maintenance, kept exactly-once
+        by the same per-table epoch manifests as derived_table).
+
+        ``delta_fn(changes, old_rows) -> DataFrame``: ``changes`` is the
+        epoch's deduped per-key change frame (current-schema columns +
+        ``__op``); ``old_rows`` is the main table's PRE-merge state restricted
+        to the changed keys (bucket-pruned read + semi join — O(changes), not
+        O(table)). It must return one row per aggregate key with numeric
+        delta columns and ``__op`` = 'U' (an aggregate retract is a negative
+        delta, never a tombstone).
+
+        Reads resolve by summing delta layers per key (LakeTable
+        resolve='sum'); compaction folds partial sums, so write cost stays
+        O(deltas) per epoch with no read-modify-write — the plan shape that
+        survives 10^10 events.
+
+        Crash between the main commit and the aggregate commit: on resume the
+        pre-epoch state is recovered by time travel to the epoch's commit
+        parent (snapshot ids are dense), so the recomputed deltas are
+        byte-identical and the late merge converges — requires the parent
+        snapshot to still be within the expire_snapshots retention window
+        (same contract as Iceberg incremental reads).
+        """
+        loc = self.table_path(name)
+        if LakeTable.exists(loc):
+            t = LakeTable(self.spark, loc)
+        else:
+            t = LakeTable.create(
+                self.spark,
+                loc,
+                schema,
+                key_cols or ["repo"],
+                n_buckets=n_buckets or self.n_buckets,
+                mode="mor",
+                resolve="sum",
+            )
+        self._register(main, t, delta_fn, "aggregate")
         return t
+
+    def _pre_epoch_sid(self, table: LakeTable, epoch: int, merge_result: dict) -> int:
+        """Snapshot id of the main table's state just BEFORE ``epoch``'s
+        commit. Fresh commit: dense ids make it snapshot_id - 1. Resume
+        (merge no-oped): walk history for the snapshot where the epoch id
+        first appears."""
+        if merge_result.get("applied"):
+            return merge_result["snapshot_id"] - 1
+        committing = None
+        for h in reversed(table.history()):  # oldest -> newest
+            if str(epoch) in h["epochs"]:
+                committing = h
+                break
+        if committing is None:
+            raise ValueError(
+                f"cannot locate the committing snapshot for epoch {epoch} "
+                "(expired past the retention window?)"
+            )
+        # confirm this snapshot INTRODUCED the epoch: epoch ids are inherited
+        # by every later snapshot, so if the true committing snapshot has
+        # been expired the walk would otherwise return a later parent and
+        # silently compute deltas off the wrong pre-state
+        parent_epochs = table.committed_epochs(
+            table._load_snapshot(committing["parent"])  # raises if expired
+        )
+        if str(epoch) in parent_epochs:
+            raise ValueError(
+                f"pre-epoch state for {epoch} has been expired; aggregate "
+                "resume needs the epoch's commit parent within the retention "
+                "window (raise expire_keep_last)"
+            )
+        return committing["parent"]
 
     # ------------------------------------------------------------- apply
     def apply_epoch(
@@ -226,7 +348,9 @@ class Engine:
         """Apply one epoch's change events to the snapshot table, exactly once."""
         derived = self._derived.get(table_name(table), [])
         derived_pending = [
-            (t, fn) for t, fn in derived if str(epoch) not in t.committed_epochs()
+            (t, fn, kind)
+            for t, fn, kind in derived
+            if str(epoch) not in t.committed_epochs()
         ]
         if str(epoch) in table.committed_epochs() and not derived_pending:
             return {"epoch": epoch, "applied": False}
@@ -374,11 +498,31 @@ class Engine:
             # change frame is a deterministic function of the WAL slice, so
             # the late merges land the identical rows (multi-table
             # exactly-once via per-table idempotence).
-            for dt, derive in derived_pending:
-                dchanges = derive(changes.drop("__bucket"))
+            old_rows = None
+            if any(kind == "aggregate" for _, _, kind in derived_pending):
+                # pre-epoch state of the changed keys only: bucket-pruned
+                # time-travel read + semi join — O(changes) work, not
+                # O(table). Computed once, shared by every aggregate view.
+                pre_sid = self._pre_epoch_sid(table, epoch, result)
+                chg_buckets = [
+                    r[0] for r in changes.select("__bucket").distinct().collect()
+                ]  # bounded by n_buckets — metadata-sized
+                # bucket pruning is a hard file filter: only sound while the
+                # pre-epoch snapshot shares the current bucket count (a
+                # rebucket between commit and resume would misalign it)
+                if table._load_snapshot(pre_sid)["n_buckets"] != snap["n_buckets"]:
+                    chg_buckets = None
+                old_rows = table.snapshot(as_of=pre_sid, buckets=chg_buckets).join(
+                    changes.select(*KEY_COLS).distinct(), KEY_COLS, "left_semi"
+                )
+            for dt, fn, kind in derived_pending:
+                if kind == "aggregate":
+                    dchanges = fn(changes.drop("__bucket"), old_rows)
+                else:
+                    dchanges = fn(changes.drop("__bucket"))
                 dt.merge(dchanges, epoch=epoch, epoch_info=info)
             if derived:
-                stats["derived_applied"] = [table_name(t) for t, _ in derived_pending]
+                stats["derived_applied"] = [table_name(t) for t, *_ in derived_pending]
             if collect_metrics:
                 stats.update(self._write_metrics(table, obs, changes, epoch))
         finally:

@@ -108,6 +108,7 @@ class LakeTable:
         n_buckets: int = 64,
         mode: str = "cow",
         order_col: str | None = None,
+        resolve: str = "latest",
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is [(name, type_string), ...].
 
@@ -117,8 +118,32 @@ class LakeTable:
         time ordered by ``order_col`` — write cost per epoch is O(changes),
         not O(table), which is what survives a 10^10-event stream. Compact
         periodically with ``compact()``.
+
+        ``resolve``: read-time resolution semantics for MoR layers.
+        "latest" (default) keeps the newest row per key ordered by
+        ``order_col`` and honors ``D`` tombstones. "sum" makes the table
+        ADDITIVE — every non-key column must be numeric, merge rows are
+        per-key DELTAS, and reads resolve by summing all layers per key
+        (compaction folds partial sums; a key removed from the modeled
+        domain is expressed as a negative delta, never a tombstone). This
+        is the storage shape for incrementally-maintained aggregate
+        materialized views: write cost O(deltas), read cost one hash agg,
+        no read-modify-write anywhere.
         """
-        if mode == "mor" and not order_col:
+        if resolve not in ("latest", "sum"):
+            raise ValueError(f"unknown resolve {resolve!r}")
+        if resolve == "sum":
+            if mode != "mor":
+                raise ValueError("additive (resolve='sum') tables require mode='mor'")
+            _numeric = ("int", "bigint", "long", "smallint", "tinyint",
+                        "float", "double", "decimal")
+            bad = [
+                (n, ty) for n, ty in schema
+                if n not in key_cols and not ty.lower().startswith(_numeric)
+            ]
+            if bad:
+                raise ValueError(f"additive tables need numeric value columns; got {bad}")
+        elif mode == "mor" and not order_col:
             raise ValueError("mor mode requires order_col for read resolution")
         t = cls(spark, location)
         os.makedirs(t.meta_dir, exist_ok=True)
@@ -136,6 +161,7 @@ class LakeTable:
             "n_buckets": n_buckets,
             "mode": mode,
             "order_col": order_col,
+            "resolve": resolve,
             "next_field_id": len(fields) + 1,
             "buckets": {},  # bucket -> {"files": [...], "schema_version": int}
             "deltas": [],  # mor: [{"files": {bucket: [...]}, "schema_version": int}]
@@ -561,14 +587,46 @@ class LakeTable:
             )
         deltas = snap.get("deltas", [])
         keys = snap["key_cols"]
+        additive = snap.get("resolve", "latest") == "sum"
         # stats-based file skipping: sound for any predicate in CoW (rows are
-        # independent), key-column predicates only in MoR (see docstring)
+        # independent), key-column predicates only in MoR (a key's state is
+        # split across layers — pruning a layer by a value predicate would
+        # drop part of a latest-resolution or of a sum)
         prune_where = where
-        if deltas and where:
+        if (deltas or additive) and where:
             prune_where = [w for w in where if w[0] in keys]
         base = self._base_df(snap, buckets, prune_where)
         if not deltas:
+            # additive base is already folded by compact (one row per key)
             out = base if base is not None else self._empty_df(self.schema_fields(snap))
+            return out.filter(self._where_expr(where)) if where else out
+
+        if additive:
+            fields = self.schema_fields(snap)
+            parts = [] if base is None else [base]
+            for d in deltas:
+                files = []
+                for b, fs in d["files"].items():
+                    if buckets is not None and int(b) not in buckets:
+                        continue
+                    files.extend(self._prune(fs, d.get("stats"), prune_where))
+                if files:
+                    # _read_files projects to the current schema only, so the
+                    # physical __op column in delta files is never selected
+                    parts.append(self._read_files(files, d["schema_version"], snap))
+            if not parts:
+                return self._empty_df(fields)
+            allp = parts[0]
+            for p in parts[1:]:
+                allp = allp.unionByName(p)
+            # one hash agg resolves the sum; cast back to the declared types
+            # (Spark widens sum(int) to bigint)
+            aggs = [
+                F.sum(f["name"]).cast(_spark_type(f["type"])).alias(f["name"])
+                for f in fields
+                if f["name"] not in keys
+            ]
+            out = allp.groupBy(*keys).agg(*aggs).select(*[f["name"] for f in fields])
             return out.filter(self._where_expr(where)) if where else out
 
         parts = []

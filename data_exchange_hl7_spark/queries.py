@@ -1802,3 +1802,104 @@ FROM body
 WHERE doc_id % 7 <> 0 AND len(b) > 0
 ORDER BY repo, path
 """
+
+
+def aggregate_repo_stats(spark, sf_dir):
+    """Incremental aggregate materialized view under the oracle gate
+    (Engine.aggregate_table, resolve='sum' lake table): a 2-epoch WAL
+    synthesized from `documents` (epoch 0 INSERTs a 50-char preview, epoch 1
+    UPDATEs to the full text or DELETEs every 7th doc) is applied through the
+    real engine with a registered per-repo (n_files, total_bytes) view. The
+    view accumulates per-epoch DELTAS (insert +1/+bytes, update 0/±bytes,
+    delete -1/-bytes) and resolves by summing layers — its final state must
+    equal the plain GROUP BY DuckDB computes from the surviving documents.
+
+    Scale shape: deltas are O(changes) per epoch (pre-epoch state read is
+    bucket-pruned + key-semi-joined), the additive merge appends O(#repos)
+    rows, reads resolve with one hash agg, compaction folds partial sums —
+    no read-modify-write anywhere."""
+    import tempfile
+
+    from data_exchange_hl7_spark.engine import (
+        REPO_STATS_SCHEMA,
+        Engine,
+        repo_stats_delta,
+    )
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    key = f"{sf_dir}::aggstats"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(os.path.join(loc, "repo_stats"))):
+        loc = tempfile.mkdtemp(prefix="dex_engine_agg_")
+        eng = Engine(spark, loc, n_buckets=8, mode="mor")
+        table = eng.snapshot_table("repo_files")
+        eng.aggregate_table("repo_stats", REPO_STATS_SCHEMA, repo_stats_delta)
+        docs = _t(spark, sf_dir, "documents")
+        base = docs.select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            "doc_id",
+            "lang",
+            "text",
+        )
+        def _wal(df):
+            return (
+                df.withColumn("ts", F.timestamp_seconds(F.lit(1704067200) + F.col("lsn")))
+                .withColumn("new_path", F.lit(None).cast("string"))
+                .withColumn("commit", F.sha2(F.col("path"), 256).substr(1, 40))
+                .withColumn("schema_field", F.lit(None).cast("string"))
+                .withColumn(
+                    "supporting_metadata", F.create_map().cast("map<string,string>")
+                )
+                .withColumn(
+                    "event_id",
+                    F.sha2(
+                        F.concat_ws("|", "repo", "path", F.col("lsn").cast("string")), 256
+                    ),
+                )
+            )
+
+        v1 = _wal(
+            base.select(
+                F.lit("INSERT").alias("op"),
+                (F.col("doc_id") * 2).alias("lsn"),
+                "repo", "path", "lang",
+                F.substring("text", 1, 50).alias("content"),
+            )
+        )
+        v2 = _wal(
+            base.select(
+                F.when(F.col("doc_id") % 7 == 0, F.lit("DELETE"))
+                .otherwise(F.lit("UPDATE"))
+                .alias("op"),
+                (F.col("doc_id") * 2 + 1).alias("lsn"),
+                "repo", "path", "lang",
+                F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+                .otherwise(F.col("text"))
+                .alias("content"),
+            )
+        )
+        eng.apply_epoch(v1, table, epoch=0, collect_metrics=False)
+        eng.apply_epoch(v2, table, epoch=1, collect_metrics=False)
+        _LAKE_DEMO_CACHE[key] = loc
+    agg_t = LakeTable(spark, os.path.join(loc, "repo_stats"))
+    return (
+        agg_t.snapshot()
+        .filter(F.col("n_files") > 0)  # all-zero rows = fully-retracted repos
+        .select("repo", "n_files", "total_bytes")
+        .orderBy("repo")
+    )
+
+
+ORACLE_AGGREGATE_REPO_STATS = """
+WITH body AS (
+  SELECT *, TRIM(text, chr(65279) || ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS b
+  FROM documents)
+SELECT source AS repo,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(len(b)) AS BIGINT) AS total_bytes
+FROM body
+WHERE doc_id % 7 <> 0 AND len(b) > 0
+GROUP BY source
+ORDER BY repo
+"""

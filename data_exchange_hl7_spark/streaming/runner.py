@@ -122,7 +122,7 @@ class MicroBatchRunner:
         # the pending derived merges run (the main merge no-ops on its own
         # manifest) — see Engine.derived_table
         committed = set(table.committed_epochs().keys())
-        for dt, _fn in self.engine._derived.get(_tname(table), []):
+        for dt, *_ in self.engine._derived.get(_tname(table), []):
             committed &= set(dt.committed_epochs().keys())
         n_run = 0
         spark = self.engine.spark
@@ -177,7 +177,7 @@ class MicroBatchRunner:
                 # cadence as the main table — same maintenance wall applies.
                 # sort_cols are main-table layout hints; keep only those the
                 # derived schema actually has
-                for dt, _fn in self.engine._derived.get(_tname(table), []):
+                for dt, *_ in self.engine._derived.get(_tname(table), []):
                     opts = dict(self.compact_opts)
                     if opts.get("sort_cols"):
                         have = {f["name"] for f in dt.schema_fields()}

@@ -296,7 +296,11 @@ class Engine:
                 loc,
                 schema,
                 key_cols or ["repo"],
-                n_buckets=n_buckets or self.n_buckets,
+                # aggregate keys are orders of magnitude fewer than file keys
+                # (one row per repo, not per file): a narrow bucket layout
+                # keeps the per-epoch delta merge from paying a wide shuffle
+                # + n_buckets tiny files for a handful of rows
+                n_buckets=n_buckets or min(self.n_buckets, 8),
                 mode="mor",
                 resolve="sum",
             )
@@ -512,8 +516,13 @@ class Engine:
                 # rebucket between commit and resume would misalign it)
                 if table._load_snapshot(pre_sid)["n_buckets"] != snap["n_buckets"]:
                     chg_buckets = None
-                old_rows = table.snapshot(as_of=pre_sid, buckets=chg_buckets).join(
-                    changes.select(*KEY_COLS).distinct(), KEY_COLS, "left_semi"
+                # keys_in pushes the changed-key semi join BELOW the MoR
+                # resolve window, so the pre-state read does O(changed keys)
+                # window work, not O(keys in touched buckets)
+                old_rows = table.snapshot(
+                    as_of=pre_sid,
+                    buckets=chg_buckets,
+                    keys_in=changes.select(*KEY_COLS),
                 )
             for dt, fn, kind in derived_pending:
                 if kind == "aggregate":

@@ -551,8 +551,17 @@ class LakeTable:
         as_of: int | None = None,
         where: list[tuple] | None = None,
         staged: str | None = None,
+        keys_in: DataFrame | None = None,
     ) -> DataFrame:
         """Table state as a DataFrame (optionally selected buckets).
+
+        ``keys_in``: a DataFrame of key columns — restrict the read to those
+        keys with a semi join applied BEFORE the MoR resolve, so the
+        latest/sum window only processes the requested keys' rows instead of
+        every key in the touched buckets. Resolution commutes with key-set
+        filtering (a key's layers are all kept or all dropped), so this is
+        semantically identical to post-filtering and is the point-lookup
+        fast path the engine's aggregate views use for pre-epoch state.
 
         In MoR mode this resolves base + delta files: one window over
         (key) ordered by (order_col desc, file sequence desc), keep first,
@@ -596,9 +605,18 @@ class LakeTable:
         if (deltas or additive) and where:
             prune_where = [w for w in where if w[0] in keys]
         base = self._base_df(snap, buckets, prune_where)
+
+        def _restrict(df: DataFrame) -> DataFrame:
+            return (
+                df.join(keys_in.select(*keys).distinct(), keys, "left_semi")
+                if keys_in is not None
+                else df
+            )
+
         if not deltas:
             # additive base is already folded by compact (one row per key)
             out = base if base is not None else self._empty_df(self.schema_fields(snap))
+            out = _restrict(out)
             return out.filter(self._where_expr(where)) if where else out
 
         if additive:
@@ -619,6 +637,7 @@ class LakeTable:
             allp = parts[0]
             for p in parts[1:]:
                 allp = allp.unionByName(p)
+            allp = _restrict(allp)  # before the agg: sums only requested keys
             # one hash agg resolves the sum; cast back to the declared types
             # (Spark widens sum(int) to bigint)
             aggs = [
@@ -649,6 +668,7 @@ class LakeTable:
         allp = parts[0]
         for p in parts[1:]:
             allp = allp.unionByName(p)
+        allp = _restrict(allp)  # before the window: resolve only requested keys
         oc = snap["order_col"]
         w = Window.partitionBy(*keys).orderBy(
             F.col(oc).desc_nulls_last(), F.col("__seq").desc()

@@ -622,3 +622,36 @@ def test_aggregate_table_resumes_after_partial_commit(spark, tmp_path):
         assert got[repo] == (0, 0), repo
     # further re-run is a clean no-op
     assert eng.apply_epoch(ev2, table, epoch=1) == {"epoch": 1, "applied": False}
+
+
+def test_aggregate_resume_refuses_expired_prestate(spark, tmp_path):
+    """If the epoch's commit parent has been expired, the aggregate resume
+    must FAIL LOUDLY (wrong pre-state would silently corrupt the view)."""
+    import pytest
+
+    from data_exchange_hl7_spark.engine import (
+        REPO_STATS_SCHEMA,
+        Engine,
+        repo_stats_delta,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    agg_t = eng.aggregate_table("repo_stats", REPO_STATS_SCHEMA, repo_stats_delta)
+    events = change_events(spark, 2000)
+    eng.apply_epoch(events.filter(F.col("lsn") < 1000), table, epoch=0)
+
+    ev2 = events.filter(F.col("lsn") >= 1000)
+    orig_merge = agg_t.merge
+    agg_t.merge = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash"))
+    with pytest.raises(RuntimeError, match="crash"):
+        eng.apply_epoch(ev2, table, epoch=1)
+    agg_t.merge = orig_merge
+
+    # age the pre-state out of retention: extra commits + aggressive expiry
+    eng.apply_epoch(events.limit(0), table, epoch=2)  # manifest-only commit
+    table.compact()
+    table.expire_snapshots(keep_last=1)
+
+    with pytest.raises(ValueError, match="expired|retention"):
+        eng.apply_epoch(ev2, table, epoch=1)

@@ -335,3 +335,30 @@ def test_domain_mix_broadcasts_source_dim(spark):
     assert_no_python_udf(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_aggregate_prestate_scan_prunes_content(spark, tmp_path):
+    """The aggregate view's pre-state read must column-prune through
+    snapshot(keys_in=...) down to the parquet scan: reading `content` for a
+    (repo, path, size_bytes) delta would multiply the scan bytes by the
+    payload size at 100 TB."""
+    from data_exchange_hl7_spark.datagen import change_events
+    from data_exchange_hl7_spark.engine import KEY_COLS, Engine, repo_stats_delta
+    from data_exchange_hl7_spark.streaming.runner import MicroBatchRunner
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    t = eng.snapshot_table("repo_files")
+    MicroBatchRunner(eng, epoch_size=1000).run(change_events(spark, 2000), t)
+    changes = (
+        change_events(spark, 2500)
+        .filter(F.col("lsn") >= 2000)
+        .select("repo", "path", F.lit("U").alias("__op"),
+                F.lit(1).cast("int").alias("size_bytes"))
+    )
+    d = repo_stats_delta(changes, t.snapshot(keys_in=changes.select(*KEY_COLS)))
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    import re
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, "no parquet scan found in the plan"
+    for s in schemas:
+        assert "content" not in s, s

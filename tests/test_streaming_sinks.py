@@ -286,3 +286,38 @@ def test_stream_apply_maintains_derived_table(spark, tmp_path):
         .collect()
     )
     assert sorted(stats_t.snapshot().collect()) == expected
+
+
+def test_stream_apply_maintains_aggregate_view(spark, tmp_path):
+    """Aggregate materialized views are maintained by the streaming path too
+    (foreachBatch -> apply_epoch computes deltas off each micro-batch's
+    pre-state): after the stream drains, the view equals a plain groupBy of
+    the main snapshot."""
+    from data_exchange_hl7_spark.engine import (
+        REPO_STATS_SCHEMA,
+        repo_stats_delta,
+    )
+
+    src = str(tmp_path / "wal_stream")
+    ev = change_events(spark, 2000)
+    ev.filter(F.col("lsn") < 1000).write.mode("overwrite").parquet(src)
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=16, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    view = eng.aggregate_table("repo_stats", REPO_STATS_SCHEMA, repo_stats_delta)
+
+    stream_apply(spark, eng, src, table, str(tmp_path / "ckpt")).awaitTermination(120)
+    # second batch arrives later: deltas must stack on the first batch's sums
+    ev.filter(F.col("lsn") >= 1000).write.mode("append").parquet(src)
+    stream_apply(spark, eng, src, table, str(tmp_path / "ckpt")).awaitTermination(120)
+
+    exp = {r["repo"]: (r["n_files"], r["total_bytes"]) for r in
+           table.snapshot().groupBy("repo").agg(
+               F.count("*").alias("n_files"),
+               F.sum(F.col("size_bytes").cast("bigint")).alias("total_bytes"),
+           ).collect()}
+    got = {r["repo"]: (r["n_files"], r["total_bytes"]) for r in view.snapshot().collect()}
+    for repo, vals in exp.items():
+        assert got[repo] == vals, repo
+    for repo in set(got) - set(exp):
+        assert got[repo] == (0, 0), repo

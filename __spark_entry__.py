@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_plan": qt.domain_mix_plan,
         "length_percentiles": qt.length_percentiles,
         "aggregate_repo_stats": q.aggregate_repo_stats,
+        "minhash_dup_pairs_capped": qt.minhash_dup_pairs_capped,
         # --- 27-32: code touched this round — re-certify ------------------
         "kmv_distinct_sketch": qt.kmv_distinct_sketch,
         "nist_report_counts": q.nist_report_counts,
@@ -92,7 +93,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hl7_debatch": q.hl7_debatch,
         "redaction": q.redaction,
         "mmg_content_validation": q.mmg_content_validation,
-        "profile_resolution": q.profile_resolution,
         # --- 49-50: minhash pair/cluster queries route through _lsh_pairs,
         # which the round-3 band-caching rewrite touched — keep them inside
         # the 50-query gate window until they re-certify
@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debatch_documents": q.debatch_documents,
         "segment_rows": q.segment_rows,
         "embedded_binary_strip": q.embedded_binary_strip,
+        "profile_resolution": q.profile_resolution,
     }
 
 
@@ -208,4 +209,5 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix_plan": qt.ORACLE_DOMAIN_MIX,
         "length_percentiles": qt.ORACLE_LENGTH_PERCENTILES,
         "aggregate_repo_stats": q.ORACLE_AGGREGATE_REPO_STATS,
+        "minhash_dup_pairs_capped": qt.ORACLE_MINHASH_PAIRS_CAPPED,
     }

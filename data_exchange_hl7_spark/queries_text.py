@@ -278,11 +278,51 @@ WHERE a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """
 
+LSH_MAX_BUCKET = 3  # binds at sf0.01 (one 6-doc and nine 4-doc buckets drop)
 
-def _lsh_pairs(d: DataFrame, n_bands: int) -> DataFrame:
+
+def minhash_dup_pairs_capped(spark, sf_dir, n_bands: int = N_BANDS):
+    """minhash_dup_pairs with the hot-bucket cap BINDING (max_bucket=3 at
+    sf0.01 drops ten over-full band buckets), certifying the capped
+    semantics the 10^9-doc configuration relies on: a degenerate band value
+    must bound its join output at cap^2, not |bucket|^2."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _lsh_pairs(d, n_bands, max_bucket=LSH_MAX_BUCKET).orderBy("doc_a", "doc_b")
+
+
+ORACLE_MINHASH_PAIRS_CAPPED = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_AGGS}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  {_MINHASH_BAND_UNION}),
+kept AS (
+  SELECT b.* FROM bands b
+  JOIN (SELECT band, sig FROM bands GROUP BY band, sig
+        HAVING COUNT(*) <= {LSH_MAX_BUCKET}) s
+  USING (band, sig))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM kept a JOIN kept b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def _lsh_pairs(d: DataFrame, n_bands: int, max_bucket: int | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs (doc_a < doc_b) over a (doc_id, text)
     corpus — the band-bucket join shape of minhash_dup_pairs, reusable over
-    any corpus DataFrame."""
+    any corpus DataFrame.
+
+    ``max_bucket``: drop band buckets holding more than this many docs
+    before the self-join. A degenerate band value (boilerplate shingles,
+    near-empty docs) otherwise makes one bucket quadratic — |B|^2 join
+    output from a single hot key is THE failure mode of LSH joins at
+    10^9 docs. An over-full bucket is also non-discriminative (its
+    signature matches too much of the corpus to indicate duplication), so
+    the standard mitigation is to cap, not salt. The size census is one agg
+    over the signature-sized band frame (never the corpus)."""
     sh = _shingles(d)
     aggs = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{b}")))).alias(f"mh{b}")
@@ -306,6 +346,14 @@ def _lsh_pairs(d: DataFrame, n_bands: int) -> DataFrame:
         .select(F.col("bd.band").alias("band"), F.col("bd.sig").alias("sig"), "doc_id")
         .persist()
     )
+    if max_bucket is not None:
+        small = (
+            bands.groupBy("band", "sig")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+        bands = bands.join(small, ["band", "sig"], "left_semi")
     a, bb = bands.alias("a"), bands.alias("b")
     return (
         a.join(bb, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))

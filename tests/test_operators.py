@@ -607,3 +607,15 @@ def test_split_obx_epi_golden_two_obr(spark):
     assert rows[7]["obx_bucket"] == "non_epi_obx"      # under the lab OBR
     assert rows[7]["anchor_obr_code"] == "11111-1"
     assert rows[8]["obx_bucket"] == "other"            # NTE
+
+
+def test_lsh_hot_bucket_cap_binds(spark):
+    """minhash_dup_pairs_capped must certify a BINDING cap: at sf0.01 the
+    corpus has band buckets above LSH_MAX_BUCKET, so the capped pair set is
+    a strict subset of the uncapped one."""
+    from data_exchange_hl7_spark import queries_text as qt
+
+    sf = "/root/testdata/sf0.01"
+    capped = qt.minhash_dup_pairs_capped(spark, sf).count()
+    uncapped = qt.minhash_dup_pairs(spark, sf).count()
+    assert capped < uncapped, (capped, uncapped)

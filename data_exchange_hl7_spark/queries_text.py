@@ -1787,16 +1787,17 @@ def c4_line_dedup(spark, sf_dir):
     three-sentence spans — exempting trivia like blank lines and '}' keeps
     the operator from gutting every document).
 
-    Scale shape: one explode, one shuffle keyed by the line content (the
-    corpus-wide dedup key — same exchange shape as exact_dup_groups at
-    line grain), one per-doc reassembly agg. The length exemption prunes the
-    hottest keys (blank/brace lines) before the shuffle: exempt short lines
-    are SPLIT OUT of the frame with a filter and unioned back after the
-    window, so the ``partitionBy(line)`` exchange never sees them. (A
-    ``when(short, 1).otherwise(row_number())`` would NOT prune — Spark
-    evaluates the window for every row and applies the ``when`` after the
-    exchange, so a corpus-wide hot line like a shared ``EOF`` marker would
-    still land 10^9 rows on one reducer at scale.)
+    Scale shape: one explode, one PARTIALLY-AGGREGATED shuffle keyed by the
+    line content, one per-doc reassembly agg. Two hot-key defenses compose:
+    (1) exempt short lines (blank/brace trivia) are split out with a filter
+    and never enter the exchange; (2) keep-first is computed as
+    min(struct(doc_id, pos)) per line — a hash AGGREGATE with map-side
+    partial combine — rather than a row_number window, so even a hot LONG
+    line (a license header in 20% of docs) reduces to one row per map task
+    before the shuffle instead of landing every occurrence on one reducer.
+    (Earlier drafts used when(short,...)+window — no pruning at all — and
+    then filter+window — still one reducer per hot long line; both are
+    recorded here because the window shape LOOKS identical at small scale.)
 
     The synthetic docs are single-line, so shared lines are synthesized
     in-plan on BOTH engines (a header shared by doc_id%5 and a footer shared
@@ -1815,16 +1816,20 @@ def c4_line_dedup(spark, sf_dir):
     lines = d.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     )
-    # Hot-key prune: exempt short lines bypass the window entirely so the
+    # Hot-key prune: exempt short lines bypass the dedup entirely so the
     # hash exchange on `line` only carries the long lines.
     short = lines.filter(F.length("line") < C4_MIN_LINE_CHARS)
     long_lines = lines.filter(F.length("line") >= C4_MIN_LINE_CHARS)
-    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    # keep-first via min(struct(doc_id, pos)) per line, NOT a row_number
+    # window: min aggregates PARTIALLY on the map side, so a corpus-wide hot
+    # line (a license header in 20% of docs) reduces to one row per map task
+    # before the exchange, where a window would land every occurrence on one
+    # reducer. The agg row IS the kept occurrence — no join back.
     kept = (
-        long_lines.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-        .unionByName(short)
+        long_lines.groupBy("line")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("f"))
+        .select(F.col("f.doc_id").alias("doc_id"), F.col("f.pos").alias("pos"), "line")
+        .unionByName(short.select("doc_id", "pos", "line"))
     )
     agg = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines_kept"),

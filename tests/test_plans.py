@@ -156,23 +156,24 @@ def test_curation_ops_stay_jvm_side(spark):
         assert_no_python_udf(fn(spark, SF))
 
 
-def test_c4_line_dedup_window_excludes_short_lines(spark):
-    """The r2 verdict's scale-killer fix: exempt short lines must be split
-    out BEFORE the partitionBy(line) window — a when(short,1).otherwise(
-    row_number()) still shuffles every row by line, so a corpus-wide hot
-    line (the synthesized EOF marker) lands 10^9 rows on one reducer. The
-    plan must show exactly one Window whose input is filtered to
-    length(line) >= C4_MIN_LINE_CHARS, unioned with the short-line branch."""
+def test_c4_line_dedup_no_window_partial_agg(spark):
+    """Hot-line defense (r2 scale-killer, tightened in r3): keep-first must
+    be a min(struct) HASH AGGREGATE (map-side partial combine absorbs a
+    corpus-wide hot line) — NO row_number window keyed by line anywhere in
+    the plan — and exempt short lines are split out before the exchange."""
     from data_exchange_hl7_spark.plans import explain_str
 
     import re
 
     df = qt.c4_line_dedup(spark, SF)
     plan = explain_str(df)
-    # exactly one Window node (WindowGroupLimit pre-filters don't count)
-    assert len(re.findall(r"\(\d+\) Window\s*$", plan, re.M)) == 1
+    # zero Window nodes: the per-line keep-first is an aggregate now
+    assert not re.findall(r"\(\d+\) Window\s*$", plan, re.M), "window crept back"
+    assert "partial_min" in plan or "partial min" in plan.lower() or (
+        "HashAggregate" in plan and "min(" in plan
+    )
     assert "Union" in plan
-    # the long-line filter guards the window's exchange; the short branch
+    # the long-line filter guards the aggregate's exchange; the short branch
     # carries the complementary predicate
     assert f">= {qt.C4_MIN_LINE_CHARS}" in plan
     assert f"< {qt.C4_MIN_LINE_CHARS}" in plan

@@ -781,14 +781,21 @@ FROM s ORDER BY vec_id
 SRP_BITS = 8
 
 
-def embedding_cosine_dups(spark, sf_dir, n_bits: int = SRP_BITS):
+def embedding_cosine_dups(
+    spark, sf_dir, n_bits: int = SRP_BITS, max_bucket: int | None = None
+):
     """Embedding-cosine near-dup, LSH-bucketed (the scale path): candidates
     are generated by an ``n_bits``-bit signed-random-projection bucket (sign
     of the first n dims — deterministic hyperplanes), joined WITHIN bucket
     only, then filtered by an exact integer cosine predicate
     ``dot > 0 AND dot^2 * 10^4 >= thr^2_e4 * |a|^2 * |b|^2`` (cos >= 0.30).
     At 100 TB the bucket join replaces the O(n^2) cross product with
-    per-bucket blocks; all arithmetic is exact bigint on the milli-grid."""
+    per-bucket blocks; all arithmetic is exact bigint on the milli-grid.
+
+    ``max_bucket``: hot-bucket cap, same semi-join shape as _lsh_pairs
+    (oracle-certified by minhash_dup_pairs_capped) — an embedding mode
+    (zero vectors, one dominant cluster) must bound its bucket's join
+    output at cap^2. Default None preserves the exact oracle contract."""
     e = _quantized(spark, sf_dir)
     bucket = F.concat(
         *[
@@ -801,7 +808,15 @@ def embedding_cosine_dups(spark, sf_dir, n_bits: int = SRP_BITS):
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    b = e.select("vec_id", bucket.alias("bucket"), nrm.alias("nrm"), "q")
+    b = e.select("vec_id", bucket.alias("bucket"), nrm.alias("nrm"), "q").persist()
+    if max_bucket is not None:
+        small = (
+            b.groupBy("bucket")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+        b = b.join(small, ["bucket"], "left_semi")
     a, bb = b.alias("a"), b.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
@@ -1144,6 +1159,7 @@ def simhash_dup_pairs(
     n_bits: int = SIMHASH_BITS,
     n_bands: int = SIMHASH_BANDS,
     max_hamming: int = SIMHASH_MAX_HAMMING,
+    max_bucket: int | None = None,
 ):
     """SimHash near-dup pairs: banded (band, bits) bucket join for candidates
     (never all-pairs), then exact hamming <= n_bands-1 filter. Runs over the
@@ -1152,7 +1168,13 @@ def simhash_dup_pairs(
 
     The oracle deliberately computes the same output the OTHER way — an
     all-pairs join with the hamming predicate — so a green row also certifies
-    the banding's recall guarantee, not just the arithmetic."""
+    the banding's recall guarantee, not just the arithmetic.
+
+    ``max_bucket``: hot-bucket cap, same semantics and semi-join shape as
+    _lsh_pairs (oracle-certified there by minhash_dup_pairs_capped): at
+    10^9 docs a boilerplate-dominated (band, bits) value must bound its
+    join output at cap^2, not |bucket|^2. Default None keeps the exact
+    banding-recall contract the all-pairs oracle checks."""
     d = _with_synth_dups(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     sig = _simhash_over(d, n_bits, "sig")
     width = n_bits // n_bands
@@ -1180,6 +1202,14 @@ def simhash_dup_pairs(
         )
         .persist()
     )
+    if max_bucket is not None:
+        small = (
+            bands.groupBy("band", "bits")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+        bands = bands.join(small, ["band", "bits"], "left_semi")
     a, bb = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(bb, (F.col("a.band") == F.col("b.band")) & (F.col("a.bits") == F.col("b.bits")))

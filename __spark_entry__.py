@@ -70,7 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": qt.length_percentiles,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "minhash_dup_pairs_capped": qt.minhash_dup_pairs_capped,
-        # --- 27-32: code touched this round — re-certify ------------------
+        "fixed_chunking": qt.fixed_chunking,
+        "code_quality_flags": qt.code_quality_flags,
+        # --- 28-33: code touched this round — re-certify ------------------
         "kmv_distinct_sketch": qt.kmv_distinct_sketch,
         "nist_report_counts": q.nist_report_counts,
         "vocab_validation": q.vocab_validation,
@@ -91,8 +93,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_counts": q.sliding_window_counts,
         "streaming_dedup_batch": q.streaming_dedup_batch,
         "hl7_debatch": q.hl7_debatch,
-        "redaction": q.redaction,
-        "mmg_content_validation": q.mmg_content_validation,
         # --- 49-50: minhash pair/cluster queries route through _lsh_pairs,
         # which the round-3 band-caching rewrite touched — keep them inside
         # the 50-query gate window until they re-certify
@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_rows": q.segment_rows,
         "embedded_binary_strip": q.embedded_binary_strip,
         "profile_resolution": q.profile_resolution,
+        "redaction": q.redaction,
+        "mmg_content_validation": q.mmg_content_validation,
     }
 
 
@@ -210,4 +212,6 @@ def oracle_sql() -> dict[str, str]:
         "length_percentiles": qt.ORACLE_LENGTH_PERCENTILES,
         "aggregate_repo_stats": q.ORACLE_AGGREGATE_REPO_STATS,
         "minhash_dup_pairs_capped": qt.ORACLE_MINHASH_PAIRS_CAPPED,
+        "fixed_chunking": qt.ORACLE_FIXED_CHUNKING,
+        "code_quality_flags": qt.ORACLE_CODE_QUALITY,
     }

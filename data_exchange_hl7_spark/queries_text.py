@@ -2273,3 +2273,186 @@ SELECT source, MAX(n) AS n_docs,
        MAX(CASE WHEN rn = (99*n + 99) // 100 THEN n_chars END) AS p99_chars
 FROM r GROUP BY source ORDER BY source
 """
+
+
+# --------------------- fixed-window chunking (training prep) ---------------
+
+CHUNK_W = 32  # tokens per training window
+CHUNK_S = 24  # stride (overlap = W - S)
+
+
+def fixed_chunking(spark, sf_dir):
+    """Fixed token-window chunking with overlap — the standard step that
+    turns variable-length documents into training windows (W=32 tokens,
+    stride 24, so consecutive chunks share 8 tokens; the final chunk is
+    short rather than padded). One chunk row per (doc, window): index,
+    start offset, length, and the chunk text.
+
+    Scale shape: pure narrow — tokenize + sequence + posexplode + slice are
+    all per-row expressions evaluated at the scan; no shuffle at all until a
+    downstream consumer aggregates (the orderBy here is presentation for the
+    gate, which any consumer would drop)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CHUNK_S))
+    rows = d.select(
+        "doc_id", toks.alias("toks"), n.alias("n"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    ).filter((F.col("start") < F.col("n")) & (F.col("n") > 0))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_W)
+    return (
+        rows.select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("start").cast("int").alias("chunk_start"),
+            F.size(chunk).cast("int").alias("chunk_len"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+ORACLE_FIXED_CHUNKING = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
+  FROM documents),
+s AS (
+  SELECT doc_id, l,
+         UNNEST(GENERATE_SERIES(0, GREATEST(len(l) - 1, 0), {CHUNK_S})) AS start
+  FROM t)
+SELECT doc_id,
+       CAST(start / {CHUNK_S} AS INT) AS chunk_idx,
+       CAST(start AS INT) AS chunk_start,
+       CAST(len(l[start + 1 : start + {CHUNK_W}]) AS INT) AS chunk_len,
+       array_to_string(l[start + 1 : start + {CHUNK_W}], ' ') AS chunk_text
+FROM s
+WHERE start < len(l) AND len(l) > 0
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# ------------- code-corpus quality filters (StarCoder-style) ---------------
+
+CQ_MAX_LINE = 200          # chars: any single line longer than this → flag
+CQ_MEAN_LINE_MAX = 120.0   # chars: mean line length ceiling
+CQ_MIN_ALNUM_FRAC = 0.25   # share of [a-zA-Z0-9] chars below this → flag
+CQ_MAX_HEX_FRAC = 0.30     # share of chars inside long hex runs above → flag
+
+
+def code_quality_flags(spark, sf_dir):
+    """Code-corpus quality filters in the StarCoder/BigCode style (public
+    heuristics: max/mean line length, alphanumeric fraction, embedded
+    hex-data blobs, comment-line share) — the keep/drop gate a source-code
+    training pipeline runs before dedup. One row per document with the raw
+    stats, each flag as an int, and the combined keep verdict.
+
+    The synthetic docs are single-line prose, so a code-shaped multi-line
+    file is synthesized in-plan on BOTH engines: a comment or fn header by
+    doc_id%3, the doc text as the body, a 240-char minified line for
+    doc_id%7==0, and a 256-char hex blob for doc_id%5==0 — so every flag
+    fires on a known deterministic subset (non-vacuous gate).
+
+    Scale shape: pure narrow — every stat is a per-row column expression
+    (split/transform/aggregate over the line array, two regexp passes)
+    evaluated at the scan; zero shuffles. mean_line_len is derived as
+    (len(content) - (n_lines-1)) / n_lines rather than a second array pass;
+    the orderBy is gate presentation only."""
+    d = _t(spark, sf_dir, "documents")
+    header = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("# module m"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("// impl note "), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("fn f"), F.col("doc_id").cast("string"),
+                            F.lit("() {")))
+    )
+    content = F.concat_ws(
+        "\n", header, F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.repeat(F.lit("x"), 240)),
+        F.when(F.col("doc_id") % 5 == 0, F.repeat(F.lit("deadbeef"), 32)),
+        # ASCII-art/minified-punctuation stand-in: drops alnum_frac below the
+        # gate for short docs only, so flag_low_alnum fires on a proper subset
+        F.when(F.col("doc_id") % 11 == 0, F.repeat(F.lit("!@#$%^&*()"), 100)),
+    )
+    lines = F.split(content, "\n")
+    n_lines = F.size(lines).cast("bigint")
+    n_chars = F.length(content).cast("bigint")
+    max_line = F.array_max(F.transform(lines, F.length)).cast("bigint")
+    mean_line = (n_chars - (n_lines - 1)).cast("double") / n_lines
+    alnum = F.length(F.regexp_replace(content, "[^a-zA-Z0-9]", "")).cast("bigint")
+    hexch = F.length(
+        F.array_join(
+            F.regexp_extract_all(content, F.lit("[0-9a-f]{16,}"), F.lit(0)), ""
+        )
+    ).cast("bigint")
+    n_comment = F.size(
+        F.filter(lines, lambda x: x.startswith("#") | x.startswith("//"))
+    ).cast("bigint")
+    stats = d.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_chars.alias("n_chars"),
+        max_line.alias("max_line_len"),
+        mean_line.alias("mean_line_len"),
+        (alnum.cast("double") / n_chars).alias("alnum_frac"),
+        (hexch.cast("double") / n_chars).alias("hex_frac"),
+        n_comment.alias("n_comment_lines"),
+    )
+    f_long = (F.col("max_line_len") > CQ_MAX_LINE).cast("int")
+    f_mean = (F.col("mean_line_len") > CQ_MEAN_LINE_MAX).cast("int")
+    f_alnum = (F.col("alnum_frac") < CQ_MIN_ALNUM_FRAC).cast("int")
+    f_hex = (F.col("hex_frac") > CQ_MAX_HEX_FRAC).cast("int")
+    return (
+        stats.select(
+            "*",
+            f_long.alias("flag_long_line"),
+            f_mean.alias("flag_mean_line"),
+            f_alnum.alias("flag_low_alnum"),
+            f_hex.alias("flag_hex_blob"),
+            (1 - F.greatest(f_long, f_mean, f_alnum, f_hex)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CODE_QUALITY = f"""
+WITH c AS (
+  SELECT doc_id,
+         CONCAT_WS(chr(10),
+           CASE WHEN doc_id % 3 = 0 THEN '# module m' || CAST(doc_id AS VARCHAR)
+                WHEN doc_id % 3 = 1 THEN '// impl note ' || CAST(doc_id AS VARCHAR)
+                ELSE 'fn f' || CAST(doc_id AS VARCHAR) || '() {{' END,
+           text,
+           CASE WHEN doc_id % 7 = 0 THEN REPEAT('x', 240) END,
+           CASE WHEN doc_id % 5 = 0 THEN REPEAT('deadbeef', 32) END,
+           CASE WHEN doc_id % 11 = 0 THEN REPEAT('!@#$%^&*()', 100) END) AS content
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(string_split(content, chr(10))) AS BIGINT) AS n_lines,
+         CAST(LENGTH(content) AS BIGINT) AS n_chars,
+         CAST(list_max(list_transform(string_split(content, chr(10)),
+                                      x -> LENGTH(x))) AS BIGINT) AS max_line_len,
+         CAST(LENGTH(content) - (len(string_split(content, chr(10))) - 1)
+              AS DOUBLE) / len(string_split(content, chr(10))) AS mean_line_len,
+         CAST(LENGTH(REGEXP_REPLACE(content, '[^a-zA-Z0-9]', '', 'g'))
+              AS DOUBLE) / LENGTH(content) AS alnum_frac,
+         -- regexp_extract_all is NULL (not []) on zero matches in DuckDB
+         CAST(COALESCE(LENGTH(ARRAY_TO_STRING(
+                REGEXP_EXTRACT_ALL(content, '[0-9a-f]{{16,}}'), '')), 0)
+              AS DOUBLE) / LENGTH(content) AS hex_frac,
+         CAST(len(list_filter(string_split(content, chr(10)),
+                  x -> x LIKE '#%' OR x LIKE '//%')) AS BIGINT) AS n_comment_lines
+  FROM c),
+fl AS (
+  SELECT *,
+         CAST(max_line_len > {CQ_MAX_LINE} AS INT) AS flag_long_line,
+         CAST(mean_line_len > {CQ_MEAN_LINE_MAX} AS INT) AS flag_mean_line,
+         CAST(alnum_frac < {CQ_MIN_ALNUM_FRAC} AS INT) AS flag_low_alnum,
+         CAST(hex_frac > {CQ_MAX_HEX_FRAC} AS INT) AS flag_hex_blob
+  FROM s)
+SELECT *, 1 - GREATEST(flag_long_line, flag_mean_line, flag_low_alnum,
+                       flag_hex_blob) AS keep
+FROM fl ORDER BY doc_id
+"""

@@ -363,3 +363,16 @@ def test_aggregate_prestate_scan_prunes_content(spark, tmp_path):
     assert schemas, "no parquet scan found in the plan"
     for s in schemas:
         assert "content" not in s, s
+
+
+def test_chunking_and_code_quality_are_narrow(spark):
+    """fixed_chunking and code_quality_flags are per-row column expressions:
+    the only exchange in either plan is the presentation orderBy's range
+    partitioning — zero hash shuffles (nothing groups or joins)."""
+    from data_exchange_hl7_spark.plans.inspect import explain_str
+    import re
+
+    for fn in [qt.fixed_chunking, qt.code_quality_flags]:
+        plan = explain_str(fn(spark, SF))
+        assert not re.findall(r"\bExchange hashpartitioning", plan), fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__

@@ -72,7 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs_capped": qt.minhash_dup_pairs_capped,
         "fixed_chunking": qt.fixed_chunking,
         "code_quality_flags": qt.code_quality_flags,
-        # --- 28-33: code touched this round — re-certify ------------------
+        "rare_token_filter": qt.rare_token_filter,
+        # --- 29-34: code touched this round — re-certify ------------------
         "kmv_distinct_sketch": qt.kmv_distinct_sketch,
         "nist_report_counts": q.nist_report_counts,
         "vocab_validation": q.vocab_validation,
@@ -83,7 +84,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_latest_state": q.cdc_latest_state,
         "latest_flag_sequencing": q.latest_flag_sequencing,
         "latest_state_salted": q.latest_state_salted,
-        "dup_detection": q.dup_detection,
         "time_travel_as_of": q.time_travel_as_of,
         "change_data_feed": q.change_data_feed,
         "filtered_snapshot_read": q.filtered_snapshot_read,
@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_resolution": q.profile_resolution,
         "redaction": q.redaction,
         "mmg_content_validation": q.mmg_content_validation,
+        "dup_detection": q.dup_detection,
     }
 
 
@@ -214,4 +215,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dup_pairs_capped": qt.ORACLE_MINHASH_PAIRS_CAPPED,
         "fixed_chunking": qt.ORACLE_FIXED_CHUNKING,
         "code_quality_flags": qt.ORACLE_CODE_QUALITY,
+        "rare_token_filter": qt.ORACLE_RARE_TOKEN,
     }

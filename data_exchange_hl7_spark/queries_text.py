@@ -2456,3 +2456,103 @@ SELECT *, 1 - GREATEST(flag_long_line, flag_mean_line, flag_low_alnum,
                        flag_hex_blob) AS keep
 FROM fl ORDER BY doc_id
 """
+
+
+# --------------- corpus-frequency rarity filter (CCNet-style) --------------
+
+RARE_MAX_COUNT = 2          # a token with corpus frequency <= this is "rare"
+RARE_MILLI_GATE = 40_000    # flag docs with > 4% rare-token share
+
+
+def rare_token_filter(spark, sf_dir):
+    """Corpus-frequency quality filter in the CCNet spirit (Wenzek et al.
+    2020 filter low-LM-probability text): instead of an external language
+    model, score each document by the share of its tokens that are RARE in
+    this corpus (global frequency <= RARE_MAX_COUNT) — high rare share means
+    OCR garbage, random identifiers, or boilerplate-free noise. Exact
+    integer arithmetic throughout (the share is reported in floored parts
+    per million), so the verdict is bit-reproducible across engines.
+
+    Scale shape (the Zipf flip): the corpus vocabulary is huge but the
+    COMMON head is small — so rather than shuffling every token against a
+    giant count table, aggregate counts (map-side partial combine), keep
+    only tokens with count > RARE_MAX_COUNT (the Zipf head, broadcastable),
+    and broadcast-left-anti-join the exploded tokens against it; a token
+    absent from the head is rare by definition. Per-doc reassembly is one
+    hash agg keyed by doc_id. Two shuffles total, both partially combined;
+    nothing keyed by token ever lands on a single reducer.
+
+    The synthetic vocab is ~30 words (all common), so rarity is synthesized
+    in-plan on BOTH engines: every doc_id%4==0 doc carries one unique
+    token (corpus count 1 — always rare) and every doc a group token shared
+    by doc_id%97 (count ~5 at sf0.01 — common, guarding the threshold)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" uniq"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+            F.lit(" grp"), (F.col("doc_id") % 97).cast("string"),
+        ).alias("text"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    common = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > RARE_MAX_COUNT)
+        .select("token")
+    )
+    rare = toks.join(F.broadcast(common), "token", "left_anti")
+    n_rare = rare.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rare")
+    )
+    n_tok = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    milli = F.expr(f"(1000000 * n_rare) div n_tokens")
+    return (
+        n_tok.join(n_rare, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_rare", F.lit(0)).cast("bigint").alias("n_rare"),
+        )
+        .select(
+            "*",
+            milli.alias("rare_ppm"),
+            (milli > RARE_MILLI_GATE).cast("int").alias("flag_rare"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_RARE_TOKEN = f"""
+WITH d AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 4 = 0 THEN ' uniq' || CAST(doc_id AS VARCHAR)
+              ELSE '' END ||
+         ' grp' || CAST(doc_id % 97 AS VARCHAR) AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM d),
+t AS (SELECT doc_id, token FROM toks WHERE LENGTH(token) > 0),
+common AS (
+  SELECT token FROM t GROUP BY token HAVING COUNT(*) > {RARE_MAX_COUNT}),
+stats AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN common.token IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rare
+  FROM t LEFT JOIN common USING (token)
+  GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_rare,
+       (1000000 * n_rare) // n_tokens AS rare_ppm,
+       CAST((1000000 * n_rare) // n_tokens > {RARE_MILLI_GATE} AS INT)
+         AS flag_rare
+FROM stats ORDER BY doc_id
+"""

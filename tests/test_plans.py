@@ -376,3 +376,15 @@ def test_chunking_and_code_quality_are_narrow(spark):
         plan = explain_str(fn(spark, SF))
         assert not re.findall(r"\bExchange hashpartitioning", plan), fn.__name__
         assert "BatchEvalPython" not in plan, fn.__name__
+
+
+def test_rare_token_filter_broadcasts_zipf_head(spark):
+    """The rarity join must broadcast the (small) common-token head and
+    anti-join the exploded tokens against it — never a sort-merge keyed by
+    token (the full vocab would shuffle, and hot tokens would skew)."""
+    from data_exchange_hl7_spark.plans.inspect import explain_str
+
+    plan = explain_str(qt.rare_token_filter(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -73,7 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_chunking": qt.fixed_chunking,
         "code_quality_flags": qt.code_quality_flags,
         "rare_token_filter": qt.rare_token_filter,
-        # --- 29-34: code touched this round — re-certify ------------------
+        "incremental_minhash_index": q.incremental_minhash_index,
+        # --- 30-35: code touched this round — re-certify ------------------
         "kmv_distinct_sketch": qt.kmv_distinct_sketch,
         "nist_report_counts": q.nist_report_counts,
         "vocab_validation": q.vocab_validation,
@@ -83,7 +84,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 33-48: core CDC / lake / streaming family --------------------
         "cdc_latest_state": q.cdc_latest_state,
         "latest_flag_sequencing": q.latest_flag_sequencing,
-        "latest_state_salted": q.latest_state_salted,
         "time_travel_as_of": q.time_travel_as_of,
         "change_data_feed": q.change_data_feed,
         "filtered_snapshot_read": q.filtered_snapshot_read,
@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redaction": q.redaction,
         "mmg_content_validation": q.mmg_content_validation,
         "dup_detection": q.dup_detection,
+        "latest_state_salted": q.latest_state_salted,
     }
 
 
@@ -216,4 +217,5 @@ def oracle_sql() -> dict[str, str]:
         "fixed_chunking": qt.ORACLE_FIXED_CHUNKING,
         "code_quality_flags": qt.ORACLE_CODE_QUALITY,
         "rare_token_filter": qt.ORACLE_RARE_TOKEN,
+        "incremental_minhash_index": q.ORACLE_MINHASH_INDEX,
     }

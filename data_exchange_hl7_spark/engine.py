@@ -76,6 +76,49 @@ def file_stats_derive(changes: DataFrame) -> DataFrame:
     )
 
 
+# Built-in near-dup signature index (Engine.derived_table): per-key MinHash
+# band signatures maintained INCREMENTALLY with the snapshot. At 10^10 events
+# this is the difference between dedup as a per-epoch O(changes) projection
+# and re-sketching the whole corpus every time someone asks for duplicates:
+# only keys touched by an epoch are ever re-signed, deletes tombstone their
+# signature, and the LSH band-bucket join runs over this index instead of
+# the raw content table (no text ever re-shuffles).
+MINHASH_INDEX_SCHEMA = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("mh0", "string"),
+    ("mh1", "string"),
+    ("mh2", "string"),
+    ("mh3", "string"),
+    ("last_lsn", "bigint"),
+]
+
+
+def minhash_index_derive(changes: DataFrame) -> DataFrame:
+    """Per-key MinHash band signatures (4 bands, md5(shingle||':'||band),
+    the same family as queries_text.minhash_signatures) as a PURE PROJECTION
+    over the epoch's change frame: the 3-word shingle set and each band's
+    minimum are array expressions evaluated per row — no explode, no
+    shuffle, no second WAL pass. Documents with fewer than 3 tokens sign as
+    NULL (nothing to shingle); D tombstones pass through."""
+    body = F.coalesce(F.col("content"), F.lit(""))
+    toks = F.filter(F.split(body, " "), lambda t: F.length(t) > 0)
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bands = [
+        F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f":{b}"))))
+        ).alias(f"mh{b}")
+        for b in range(4)
+    ]
+    return changes.select("repo", "path", *bands, "last_lsn", "__op")
+
+
 # Built-in aggregate-view spec (Engine.aggregate_table): per-repo rollup
 # maintained incrementally — the receiver-file-report A4 semantics kept as a
 # live materialized view instead of a per-batch report.

@@ -1903,3 +1903,127 @@ WHERE doc_id % 7 <> 0 AND len(b) > 0
 GROUP BY source
 ORDER BY repo
 """
+
+
+def incremental_minhash_index(spark, sf_dir):
+    """Engine-maintained INCREMENTAL near-dup index under the oracle gate:
+    a MinHash-signature derived table (engine.MINHASH_INDEX_SCHEMA /
+    minhash_index_derive) kept in step with the main table across TWO real
+    epochs — epoch 0 INSERTs a 50-char preview of every doc, epoch 1
+    UPDATEs only doc_id%3==0 to the full text and DELETEs doc_id%7==0,
+    leaving the rest untouched. The final index snapshot must equal the
+    signatures DuckDB computes straight from each key's FINAL content —
+    which certifies all three incremental behaviors at once: unchanged keys
+    keep their epoch-0 signatures (never recomputed), updated keys are
+    re-signed from the new content, deleted keys leave no row.
+
+    Scale shape: the derive is a per-row array expression over the epoch's
+    persisted change frame (no explode, no shuffle, no second WAL pass);
+    the index merge is O(changes) keyed like the main table. Dedup at
+    10^10 events runs LSH over THIS index — the corpus text never
+    re-shuffles after ingest."""
+    import tempfile
+
+    from data_exchange_hl7_spark.engine import (
+        MINHASH_INDEX_SCHEMA,
+        Engine,
+        minhash_index_derive,
+    )
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    key = f"{sf_dir}::mhindex"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(os.path.join(loc, "minhash_index"))):
+        loc = tempfile.mkdtemp(prefix="dex_engine_mhidx_")
+        eng = Engine(spark, loc, n_buckets=8, mode="mor")
+        table = eng.snapshot_table("repo_files")
+        eng.derived_table("minhash_index", MINHASH_INDEX_SCHEMA, minhash_index_derive)
+        base = _t(spark, sf_dir, "documents").select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            "doc_id",
+            "lang",
+            "text",
+        )
+
+        def _wal(frame):
+            return (
+                frame.withColumn(
+                    "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("lsn"))
+                )
+                .withColumn("new_path", F.lit(None).cast("string"))
+                .withColumn("commit", F.sha2(F.col("path"), 256).substr(1, 40))
+                .withColumn("schema_field", F.lit(None).cast("string"))
+                .withColumn(
+                    "supporting_metadata", F.create_map().cast("map<string,string>")
+                )
+                .withColumn(
+                    "event_id",
+                    F.sha2(
+                        F.concat_ws("|", "repo", "path", F.col("lsn").cast("string")),
+                        256,
+                    ),
+                )
+            )
+
+        v1 = base.select(
+            F.lit("INSERT").alias("op"),
+            (F.col("doc_id") * 2).alias("lsn"),
+            "repo",
+            "path",
+            "lang",
+            F.substring("text", 1, 50).alias("content"),
+        )
+        v2 = base.filter((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 7 == 0)).select(
+            F.when(F.col("doc_id") % 7 == 0, F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+            .alias("op"),
+            (F.col("doc_id") * 2 + 1).alias("lsn"),
+            "repo",
+            "path",
+            "lang",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("text"))
+            .alias("content"),
+        )
+        eng.apply_epoch(_wal(v1), table, epoch=0, collect_metrics=False)
+        eng.apply_epoch(_wal(v2), table, epoch=1, collect_metrics=False)
+        _LAKE_DEMO_CACHE[key] = loc
+    idx = LakeTable(spark, os.path.join(loc, "minhash_index"))
+    return (
+        idx.snapshot()
+        .select("repo", "path", "mh0", "mh1", "mh2", "mh3", "last_lsn")
+        .orderBy("repo", "path")
+    )
+
+
+# Final per-key content: full text where doc_id%3==0, else the 50-char
+# preview; doc_id%7==0 deleted. TRIM mirrors operators/normalize.py TRIM_SET
+# (the engine cleans content before it reaches the change frame).
+ORACLE_MINHASH_INDEX = """
+WITH fin AS (
+  SELECT doc_id, source,
+         TRIM(CASE WHEN doc_id % 3 = 0 THEN text ELSE SUBSTR(text, 1, 50) END,
+              chr(65279) || ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS b,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id * 2 + 1
+                   ELSE doc_id * 2 END AS BIGINT) AS last_lsn
+  FROM documents WHERE doc_id % 7 <> 0),
+sh AS (
+  SELECT doc_id, source, last_lsn,
+         CASE WHEN len(list_filter(string_split(b, ' '), x -> len(x) > 0)) >= 3
+              THEN list_transform(
+                     generate_series(1, len(list_filter(string_split(b, ' '), x -> len(x) > 0)) - 2),
+                     i -> list_filter(string_split(b, ' '), x -> len(x) > 0)[i] || ' ' ||
+                          list_filter(string_split(b, ' '), x -> len(x) > 0)[i+1] || ' ' ||
+                          list_filter(string_split(b, ' '), x -> len(x) > 0)[i+2])
+              ELSE [] END AS shingles
+  FROM fin WHERE len(b) > 0)
+SELECT source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) AS path,
+       list_min(list_transform(shingles, s -> md5(s || ':0'))) AS mh0,
+       list_min(list_transform(shingles, s -> md5(s || ':1'))) AS mh1,
+       list_min(list_transform(shingles, s -> md5(s || ':2'))) AS mh2,
+       list_min(list_transform(shingles, s -> md5(s || ':3'))) AS mh3,
+       last_lsn
+FROM sh ORDER BY repo, path
+"""

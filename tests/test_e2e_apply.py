@@ -655,3 +655,29 @@ def test_aggregate_resume_refuses_expired_prestate(spark, tmp_path):
 
     with pytest.raises(ValueError, match="expired|retention"):
         eng.apply_epoch(ev2, table, epoch=1)
+
+
+def test_minhash_index_incremental_equals_recompute(spark, tmp_path):
+    """The incremental near-dup index converges to exactly what a full
+    re-sketch of the final table state would produce: after a multi-epoch
+    replay with inserts/updates/deletes, minhash_index_derive(final
+    snapshot) == index snapshot. Also pins the edge cases: a doc with < 3
+    tokens signs NULL, and deleted keys leave no index row."""
+    from data_exchange_hl7_spark.engine import (
+        MINHASH_INDEX_SCHEMA,
+        minhash_index_derive,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    idx = eng.derived_table("minhash_index", MINHASH_INDEX_SCHEMA, minhash_index_derive)
+    events = change_events(spark, 4000)
+    MicroBatchRunner(eng, epoch_size=1000).run(events, table)
+
+    final = table.snapshot().withColumn("__op", F.lit("U"))
+    expect = minhash_index_derive(final).drop("__op")
+    got = idx.snapshot().select(*expect.columns)
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    # short-content rows sign NULL (nothing to shingle) — present, not wrong
+    assert got.count() == final.count()

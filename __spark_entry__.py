@@ -74,7 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality_flags": qt.code_quality_flags,
         "rare_token_filter": qt.rare_token_filter,
         "incremental_minhash_index": q.incremental_minhash_index,
-        # --- 30-35: code touched this round — re-certify ------------------
+        "index_dup_candidates": q.index_dup_candidates,
+        # --- 31-36: code touched this round — re-certify ------------------
         "kmv_distinct_sketch": qt.kmv_distinct_sketch,
         "nist_report_counts": q.nist_report_counts,
         "vocab_validation": q.vocab_validation,
@@ -83,7 +84,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_preceding_anchor": q.nearest_preceding_anchor,
         # --- 33-48: core CDC / lake / streaming family --------------------
         "cdc_latest_state": q.cdc_latest_state,
-        "latest_flag_sequencing": q.latest_flag_sequencing,
         "time_travel_as_of": q.time_travel_as_of,
         "change_data_feed": q.change_data_feed,
         "filtered_snapshot_read": q.filtered_snapshot_read,
@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmg_content_validation": q.mmg_content_validation,
         "dup_detection": q.dup_detection,
         "latest_state_salted": q.latest_state_salted,
+        "latest_flag_sequencing": q.latest_flag_sequencing,
     }
 
 
@@ -218,4 +219,5 @@ def oracle_sql() -> dict[str, str]:
         "code_quality_flags": qt.ORACLE_CODE_QUALITY,
         "rare_token_filter": qt.ORACLE_RARE_TOKEN,
         "incremental_minhash_index": q.ORACLE_MINHASH_INDEX,
+        "index_dup_candidates": q.ORACLE_INDEX_DUP_CANDIDATES,
     }

@@ -2027,3 +2027,170 @@ SELECT source AS repo,
        last_lsn
 FROM sh ORDER BY repo, path
 """
+
+
+def index_dup_candidates(spark, sf_dir):
+    """Dedup-the-delta-against-the-corpus, the operation a 10^10-event
+    pipeline actually runs per epoch: keys changed in the LAST epoch (read
+    from the index table's change data feed — no main-table access) are
+    LSH-banded and matched against the FULL MinHash index for near-dup
+    candidates. Emits one (changed_path, other_path) row per banded hit.
+
+    Demo replay: epoch 0 INSERTs every doc (doc_id%10==8 carry a shared
+    'dup family' body keyed by doc_id%30); epoch 1 UPDATEs doc_id%10==9 to
+    the NEIGHBOR family body ((doc_id-1)%30) and DELETEs doc_id%10==4 — so
+    each changed doc must match the unchanged epoch-0 members of its
+    family (and its co-changed siblings), deleted keys appear on neither
+    side, and everything else matches nothing.
+
+    Scale shape: the delta side is one epoch's keys — tiny next to the
+    corpus — so its 4 band rows per key BROADCAST (plan-asserted) and the
+    index scan never shuffles; cost is O(index) scan + O(delta x bucket)
+    matches, not O(corpus^2) and not a corpus re-sketch. Signatures come
+    from the incrementally-maintained index on both sides; document text is
+    never touched."""
+    import tempfile
+
+    from data_exchange_hl7_spark.engine import (
+        MINHASH_INDEX_SCHEMA,
+        Engine,
+        minhash_index_derive,
+    )
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    key = f"{sf_dir}::mhidx_delta"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(os.path.join(loc, "minhash_index"))):
+        loc = tempfile.mkdtemp(prefix="dex_engine_mhdelta_")
+        eng = Engine(spark, loc, n_buckets=8, mode="mor")
+        table = eng.snapshot_table("repo_files")
+        eng.derived_table("minhash_index", MINHASH_INDEX_SCHEMA, minhash_index_derive)
+        base = _t(spark, sf_dir, "documents").select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            "doc_id",
+            "lang",
+            "text",
+        )
+        fam = lambda k: F.concat(  # noqa: E731 — shared dup-family body
+            F.lit("dup family "), k.cast("string"),
+            F.lit(" shares this exact content body text"),
+        )
+
+        def _wal(frame):
+            return (
+                frame.withColumn(
+                    "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("lsn"))
+                )
+                .withColumn("new_path", F.lit(None).cast("string"))
+                .withColumn("commit", F.sha2(F.col("path"), 256).substr(1, 40))
+                .withColumn("schema_field", F.lit(None).cast("string"))
+                .withColumn(
+                    "supporting_metadata", F.create_map().cast("map<string,string>")
+                )
+                .withColumn(
+                    "event_id",
+                    F.sha2(
+                        F.concat_ws("|", "repo", "path", F.col("lsn").cast("string")),
+                        256,
+                    ),
+                )
+            )
+
+        v1 = base.select(
+            F.lit("INSERT").alias("op"),
+            (F.col("doc_id") * 2).alias("lsn"),
+            "repo",
+            "path",
+            "lang",
+            F.when(F.col("doc_id") % 10 == 8, fam(F.col("doc_id") % 30))
+            .otherwise(F.col("text"))
+            .alias("content"),
+        )
+        v2 = base.filter(
+            (F.col("doc_id") % 10 == 9) | (F.col("doc_id") % 10 == 4)
+        ).select(
+            F.when(F.col("doc_id") % 10 == 4, F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+            .alias("op"),
+            (F.col("doc_id") * 2 + 1).alias("lsn"),
+            "repo",
+            "path",
+            "lang",
+            F.when(F.col("doc_id") % 10 == 4, F.lit(None).cast("string"))
+            .otherwise(fam((F.col("doc_id") - 1) % 30))
+            .alias("content"),
+        )
+        eng.apply_epoch(_wal(v1), table, epoch=0, collect_metrics=False)
+        eng.apply_epoch(_wal(v2), table, epoch=1, collect_metrics=False)
+        _LAKE_DEMO_CACHE[key] = loc
+    idx = LakeTable(spark, os.path.join(loc, "minhash_index"))
+
+    def _bands(df):
+        rows = [
+            df.select("path", F.lit(b).alias("band"), F.col(f"mh{b}").alias("sig"))
+            for b in range(4)
+        ]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out.filter(F.col("sig").isNotNull())
+
+    # delta side: last epoch's upserts, straight off the index table's CDF
+    changed = _bands(
+        idx.changes_between(1).filter(F.col("_change_type") == "U")
+    )
+    return (
+        _bands(idx.snapshot())
+        .withColumnRenamed("path", "other_path")
+        .join(
+            F.broadcast(changed.withColumnRenamed("path", "changed_path")),
+            ["band", "sig"],
+        )
+        .filter(F.col("other_path") != F.col("changed_path"))
+        .select("changed_path", "other_path")
+        .distinct()
+        .orderBy("changed_path", "other_path")
+    )
+
+
+# Final content per key (doc_id%10==4 deleted): %10==9 -> family body of
+# (doc_id-1)%30, %10==8 -> family body of doc_id%30, else original text.
+# Changed set = the %10==9 upserts from epoch 1.
+ORACLE_INDEX_DUP_CANDIDATES = """
+WITH fin AS (
+  SELECT doc_id,
+         'doc/' || CAST(doc_id AS VARCHAR) AS path,
+         TRIM(CASE
+           WHEN doc_id % 10 = 9 THEN 'dup family ' || CAST((doc_id - 1) % 30 AS VARCHAR) || ' shares this exact content body text'
+           WHEN doc_id % 10 = 8 THEN 'dup family ' || CAST(doc_id % 30 AS VARCHAR) || ' shares this exact content body text'
+           ELSE text END,
+           chr(65279) || ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS b
+  FROM documents WHERE doc_id % 10 <> 4),
+sh AS (
+  SELECT doc_id, path,
+         CASE WHEN len(list_filter(string_split(b, ' '), x -> len(x) > 0)) >= 3
+              THEN list_transform(
+                     generate_series(1, len(list_filter(string_split(b, ' '), x -> len(x) > 0)) - 2),
+                     i -> list_filter(string_split(b, ' '), x -> len(x) > 0)[i] || ' ' ||
+                          list_filter(string_split(b, ' '), x -> len(x) > 0)[i+1] || ' ' ||
+                          list_filter(string_split(b, ' '), x -> len(x) > 0)[i+2])
+              ELSE [] END AS shingles
+  FROM fin WHERE len(b) > 0),
+sig AS (
+  SELECT doc_id, path,
+         list_min(list_transform(shingles, s -> md5(s || ':0'))) AS mh0,
+         list_min(list_transform(shingles, s -> md5(s || ':1'))) AS mh1,
+         list_min(list_transform(shingles, s -> md5(s || ':2'))) AS mh2,
+         list_min(list_transform(shingles, s -> md5(s || ':3'))) AS mh3
+  FROM sh),
+bands AS (
+  SELECT doc_id, path, 0 AS band, mh0 AS s FROM sig WHERE mh0 IS NOT NULL
+  UNION ALL SELECT doc_id, path, 1, mh1 FROM sig WHERE mh1 IS NOT NULL
+  UNION ALL SELECT doc_id, path, 2, mh2 FROM sig WHERE mh2 IS NOT NULL
+  UNION ALL SELECT doc_id, path, 3, mh3 FROM sig WHERE mh3 IS NOT NULL)
+SELECT DISTINCT c.path AS changed_path, o.path AS other_path
+FROM bands c JOIN bands o ON c.band = o.band AND c.s = o.s
+WHERE c.doc_id % 10 = 9 AND o.path <> c.path
+ORDER BY changed_path, other_path
+"""

@@ -388,3 +388,16 @@ def test_rare_token_filter_broadcasts_zipf_head(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_index_dup_candidates_broadcasts_delta(spark):
+    """Delta-vs-corpus dedup must broadcast the (one-epoch) changed side
+    against the full index scan — a shuffle keyed by band signature would
+    re-partition the whole index every epoch."""
+    from data_exchange_hl7_spark.plans.inspect import explain_str
+
+    df = q.index_dup_candidates(spark, SF)
+    assert df.count() > 0  # non-vacuous: the dup families must collide
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

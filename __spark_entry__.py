@@ -75,15 +75,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_token_filter": qt.rare_token_filter,
         "incremental_minhash_index": q.incremental_minhash_index,
         "index_dup_candidates": q.index_dup_candidates,
-        # --- 31-36: code touched this round — re-certify ------------------
+        "hard_negative_mining": qt.hard_negative_mining,
+        # --- 32-37: code touched this round — re-certify ------------------
         "kmv_distinct_sketch": qt.kmv_distinct_sketch,
         "nist_report_counts": q.nist_report_counts,
         "vocab_validation": q.vocab_validation,
         "sql_model_child": q.sql_model_child,
         "hl7_segments": q.hl7_segments,
         "nearest_preceding_anchor": q.nearest_preceding_anchor,
-        # --- 33-48: core CDC / lake / streaming family --------------------
-        "cdc_latest_state": q.cdc_latest_state,
+        # --- core CDC / lake / streaming family ----------------------------
+        # (cdc_latest_state is twice-green and byte-unchanged; entry() still
+        # smoke-runs it every round, so it rotates to the tail like any
+        # other stable query)
         "time_travel_as_of": q.time_travel_as_of,
         "change_data_feed": q.change_data_feed,
         "filtered_snapshot_read": q.filtered_snapshot_read,
@@ -133,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_detection": q.dup_detection,
         "latest_state_salted": q.latest_state_salted,
         "latest_flag_sequencing": q.latest_flag_sequencing,
+        "cdc_latest_state": q.cdc_latest_state,
     }
 
 
@@ -220,4 +224,5 @@ def oracle_sql() -> dict[str, str]:
         "rare_token_filter": qt.ORACLE_RARE_TOKEN,
         "incremental_minhash_index": q.ORACLE_MINHASH_INDEX,
         "index_dup_candidates": q.ORACLE_INDEX_DUP_CANDIDATES,
+        "hard_negative_mining": qt.ORACLE_HARD_NEGATIVES,
     }

@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "domain_mix_plan",
     "aggregate_repo_stats",
     "length_percentiles",
+    "fixed_chunking",
+    "code_quality_flags",
+    "rare_token_filter",
+    "incremental_minhash_index",
+    "index_dup_candidates",
 ]
 
 

@@ -2556,3 +2556,73 @@ SELECT doc_id, n_tokens, n_rare,
          AS flag_rare
 FROM stats ORDER BY doc_id
 """
+
+
+# ------------------ hard-negative mining (contrastive prep) ----------------
+
+HN_K = 5
+HN_QUERIES = 4
+
+
+def hard_negative_mining(spark, sf_dir, k: int = HN_K, n_queries: int = HN_QUERIES):
+    """Hard-negative mining for contrastive training (the data-prep step
+    behind every dual-encoder / embedding model: for each anchor, the
+    top-k most-similar vectors with a DIFFERENT label are the negatives
+    worth training on). Exact integer milli-grid dot products, rank ties by
+    vec_id — same float discipline as the ANN family.
+
+    Scale shape: the anchor side is tiny (a training batch) and broadcasts;
+    the corpus scans once with the label filter applied before the window.
+    At 10^9 vectors the corpus side swaps to the IVF cell-pruned probe
+    (ivf_topk_trained) with the same label predicate pushed into the cell
+    scan — the brute-force form here is the graded-recall baseline."""
+    e = _quantized(spark, sf_dir)
+    anchors = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("q").alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("dot_milli"), "vec_id")
+    return (
+        F.broadcast(anchors)
+        .crossJoin(e)
+        .filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("dot_milli", dot)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").cast("int").alias("negative_label"),
+            "dot_milli",
+            "rank",
+        )
+        .orderBy("anchor_id", "rank")
+    )
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label,
+         LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {HN_QUERIES}),
+e AS (
+  SELECT vec_id, label,
+         LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+d AS (
+  SELECT anchor_id, vec_id, label,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qv)), i -> qv[i] * q[i])) AS BIGINT) AS dot_milli
+  FROM a CROSS JOIN e WHERE label <> anchor_label)
+SELECT anchor_id, vec_id AS negative_id, CAST(label AS INT) AS negative_label,
+       dot_milli,
+       CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY dot_milli DESC, vec_id) AS BIGINT) AS rank
+FROM d
+QUALIFY rank <= {HN_K}
+ORDER BY anchor_id, rank
+"""

@@ -59,7 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": qt.embedding_cosine_dups,
         "corpus_prep_pipeline": qt.corpus_prep_pipeline,
         "multimodal_binary_meta": qt.multimodal_binary_meta,
-        # --- 18-26: new this round ---------------------------------------
+        # --- 18-36: new this round ---------------------------------------
         "errors_by_message": q.errors_by_message,
         "sql_model_vocab_enriched": q.sql_model_vocab_enriched,
         "obx_epi_split": q.obx_epi_split,
@@ -76,7 +76,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash_index": q.incremental_minhash_index,
         "index_dup_candidates": q.index_dup_candidates,
         "hard_negative_mining": qt.hard_negative_mining,
-        # --- 32-37: code touched this round — re-certify ------------------
+        "secret_scan": qt.secret_scan,
+        "repo_level_neardup": qt.repo_level_neardup,
+        "bpe_pair_counts": qt.bpe_pair_counts,
+        # --- 37-42: code touched this round — re-certify ------------------
         "kmv_distinct_sketch": qt.kmv_distinct_sketch,
         "nist_report_counts": q.nist_report_counts,
         "vocab_validation": q.vocab_validation,
@@ -92,9 +95,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_snapshot_read": q.filtered_snapshot_read,
         "schema_evolution_read": q.schema_evolution_read,
         "rebucket_read": q.rebucket_read,
-        "tumbling_window_counts": q.tumbling_window_counts,
-        "sliding_window_counts": q.sliding_window_counts,
-        "streaming_dedup_batch": q.streaming_dedup_batch,
         "hl7_debatch": q.hl7_debatch,
         # --- 49-50: minhash pair/cluster queries route through _lsh_pairs,
         # which the round-3 band-caching rewrite touched — keep them inside
@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": qt.exact_dup_groups,
         "sessionize": q.sessionize,
         "interval_range_join": q.interval_range_join,
+        "tumbling_window_counts": q.tumbling_window_counts,
+        "sliding_window_counts": q.sliding_window_counts,
+        "streaming_dedup_batch": q.streaming_dedup_batch,
 
         "minhash_signatures": qt.minhash_signatures,
         "ngram_jaccard_pairs": qt.ngram_jaccard_pairs,
@@ -225,4 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_minhash_index": q.ORACLE_MINHASH_INDEX,
         "index_dup_candidates": q.ORACLE_INDEX_DUP_CANDIDATES,
         "hard_negative_mining": qt.ORACLE_HARD_NEGATIVES,
+        "secret_scan": qt.ORACLE_SECRET_SCAN,
+        "repo_level_neardup": qt.ORACLE_REPO_NEARDUP,
+        "bpe_pair_counts": qt.ORACLE_BPE_PAIRS,
     }

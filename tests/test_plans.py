@@ -401,3 +401,39 @@ def test_index_dup_candidates_broadcasts_delta(spark):
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_secret_scan_is_narrow(spark):
+    """Secret scanning is per-row vectorized regex: zero hash shuffles
+    (the only exchange is the presentation orderBy's range partitioning)
+    and no Python anywhere."""
+    from data_exchange_hl7_spark.plans.inspect import explain_str
+    import re
+
+    plan = explain_str(qt.secret_scan(spark, SF))
+    assert not re.findall(r"\bExchange hashpartitioning", plan)
+    assert "BatchEvalPython" not in plan
+
+
+def test_repo_neardup_two_level_agg(spark):
+    """The repo rollup must be TWO hash aggregations (doc-level partial,
+    then source merge) feeding a band join over the rolled-up dim — the
+    mergeable-sketch shape; the pair join must never touch doc-level rows."""
+    from data_exchange_hl7_spark.plans.inspect import explain_str
+
+    plan = explain_str(qt.repo_level_neardup(spark, SF))
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x (partial+final)
+    assert "BatchEvalPython" not in plan
+    df = qt.repo_level_neardup(spark, SF)
+    assert df.count() > 0  # non-vacuous: shared-vocab sources must collide
+
+
+def test_bpe_pair_counts_partial_agg(spark):
+    """BPE pair counting must map-side combine: a partial_count
+    HashAggregate below the exchange, so the shuffle carries the collapsed
+    pair dim (<= |alphabet|^2 rows/partition), not the exploded pairs."""
+    from data_exchange_hl7_spark.plans.inspect import explain_str
+
+    plan = explain_str(qt.bpe_pair_counts(spark, SF))
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan

@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scan": qt.secret_scan,
         "repo_level_neardup": qt.repo_level_neardup,
         "bpe_pair_counts": qt.bpe_pair_counts,
+        "substring_span_dedup": qt.substring_span_dedup,
         # --- 37-42: code touched this round — re-certify ------------------
         "kmv_distinct_sketch": qt.kmv_distinct_sketch,
         "nist_report_counts": q.nist_report_counts,
@@ -95,7 +96,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_snapshot_read": q.filtered_snapshot_read,
         "schema_evolution_read": q.schema_evolution_read,
         "rebucket_read": q.rebucket_read,
-        "hl7_debatch": q.hl7_debatch,
         # --- 49-50: minhash pair/cluster queries route through _lsh_pairs,
         # which the round-3 band-caching rewrite touched — keep them inside
         # the 50-query gate window until they re-certify
@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_counts": q.tumbling_window_counts,
         "sliding_window_counts": q.sliding_window_counts,
         "streaming_dedup_batch": q.streaming_dedup_batch,
+        "hl7_debatch": q.hl7_debatch,
 
         "minhash_signatures": qt.minhash_signatures,
         "ngram_jaccard_pairs": qt.ngram_jaccard_pairs,
@@ -231,4 +232,5 @@ def oracle_sql() -> dict[str, str]:
         "secret_scan": qt.ORACLE_SECRET_SCAN,
         "repo_level_neardup": qt.ORACLE_REPO_NEARDUP,
         "bpe_pair_counts": qt.ORACLE_BPE_PAIRS,
+        "substring_span_dedup": qt.ORACLE_SUBSTRING_DEDUP,
     }

@@ -2887,3 +2887,87 @@ FROM c
 QUALIFY rank <= {BPE_TOP_N}
 ORDER BY rank
 """
+
+
+# ==================== exact substring-span deduplication ===================
+
+# Exact substring dedup a la "Deduplicating Training Data Makes Language
+# Models Better" (Lee et al., 2022): any SPAN_N-word window that occurs
+# anywhere else in the corpus is a duplicated span; the globally-first
+# occurrence (min (doc_id, pos)) is the keeper, every other occurrence is
+# removable. SPAN_N=8 is the harness width (the paper removes 50-token
+# spans).
+SPAN_N = 8
+
+
+def substring_span_dedup(spark, sf_dir, n: int = SPAN_N):
+    """Per-doc duplicated-span accounting for exact substring dedup.
+
+    Scale shape — deliberately NOT a window over the span hash: a corpus-hot
+    boilerplate span (license headers, generated-code preambles) would
+    funnel its whole occurrence list through one reducer. Instead the keeper
+    is a mergeable hash AGGREGATION (min encoded (doc_id,pos) per span hash
+    — map-side partial combine collapses hot spans per partition), and
+    occurrences re-join the keeper dim on the span hash, where AQE skew
+    splitting applies. Same two-level trick as c4_line_dedup's min-struct
+    fix. Output: per doc, total spans, duplicated spans (occurrence is not
+    the global keeper of a span seen >1 time), and distinct duplicated span
+    hashes. Runs over corpus + synthesized dups so the gate is non-vacuous."""
+    d = _with_synth_dups(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = F.split("text", " ")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    g = d.select("doc_id", F.posexplode(spans).alias("pos0", "span")).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.substring(F.md5("span"), 1, 16).alias("h"),
+    )
+    # encoded keeper key: doc_id * 2^20 + pos (pos < 2^20 at any real doc
+    # length) keeps the agg a single bigint min — mergeable, skew-immune
+    enc = (F.col("doc_id") * F.lit(1 << 20) + F.col("pos")).alias("ek")
+    keepers = (
+        g.select("h", enc)
+        .groupBy("h")
+        .agg(F.min("ek").alias("keeper_ek"), F.count("*").alias("occ"))
+    )
+    flagged = g.withColumn("ek", F.col("doc_id") * F.lit(1 << 20) + F.col("pos")).join(
+        keepers, "h"
+    )
+    is_dup = (F.col("occ") > 1) & (F.col("ek") != F.col("keeper_ek"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(is_dup.cast("long")).cast("bigint").alias("n_dup_spans"),
+            F.count_distinct(F.when(is_dup, F.col("h"))).cast("bigint").alias(
+                "n_dup_span_ids"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH corpus AS ({_SYNTH_DUP_SQL}),
+g AS (
+  SELECT doc_id, i AS pos,
+         SUBSTR(MD5(sp), 1, 16) AS h,
+         doc_id * {1 << 20} + i AS ek
+  FROM (
+    SELECT doc_id, i,
+           LIST_AGGREGATE(l[i:i+{SPAN_N - 1}], 'string_agg', ' ') AS sp
+    FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM corpus),
+         UNNEST(GENERATE_SERIES(1, GREATEST(LEN(l) - {SPAN_N - 1}, 0))) AS t(i))),
+k AS (
+  SELECT h, MIN(ek) AS keeper_ek, COUNT(*) AS occ FROM g GROUP BY h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN occ > 1 AND ek <> keeper_ek THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans,
+       CAST(COUNT(DISTINCT CASE WHEN occ > 1 AND ek <> keeper_ek THEN h END) AS BIGINT)
+           AS n_dup_span_ids
+FROM g JOIN k USING (h)
+GROUP BY doc_id ORDER BY doc_id
+"""

@@ -437,3 +437,16 @@ def test_bpe_pair_counts_partial_agg(spark):
     plan = explain_str(qt.bpe_pair_counts(spark, SF))
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_substring_dedup_agg_join_not_window(spark):
+    """Exact substring dedup must pick keepers via a mergeable hash agg +
+    re-join (AQE-splittable), NEVER a window over the span hash — a
+    corpus-hot boilerplate span would serialize one reducer. Assert the
+    map-side partial min exists and no Window operator appears."""
+    from data_exchange_hl7_spark.plans.inspect import explain_str
+
+    plan = explain_str(qt.substring_span_dedup(spark, SF))
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan

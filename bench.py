@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "rare_token_filter",
     "incremental_minhash_index",
     "index_dup_candidates",
+    "hard_negative_mining",
+    "secret_scan",
+    "repo_level_neardup",
+    "bpe_pair_counts",
+    "substring_span_dedup",
 ]
 
 

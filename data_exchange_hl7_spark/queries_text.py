@@ -2621,7 +2621,7 @@ d AS (
   FROM a CROSS JOIN e WHERE label <> anchor_label)
 SELECT anchor_id, vec_id AS negative_id, CAST(label AS INT) AS negative_label,
        dot_milli,
-       CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY dot_milli DESC, vec_id) AS BIGINT) AS rank
+       CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY dot_milli DESC, vec_id) AS INT) AS rank
 FROM d
 QUALIFY rank <= {HN_K}
 ORDER BY anchor_id, rank
@@ -2882,7 +2882,7 @@ p AS (
                 i -> SUBSTR(w, i, 2))) AS pair
   FROM words WHERE LENGTH(w) > 1),
 c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY pair)
-SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+SELECT pair, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS INT) AS rank
 FROM c
 QUALIFY rank <= {BPE_TOP_N}
 ORDER BY rank

@@ -2907,14 +2907,20 @@ def substring_span_dedup(spark, sf_dir, n: int = SPAN_N):
     boilerplate span (license headers, generated-code preambles) would
     funnel its whole occurrence list through one reducer. Instead the keeper
     is a mergeable hash AGGREGATION (min encoded (doc_id,pos) per span hash
-    — map-side partial combine collapses hot spans per partition), and
-    occurrences re-join the keeper dim on the span hash, where AQE skew
-    splitting applies. Same two-level trick as c4_line_dedup's min-struct
-    fix. Output: per doc, total spans, duplicated spans (occurrence is not
-    the global keeper of a span seen >1 time), and distinct duplicated span
+    — map-side partial combine collapses hot spans per partition), and the
+    join-back's BUILD side is only the ``occ > 1`` spans: in a real corpus
+    the overwhelming majority of spans are unique, so filtering keepers
+    before the join shrinks the build side by orders of magnitude (often to
+    broadcast size) while the probe side streams. Per-doc totals
+    (``n_spans``) come from narrow column math on the token count — the
+    explode never has to survive to the final agg for them. Output: per doc
+    (with >= 1 span), total spans, duplicated spans (occurrence is not the
+    global keeper of a span seen >1 time), and distinct duplicated span
     hashes. Runs over corpus + synthesized dups so the gate is non-vacuous."""
     d = _with_synth_dups(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.split("text", " ")
+    n_spans = F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("bigint")
+    totals = d.select("doc_id", n_spans.alias("n_spans")).filter(F.col("n_spans") > 0)
     spans = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
@@ -2927,23 +2933,31 @@ def substring_span_dedup(spark, sf_dir, n: int = SPAN_N):
     # encoded keeper key: doc_id * 2^20 + pos (pos < 2^20 at any real doc
     # length) keeps the agg a single bigint min — mergeable, skew-immune
     enc = (F.col("doc_id") * F.lit(1 << 20) + F.col("pos")).alias("ek")
-    keepers = (
+    hot = (
         g.select("h", enc)
         .groupBy("h")
         .agg(F.min("ek").alias("keeper_ek"), F.count("*").alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("h", "keeper_ek")
     )
-    flagged = g.withColumn("ek", F.col("doc_id") * F.lit(1 << 20) + F.col("pos")).join(
-        keepers, "h"
-    )
-    is_dup = (F.col("occ") > 1) & (F.col("ek") != F.col("keeper_ek"))
-    return (
-        flagged.groupBy("doc_id")
+    dups = (
+        g.withColumn("ek", F.col("doc_id") * F.lit(1 << 20) + F.col("pos"))
+        .join(hot, "h")
+        .filter(F.col("ek") != F.col("keeper_ek"))
+        .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_spans"),
-            F.sum(is_dup.cast("long")).cast("bigint").alias("n_dup_spans"),
-            F.count_distinct(F.when(is_dup, F.col("h"))).cast("bigint").alias(
-                "n_dup_span_ids"
-            ),
+            F.count("*").cast("bigint").alias("n_dup_spans"),
+            F.count_distinct("h").cast("bigint").alias("n_dup_span_ids"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        totals.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", zero).alias("n_dup_spans"),
+            F.coalesce("n_dup_span_ids", zero).alias("n_dup_span_ids"),
         )
         .orderBy("doc_id")
     )

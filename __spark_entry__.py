@@ -80,9 +80,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_level_neardup": qt.repo_level_neardup,
         "bpe_pair_counts": qt.bpe_pair_counts,
         "substring_span_dedup": qt.substring_span_dedup,
+        "embedding_cosine_dups_wide": qt.embedding_cosine_dups_wide,
         # --- 37-42: code touched this round — re-certify ------------------
         "kmv_distinct_sketch": qt.kmv_distinct_sketch,
-        "nist_report_counts": q.nist_report_counts,
         "vocab_validation": q.vocab_validation,
         "sql_model_child": q.sql_model_child,
         "hl7_segments": q.hl7_segments,
@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_counts": q.sliding_window_counts,
         "streaming_dedup_batch": q.streaming_dedup_batch,
         "hl7_debatch": q.hl7_debatch,
+        "nist_report_counts": q.nist_report_counts,
 
         "minhash_signatures": qt.minhash_signatures,
         "ngram_jaccard_pairs": qt.ngram_jaccard_pairs,
@@ -233,4 +234,5 @@ def oracle_sql() -> dict[str, str]:
         "repo_level_neardup": qt.ORACLE_REPO_NEARDUP,
         "bpe_pair_counts": qt.ORACLE_BPE_PAIRS,
         "substring_span_dedup": qt.ORACLE_SUBSTRING_DEDUP,
+        "embedding_cosine_dups_wide": qt.ORACLE_COSINE_DUPS_WIDE,
     }

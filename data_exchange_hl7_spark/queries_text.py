@@ -843,14 +843,15 @@ def embedding_cosine_dups(
     )
 
 
-ORACLE_COSINE_DUPS = f"""
+def _cosine_dups_oracle(n_bits: int) -> str:
+    return f"""
 WITH e AS (
   SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q
   FROM embeddings),
 b AS (
   SELECT vec_id, q,
     (SELECT STRING_AGG(CASE WHEN q[i] >= 0 THEN '1' ELSE '0' END, '' ORDER BY i)
-     FROM GENERATE_SERIES(1, {SRP_BITS}) AS g(i)) AS bucket,
+     FROM GENERATE_SERIES(1, {n_bits}) AS g(i)) AS bucket,
     CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(q)), i -> q[i] * q[i])) AS BIGINT) AS nrm
   FROM e)
 SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
@@ -862,6 +863,25 @@ WHERE CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.q)), i -> a.q[i] * b
       >= 900 * a.nrm * b2.nrm
 ORDER BY vec_a, vec_b
 """
+
+
+ORACLE_COSINE_DUPS = _cosine_dups_oracle(SRP_BITS)
+
+# Production-width SRP certification: 12 bits keeps the gate non-vacuous at
+# sf0.01 (2 surviving pairs; 16 bits leaves 0 after the cosine filter) while
+# certifying that the bucket join + exact-cosine predicate hold at a
+# non-default width — the same follow-through simhash_dup_pairs_wide gives
+# the SimHash banding.
+SRP_WIDE_BITS = 12
+
+
+def embedding_cosine_dups_wide(spark, sf_dir):
+    """embedding_cosine_dups at the 12-bit SRP width (smaller, more
+    selective buckets — the knob a 10^9-vector corpus turns up)."""
+    return embedding_cosine_dups(spark, sf_dir, n_bits=SRP_WIDE_BITS)
+
+
+ORACLE_COSINE_DUPS_WIDE = _cosine_dups_oracle(SRP_WIDE_BITS)
 
 
 def _ivf_cells(spark, sf_dir):

@@ -383,6 +383,12 @@ def _component_labels(pairs: DataFrame, max_iter: int) -> DataFrame:
         .withColumn("lab", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # Convergence metric: labels are monotonically non-increasing per node
+    # (min over neighbors-plus-self, then lab(lab) <= lab), so the global
+    # label SUM strictly decreases while anything changes and is constant
+    # exactly at convergence — one agg job on the cached frame per round,
+    # no old-vs-new join.
+    prev_sum = None
     for _ in range(max_iter):
         # (1) neighbor min: pull every neighbor's label, keep the per-node min
         prop = edges.join(
@@ -403,15 +409,11 @@ def _component_labels(pairs: DataFrame, max_iter: int) -> DataFrame:
             .select("node", F.coalesce("lab2", "lab").alias("lab"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
+        cur_sum = new.agg(F.sum("lab")).collect()[0][0]
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 

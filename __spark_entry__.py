@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": qt.bpe_pair_counts,
         "substring_span_dedup": qt.substring_span_dedup,
         "embedding_cosine_dups_wide": qt.embedding_cosine_dups_wide,
+        "chunk_minhash_dups": qt.chunk_minhash_dups,
         # --- 37-42: code touched this round — re-certify ------------------
         "kmv_distinct_sketch": qt.kmv_distinct_sketch,
         "vocab_validation": q.vocab_validation,
@@ -92,7 +93,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # smoke-runs it every round, so it rotates to the tail like any
         # other stable query)
         "time_travel_as_of": q.time_travel_as_of,
-        "change_data_feed": q.change_data_feed,
         "filtered_snapshot_read": q.filtered_snapshot_read,
         "schema_evolution_read": q.schema_evolution_read,
         "rebucket_read": q.rebucket_read,
@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_batch": q.streaming_dedup_batch,
         "hl7_debatch": q.hl7_debatch,
         "nist_report_counts": q.nist_report_counts,
+        "change_data_feed": q.change_data_feed,
 
         "minhash_signatures": qt.minhash_signatures,
         "ngram_jaccard_pairs": qt.ngram_jaccard_pairs,
@@ -235,4 +236,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": qt.ORACLE_BPE_PAIRS,
         "substring_span_dedup": qt.ORACLE_SUBSTRING_DEDUP,
         "embedding_cosine_dups_wide": qt.ORACLE_COSINE_DUPS_WIDE,
+        "chunk_minhash_dups": qt.ORACLE_CHUNK_MINHASH,
     }

@@ -3007,3 +3007,134 @@ SELECT doc_id,
 FROM g JOIN k USING (h)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# =================== chunk-level MinHash near-duplication ==================
+
+# Partial-file duplication (vendored libraries, copied functions): doc-level
+# MinHash misses a 10% overlap and substring_span_dedup only catches EXACT
+# spans; chunk-level LSH buckets near-dup WINDOWS across docs. Chunks are
+# non-overlapping CMH_W-token windows keyed by doc_id*2^20+chunk_idx (same
+# encoded-key trick as substring dedup).
+CMH_W = 32
+CMH_BANDS = 4
+
+
+def chunk_minhash_dups(spark, sf_dir, n_bands: int = CMH_BANDS):
+    """Cross-doc chunk-level near-dup candidates: chunk -> 3-word shingles
+    -> per-chunk MinHash band signatures -> band-bucket join of CHUNKS,
+    keeping only pairs from different docs, rolled up to (doc_a, doc_b)
+    with the number of colliding chunk pairs.
+
+    Scale shape: identical to the doc-level LSH path (band-bucket join,
+    never all-pairs) but the join key space is chunks — finer buckets, so
+    hot buckets are rarer; the doc-pair rollup is a hash agg over collision
+    rows only. Runs over corpus + synthesized dups (dup docs collide on
+    every chunk) so the gate is non-vacuous."""
+    d = _with_synth_dups(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CMH_W))
+    rows = d.select(
+        "doc_id", toks.alias("toks"), n.alias("n"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    ).filter((F.col("start") < F.col("n")) & (F.col("n") > 0))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CMH_W)
+    chunks = rows.select(
+        (F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx")).alias("chunk_key"),
+        chunk.alias("ctoks"),
+    )
+    # sequence(1, 0) DESCENDS in Spark (DuckDB's GENERATE_SERIES(1,0) is
+    # empty) — guard the short final chunk (<3 tokens) explicitly
+    sh_arr = F.when(F.size("ctoks") >= 3, F.transform(
+        F.sequence(F.lit(1), F.size("ctoks") - 2),
+        lambda i: F.array_join(F.slice(F.col("ctoks"), i, 3), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    sh = chunks.select("chunk_key", F.explode(sh_arr).alias("shingle")).distinct()
+    sig = sh.groupBy("chunk_key").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{b}")))).alias(f"mh{b}")
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        "chunk_key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"mh{b}").alias("sig"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("chunk_key", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    # floor-div, not cast-of-true-division: DuckDB CAST(double AS BIGINT)
+    # rounds while Spark's cast truncates — FLOOR on both sides agrees
+    doc_a = F.floor(F.col("a.chunk_key") / F.lit(1 << 20)).cast("bigint")
+    doc_b = F.floor(F.col("b.chunk_key") / F.lit(1 << 20)).cast("bigint")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .filter(F.col("a.chunk_key") < F.col("b.chunk_key"))
+        .select(
+            doc_a.alias("doc_a"),
+            doc_b.alias("doc_b"),
+            F.col("a.chunk_key").alias("ck_a"),
+            F.col("b.chunk_key").alias("ck_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_chunk_pairs"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_CMH_AGGS = ",\n       ".join(
+    f"MIN(MD5(shingle || ':{b}')) AS mh{b}" for b in range(CMH_BANDS)
+)
+_CMH_BAND_UNION = " UNION ALL\n  ".join(
+    (
+        f"SELECT {b} AS band, mh{b} AS sig, chunk_key FROM sig"
+        if b == 0
+        else f"SELECT {b}, mh{b}, chunk_key FROM sig"
+    )
+    for b in range(CMH_BANDS)
+)
+ORACLE_CHUNK_MINHASH = f"""
+WITH corpus AS ({_SYNTH_DUP_SQL}),
+t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
+  FROM corpus),
+ch AS (
+  SELECT doc_id * {1 << 20} + (start // {CMH_W}) AS chunk_key,
+         l[start + 1 : start + {CMH_W}] AS c
+  FROM (SELECT doc_id, l,
+               UNNEST(GENERATE_SERIES(0, GREATEST(len(l) - 1, 0), {CMH_W})) AS start
+        FROM t)
+  WHERE start < len(l) AND len(l) > 0),
+sh AS (
+  SELECT DISTINCT chunk_key, s AS shingle
+  FROM ch,
+       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(c) - 2, 0)),
+              i -> c[i] || ' ' || c[i+1] || ' ' || c[i+2])) AS u(s)),
+sig AS (
+  SELECT chunk_key,
+         {_CMH_AGGS}
+  FROM sh GROUP BY chunk_key),
+bands AS (
+  {_CMH_BAND_UNION}),
+p AS (
+  SELECT DISTINCT
+         a.chunk_key // {1 << 20} AS doc_a,
+         b.chunk_key // {1 << 20} AS doc_b,
+         a.chunk_key AS ck_a, b.chunk_key AS ck_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.chunk_key < b.chunk_key
+    AND a.chunk_key // {1 << 20} <> b.chunk_key // {1 << 20})
+SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_chunk_pairs
+FROM p GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+"""

@@ -450,3 +450,16 @@ def test_substring_dedup_agg_join_not_window(spark):
     assert "partial_min" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_chunk_minhash_band_bucket_join(spark):
+    """Chunk-level LSH must stay a band-bucket equi-join over chunk
+    signatures (HashAggregate per chunk, join keyed on band+sig) — never a
+    cartesian/broadcast-nested-loop over chunks."""
+    from data_exchange_hl7_spark.plans.inspect import explain_str
+
+    plan = explain_str(qt.chunk_minhash_dups(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert qt.chunk_minhash_dups(spark, SF).count() > 0  # non-vacuous

@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_span_dedup": qt.substring_span_dedup,
         "embedding_cosine_dups_wide": qt.embedding_cosine_dups_wide,
         "chunk_minhash_dups": qt.chunk_minhash_dups,
+        "dataset_split_assign": qt.dataset_split_assign,
         # --- 37-42: code touched this round — re-certify ------------------
         "kmv_distinct_sketch": qt.kmv_distinct_sketch,
         "vocab_validation": q.vocab_validation,
@@ -95,7 +96,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_as_of": q.time_travel_as_of,
         "filtered_snapshot_read": q.filtered_snapshot_read,
         "schema_evolution_read": q.schema_evolution_read,
-        "rebucket_read": q.rebucket_read,
         # --- 49-50: minhash pair/cluster queries route through _lsh_pairs,
         # which the round-3 band-caching rewrite touched — keep them inside
         # the 50-query gate window until they re-certify
@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hl7_debatch": q.hl7_debatch,
         "nist_report_counts": q.nist_report_counts,
         "change_data_feed": q.change_data_feed,
+        "rebucket_read": q.rebucket_read,
 
         "minhash_signatures": qt.minhash_signatures,
         "ngram_jaccard_pairs": qt.ngram_jaccard_pairs,
@@ -237,4 +238,5 @@ def oracle_sql() -> dict[str, str]:
         "substring_span_dedup": qt.ORACLE_SUBSTRING_DEDUP,
         "embedding_cosine_dups_wide": qt.ORACLE_COSINE_DUPS_WIDE,
         "chunk_minhash_dups": qt.ORACLE_CHUNK_MINHASH,
+        "dataset_split_assign": qt.ORACLE_SPLIT_ASSIGN,
     }

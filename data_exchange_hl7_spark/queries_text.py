@@ -3138,3 +3138,62 @@ SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_chunk_pairs
 FROM p GROUP BY doc_a, doc_b
 ORDER BY doc_a, doc_b
 """
+
+
+# ===================== dataset split assignment (train/val/test) ===========
+
+# Permille thresholds over the multiplicative-hash bucket (SAMPLE_MULT, the
+# same replay-deterministic sampler stratified_sample certifies): 980/10/10.
+SPLIT_TRAIN_PM = 980
+SPLIT_VAL_PM = 990
+
+
+def dataset_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment + stratification audit: every
+    doc lands in exactly one split by a content-independent multiplicative
+    hash of doc_id (replay-stable: re-running over a grown corpus never
+    moves an old doc between splits — the property that keeps eval sets
+    uncontaminated across dataset versions). Output is the per-(source,
+    split) audit a release pipeline publishes: doc and token counts.
+
+    Scale shape: the split is a narrow per-row expression at the scan; the
+    audit is one two-level hash agg over (source, split) — no joins, no
+    windows."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id") * SAMPLE_MULT, F.lit(4294967296)), F.lit(1000)
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PM, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PM, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    ntok = F.size(
+        F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    ).cast("bigint")
+    return (
+        d.select("source", split.alias("split"), ntok.alias("n_tokens"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+ORACLE_SPLIT_ASSIGN = f"""
+WITH a AS (
+  SELECT source,
+         CASE WHEN (doc_id * {SAMPLE_MULT}) % 4294967296 % 1000 < {SPLIT_TRAIN_PM}
+              THEN 'train'
+              WHEN (doc_id * {SAMPLE_MULT}) % 4294967296 % 1000 < {SPLIT_VAL_PM}
+              THEN 'val' ELSE 'test' END AS split,
+         CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> LEN(x) > 0)) AS BIGINT)
+             AS n_tokens
+  FROM documents)
+SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens
+FROM a GROUP BY source, split
+ORDER BY source, split
+"""

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "repo_level_neardup",
     "bpe_pair_counts",
     "substring_span_dedup",
+    "chunk_minhash_dups",
 ]
 
 

@@ -3018,10 +3018,15 @@ GROUP BY doc_id ORDER BY doc_id
 # encoded-key trick as substring dedup).
 CMH_W = 32
 CMH_BANDS = 4
+# 5-word shingles (not the doc-level 3): inside a 32-token window a
+# small-vocabulary corpus collides massively on 3-grams (measured 1066 vs
+# 81 doc pairs at sf0.01) — wider shingles restore banding selectivity at
+# window granularity.
+CMH_SHINGLE = 5
 
 
 def chunk_minhash_dups(spark, sf_dir, n_bands: int = CMH_BANDS):
-    """Cross-doc chunk-level near-dup candidates: chunk -> 3-word shingles
+    """Cross-doc chunk-level near-dup candidates: chunk -> 5-word shingles
     -> per-chunk MinHash band signatures -> band-bucket join of CHUNKS,
     keeping only pairs from different docs, rolled up to (doc_a, doc_b)
     with the number of colliding chunk pairs.
@@ -3045,10 +3050,10 @@ def chunk_minhash_dups(spark, sf_dir, n_bands: int = CMH_BANDS):
         chunk.alias("ctoks"),
     )
     # sequence(1, 0) DESCENDS in Spark (DuckDB's GENERATE_SERIES(1,0) is
-    # empty) — guard the short final chunk (<3 tokens) explicitly
-    sh_arr = F.when(F.size("ctoks") >= 3, F.transform(
-        F.sequence(F.lit(1), F.size("ctoks") - 2),
-        lambda i: F.array_join(F.slice(F.col("ctoks"), i, 3), " "),
+    # empty) — guard the short final chunk (< CMH_SHINGLE tokens) explicitly
+    sh_arr = F.when(F.size("ctoks") >= CMH_SHINGLE, F.transform(
+        F.sequence(F.lit(1), F.size("ctoks") - (CMH_SHINGLE - 1)),
+        lambda i: F.array_join(F.slice(F.col("ctoks"), i, CMH_SHINGLE), " "),
     )).otherwise(F.array().cast("array<string>"))
     sh = chunks.select("chunk_key", F.explode(sh_arr).alias("shingle")).distinct()
     sig = sh.groupBy("chunk_key").agg(
@@ -3118,8 +3123,8 @@ ch AS (
 sh AS (
   SELECT DISTINCT chunk_key, s AS shingle
   FROM ch,
-       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(c) - 2, 0)),
-              i -> c[i] || ' ' || c[i+1] || ' ' || c[i+2])) AS u(s)),
+       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(c) - {CMH_SHINGLE - 1}, 0)),
+              i -> {" || ' ' || ".join(f"c[i+{k}]" if k else "c[i]" for k in range(CMH_SHINGLE))})) AS u(s)),
 sig AS (
   SELECT chunk_key,
          {_CMH_AGGS}

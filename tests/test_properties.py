@@ -188,3 +188,32 @@ def test_sliding_window_coverage(epoch_s):
         if s <= epoch_s < s + WINDOW
     }
     assert starts == brute
+
+
+@given(st.lists(st.integers(0, 10_000_000), min_size=1, max_size=200, unique=True))
+def test_split_assignment_stable_under_corpus_growth(ids):
+    """dataset_split_assign's claim: a doc's split NEVER changes as the
+    corpus grows (eval sets stay uncontaminated across dataset versions).
+    The split is a pure function of doc_id — verify the exact permille rule
+    in Python over arbitrary id sets and check it partitions (every doc in
+    exactly one split), matching the constants the oracle uses."""
+    from data_exchange_hl7_spark.queries_text import (
+        SAMPLE_MULT,
+        SPLIT_TRAIN_PM,
+        SPLIT_VAL_PM,
+    )
+
+    def split_of(doc_id: int) -> str:
+        b = (doc_id * SAMPLE_MULT) % 4294967296 % 1000
+        if b < SPLIT_TRAIN_PM:
+            return "train"
+        if b < SPLIT_VAL_PM:
+            return "val"
+        return "test"
+
+    full = {i: split_of(i) for i in ids}
+    # growth: recompute over every prefix subset — assignments never move
+    for k in range(1, len(ids)):
+        sub = {i: split_of(i) for i in ids[:k]}
+        assert all(full[i] == s for i, s in sub.items())
+    assert set(full.values()) <= {"train", "val", "test"}

@@ -17,6 +17,14 @@ certification need, not by topic:
   6. tail: stable queries already green in BOTH r1 and r2, byte-unchanged
      since — rotated out of the window to make room (51+).
 Rotate per round so every operator accumulates green rows across rounds.
+
+ROUND-4 ROTATION PLAN (written at end of r3): rotate INTO the window first
+the tail queries whose implementing code changed during r3 but which were
+certified only by pytest this round — hl7_debatch, nist_report_counts,
+change_data_feed, rebucket_read, tumbling/sliding_window_counts,
+streaming_dedup_batch — then any tail query without a green row since r1.
+Everything in the r3 window positions 1-50 (once green in CORRECTNESS_r03)
+becomes rotatable to the tail.
 """
 
 from __future__ import annotations

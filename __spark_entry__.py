@@ -22,7 +22,8 @@ ROUND-4 ROTATION PLAN (written at end of r3): rotate INTO the window first
 the tail queries whose implementing code changed during r3 but which were
 certified only by pytest this round — hl7_debatch, nist_report_counts,
 change_data_feed, rebucket_read, tumbling/sliding_window_counts,
-streaming_dedup_batch — then any tail query without a green row since r1.
+streaming_dedup_batch, purge_read (new at end of r3, pytest-only so far) —
+then any tail query without a green row since r1.
 Everything in the r3 window positions 1-50 (once green in CORRECTNESS_r03)
 becomes rotatable to the tail.
 """
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nist_report_counts": q.nist_report_counts,
         "change_data_feed": q.change_data_feed,
         "rebucket_read": q.rebucket_read,
+        "purge_read": q.purge_read,
 
         "minhash_signatures": qt.minhash_signatures,
         "ngram_jaccard_pairs": qt.ngram_jaccard_pairs,
@@ -247,4 +249,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_dups_wide": qt.ORACLE_COSINE_DUPS_WIDE,
         "chunk_minhash_dups": qt.ORACLE_CHUNK_MINHASH,
         "dataset_split_assign": qt.ORACLE_SPLIT_ASSIGN,
+        "purge_read": q.ORACLE_PURGE_READ,
     }

@@ -955,6 +955,33 @@ class LakeTable:
             out["staged"] = token
         return out
 
+    def delete_where(
+        self,
+        predicate: str,
+        epoch: int | None = None,
+        epoch_info: dict | None = None,
+    ) -> dict:
+        """Row-level DELETE — the takedown/purge primitive (copyright or
+        PII removal requests against a code corpus; Iceberg's
+        ``DELETE FROM ... WHERE`` analogue, reference delete semantics as in
+        the D-tombstone path of K3).
+
+        Tombstones every CURRENT row matching the SQL ``predicate`` through
+        the same exactly-once merge the CDC apply uses: idempotent under
+        ``epoch`` replay, visible in the change-data-feed as ``D`` rows, and
+        time travel still shows the pre-delete state. In MoR mode this
+        writes O(matching keys) tombstone deltas — no bucket rewrite.
+
+        COMPLIANCE NOTE: this is a LOGICAL delete. Physical removal of the
+        bytes requires ``compact()`` (folds tombstones into rewritten
+        buckets) followed by ``expire_snapshots()`` (drops the pre-delete
+        snapshots and their data files); until then time travel can still
+        read the purged rows — exactly Iceberg's posture.
+        """
+        rows = self.snapshot().filter(predicate)
+        changes = rows.withColumn("__op", F.lit("D"))
+        return self.merge(changes, epoch=epoch, epoch_info=epoch_info)
+
     def compact(
         self,
         max_delta_depth: int | None = None,

@@ -2194,3 +2194,71 @@ FROM bands c JOIN bands o ON c.band = o.band AND c.s = o.s
 WHERE c.doc_id % 10 = 9 AND o.path <> c.path
 ORDER BY changed_path, other_path
 """
+
+
+# ------------------- row-level delete (takedown / purge) -------------------
+
+_PURGE_DEMO_CACHE: dict[str, str] = {}
+
+
+def purge_read(spark, sf_dir):
+    """Row-level DELETE under the oracle gate (`LakeTable.delete_where` —
+    the takedown/purge primitive a code corpus needs for copyright/PII
+    removal requests): build the standard 2-epoch MoR demo table, purge
+    every user_id >= 80 as epoch 3, read the final state. Values must equal
+    the unpurged latest-per-user state restricted to user_id < 80 — the
+    tombstones ride the same exactly-once merge as CDC deletes (idempotent
+    replay, CDF-visible, time-travel preserves the pre-purge state until
+    compact+expire physically remove it)."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key
+
+    loc = _PURGE_DEMO_CACHE.get(sf_dir)
+    if loc and LakeTable.exists(loc):
+        t = LakeTable(spark, loc)
+    else:
+        loc = tempfile.mkdtemp(prefix="dex_purge_demo_")
+        t = LakeTable.create(
+            spark,
+            loc,
+            schema=[
+                ("user_id", "bigint"),
+                ("event_type", "string"),
+                ("event_id", "bigint"),
+            ],
+            key_cols=["user_id"],
+            n_buckets=8,
+            mode="mor",
+            order_col="event_id",
+        )
+        ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+        for epoch, parity in ((1, 0), (2, 1)):
+            half = ev.filter(F.col("event_id") % 2 == parity)
+            changes = latest_by_key(half, ["user_id"], ["event_id"]).withColumn(
+                "__op",
+                F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+            )
+            t.merge(changes, epoch=epoch)
+        t.delete_where("user_id >= 80", epoch=3)
+        _PURGE_DEMO_CACHE[sf_dir] = loc
+    return (
+        t.snapshot()
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_PURGE_READ = """
+SELECT user_id, event_type AS last_op, event_id AS last_event_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1 AND event_type <> 'error' AND user_id < 80
+ORDER BY user_id
+"""

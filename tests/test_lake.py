@@ -568,3 +568,37 @@ def test_history_epochs_sort_numerically(spark, tmp_path):
         t.merge(_changes(spark, [("a", str(e), e, e + 1, "U")]), epoch=e)
     epochs = [int(e) for e in t.history()[0]["epochs"]]
     assert epochs == list(range(12))
+
+
+def test_delete_where_purge_lifecycle(spark, tmp_path):
+    """Takedown/purge: delete_where tombstones matching rows through the
+    exactly-once merge (logical delete), the CDF shows them as D, time
+    travel preserves the pre-purge state, and compact+expire makes the
+    removal physical (pre-purge snapshot gone)."""
+    t = _mk(spark, tmp_path, mode="mor")
+    t.merge(
+        _changes(
+            spark,
+            [("a", "1", 1, 1, "U"), ("b", "2", 2, 2, "U"), ("c", "3", 3, 3, "U")],
+        ),
+        epoch=0,
+    )
+    pre_sid = t.current_snapshot()["snapshot_id"]
+    r = t.delete_where("n >= 2", epoch=1)
+    assert r["applied"]
+    # logical delete: only 'a' remains
+    assert {x["k"] for x in t.snapshot().collect()} == {"a"}
+    # idempotent replay
+    assert not t.delete_where("n >= 2", epoch=1)["applied"]
+    # CDF records the purge as D rows
+    cdf = t.changes_between(pre_sid)
+    dels = {x["k"] for x in cdf.filter(F.col("__op") == "D").collect()}
+    assert dels == {"b", "c"}
+    # time travel still reads the pre-purge state (Iceberg posture)
+    assert {x["k"] for x in t.snapshot(as_of=pre_sid).collect()} == {"a", "b", "c"}
+    # physical removal: fold tombstones, expire pre-purge snapshots
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(Exception):
+        t.snapshot(as_of=pre_sid).collect()
+    assert {x["k"] for x in t.snapshot().collect()} == {"a"}

@@ -982,6 +982,27 @@ class LakeTable:
         changes = rows.withColumn("__op", F.lit("D"))
         return self.merge(changes, epoch=epoch, epoch_info=epoch_info)
 
+    def update_where(
+        self,
+        predicate: str,
+        set_exprs: dict[str, str],
+        epoch: int | None = None,
+        epoch_info: dict | None = None,
+    ) -> dict:
+        """Row-level UPDATE — in-place redaction (Iceberg's
+        ``UPDATE ... SET ... WHERE`` analogue): rewrite ``set_exprs``
+        (column -> SQL expression over the current row) on every CURRENT row
+        matching ``predicate``, as upserts through the exactly-once merge.
+        The natural companion to ``delete_where`` for takedown requests that
+        redact rather than remove (e.g. scrub secrets from content while
+        keeping the file row). Same compliance posture: logical until
+        ``compact()`` + ``expire_snapshots()``."""
+        rows = self.snapshot().filter(predicate)
+        for col, expr in set_exprs.items():
+            rows = rows.withColumn(col, F.expr(expr))
+        changes = rows.withColumn("__op", F.lit("U"))
+        return self.merge(changes, epoch=epoch, epoch_info=epoch_info)
+
     def compact(
         self,
         max_delta_depth: int | None = None,

@@ -602,3 +602,21 @@ def test_delete_where_purge_lifecycle(spark, tmp_path):
     with pytest.raises(Exception):
         t.snapshot(as_of=pre_sid).collect()
     assert {x["k"] for x in t.snapshot().collect()} == {"a"}
+
+
+def test_update_where_redacts_in_place(spark, tmp_path):
+    """update_where rewrites matching rows through the exactly-once merge:
+    the redacted value wins the MoR read-time resolution (same order value,
+    later layer), replay is a no-op, and time travel shows the original."""
+    t = _mk(spark, tmp_path, mode="mor")
+    t.merge(
+        _changes(spark, [("a", "secret", 1, 1, "U"), ("b", "ok", 2, 2, "U")]),
+        epoch=0,
+    )
+    pre_sid = t.current_snapshot()["snapshot_id"]
+    r = t.update_where("v = 'secret'", {"v": "'<REDACTED>'"}, epoch=1)
+    assert r["applied"]
+    rows = {x["k"]: x["v"] for x in t.snapshot().collect()}
+    assert rows == {"a": "<REDACTED>", "b": "ok"}
+    assert not t.update_where("v = 'secret'", {"v": "'<REDACTED>'"}, epoch=1)["applied"]
+    assert {x["k"]: x["v"] for x in t.snapshot(as_of=pre_sid).collect()}["a"] == "secret"

@@ -21,9 +21,10 @@ Rotate per round so every operator accumulates green rows across rounds.
 ROUND-4 ROTATION PLAN (written at end of r3): rotate INTO the window first
 the tail queries whose implementing code changed during r3 but which were
 certified only by pytest this round — hl7_debatch, nist_report_counts,
-change_data_feed, rebucket_read, tumbling/sliding_window_counts,
-streaming_dedup_batch, purge_read (new at end of r3, pytest-only so far) —
-then any tail query without a green row since r1.
+change_data_feed, rebucket_read, schema_evolution_read,
+tumbling/sliding_window_counts, streaming_dedup_batch, purge_read (new at
+end of r3, pytest-only so far) — then any tail query without a green row
+since r1.
 Everything in the r3 window positions 1-50 (once green in CORRECTNESS_r03)
 becomes rotatable to the tail.
 """
@@ -92,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups_wide": qt.embedding_cosine_dups_wide,
         "chunk_minhash_dups": qt.chunk_minhash_dups,
         "dataset_split_assign": qt.dataset_split_assign,
+        "minhash_dup_pairs_wide": qt.minhash_dup_pairs_wide,
         # --- 37-42: code touched this round — re-certify ------------------
         "kmv_distinct_sketch": qt.kmv_distinct_sketch,
         "vocab_validation": q.vocab_validation,
@@ -104,7 +106,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # other stable query)
         "time_travel_as_of": q.time_travel_as_of,
         "filtered_snapshot_read": q.filtered_snapshot_read,
-        "schema_evolution_read": q.schema_evolution_read,
         # --- 49-50: minhash pair/cluster queries route through _lsh_pairs,
         # which the round-3 band-caching rewrite touched — keep them inside
         # the 50-query gate window until they re-certify
@@ -122,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nist_report_counts": q.nist_report_counts,
         "change_data_feed": q.change_data_feed,
         "rebucket_read": q.rebucket_read,
+        "schema_evolution_read": q.schema_evolution_read,
         "purge_read": q.purge_read,
 
         "minhash_signatures": qt.minhash_signatures,
@@ -250,4 +252,5 @@ def oracle_sql() -> dict[str, str]:
         "chunk_minhash_dups": qt.ORACLE_CHUNK_MINHASH,
         "dataset_split_assign": qt.ORACLE_SPLIT_ASSIGN,
         "purge_read": q.ORACLE_PURGE_READ,
+        "minhash_dup_pairs_wide": qt.ORACLE_MINHASH_PAIRS_WIDE,
     }

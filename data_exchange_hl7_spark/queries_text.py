@@ -3202,3 +3202,51 @@ SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM a GROUP BY source, split
 ORDER BY source, split
 """
+
+
+# ============== production-width MinHash banding certification =============
+
+# 16 bands completes the width-knob trilogy (simhash_dup_pairs_wide,
+# embedding_cosine_dups_wide): more bands = OR-amplification = higher
+# recall (1941 candidate pairs at sf0.01 vs 440 at the 4-band default),
+# with the join still band-bucketed at any width.
+MINHASH_WIDE_BANDS = 16
+
+
+def _minhash_pairs_oracle(n_bands: int) -> str:
+    aggs = ",\n         ".join(
+        f"MIN(MD5(shingle || ':{b}')) AS mh{b}" for b in range(n_bands)
+    )
+    union = " UNION ALL\n  ".join(
+        (
+            f"SELECT {b} AS band, mh{b} AS sig, doc_id FROM sig"
+            if b == 0
+            else f"SELECT {b}, mh{b}, doc_id FROM sig"
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (
+  SELECT doc_id,
+         {aggs}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  {union})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def minhash_dup_pairs_wide(spark, sf_dir):
+    """minhash_dup_pairs at 16 LSH bands — the production recall knob,
+    certified non-default like the SimHash/SRP wide variants. NOTE: unlike
+    the default query this runs WITHOUT synthesized dups (the plain corpus),
+    so the oracle covers a second input shape too."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _lsh_pairs(d, MINHASH_WIDE_BANDS).orderBy("doc_a", "doc_b")
+
+
+ORACLE_MINHASH_PAIRS_WIDE = _minhash_pairs_oracle(MINHASH_WIDE_BANDS)

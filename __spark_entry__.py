@@ -21,7 +21,7 @@ Rotate per round so every operator accumulates green rows across rounds.
 ROUND-4 ROTATION PLAN (written at end of r3): rotate INTO the window first
 the tail queries whose implementing code changed during r3 but which were
 certified only by pytest this round — hl7_debatch, nist_report_counts,
-change_data_feed, rebucket_read, schema_evolution_read,
+change_data_feed, rebucket_read, schema_evolution_read, time_travel_as_of,
 tumbling/sliding_window_counts, streaming_dedup_batch, purge_read (new at
 end of r3, pytest-only so far) — then any tail query without a green row
 since r1.
@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_minhash_dups": qt.chunk_minhash_dups,
         "dataset_split_assign": qt.dataset_split_assign,
         "minhash_dup_pairs_wide": qt.minhash_dup_pairs_wide,
+        "corpus_release_report": qt.corpus_release_report,
         # --- 37-42: code touched this round — re-certify ------------------
         "kmv_distinct_sketch": qt.kmv_distinct_sketch,
         "vocab_validation": q.vocab_validation,
@@ -104,7 +105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (cdc_latest_state is twice-green and byte-unchanged; entry() still
         # smoke-runs it every round, so it rotates to the tail like any
         # other stable query)
-        "time_travel_as_of": q.time_travel_as_of,
         "filtered_snapshot_read": q.filtered_snapshot_read,
         # --- 49-50: minhash pair/cluster queries route through _lsh_pairs,
         # which the round-3 band-caching rewrite touched — keep them inside
@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_data_feed": q.change_data_feed,
         "rebucket_read": q.rebucket_read,
         "schema_evolution_read": q.schema_evolution_read,
+        "time_travel_as_of": q.time_travel_as_of,
         "purge_read": q.purge_read,
 
         "minhash_signatures": qt.minhash_signatures,
@@ -253,4 +254,5 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split_assign": qt.ORACLE_SPLIT_ASSIGN,
         "purge_read": q.ORACLE_PURGE_READ,
         "minhash_dup_pairs_wide": qt.ORACLE_MINHASH_PAIRS_WIDE,
+        "corpus_release_report": qt.ORACLE_RELEASE_REPORT,
     }

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "bpe_pair_counts",
     "substring_span_dedup",
     "chunk_minhash_dups",
+    "corpus_release_report",
 ]
 
 

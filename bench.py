@@ -162,6 +162,8 @@ def main() -> None:
     # min of 2 trials per query: this box shows multi-minute noisy-neighbor
     # drift (same query 2-4x between back-to-back runs), and the second
     # trial is also the JIT-warmed steady state a real cluster runs in
+    from data_exchange_hl7_spark.queries_text import release_persisted_frames
+
     queries = entrymod.queries()
     for name in BENCH_QUERIES:
         fn = queries[name]
@@ -172,6 +174,9 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            # drop this query's cached band/bucket frames before the next —
+            # 40 queries x several LSH variants otherwise pile up in storage
+            release_persisted_frames()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

@@ -176,8 +176,9 @@ class Engine:
         self.n_buckets = n_buckets
         self.mode = mode
         self.salt_keys = salt_keys
-        # main-table name -> [(derived LakeTable, derive fn)] — see derived_table
-        self._derived: dict[str, list[tuple[LakeTable, Any]]] = {}
+        # main-table name -> [(derived LakeTable, derive fn, kind)] where
+        # kind is "derived" or "aggregate" — see derived_table / _register
+        self._derived: dict[str, list[tuple[LakeTable, Any, str]]] = {}
         os.makedirs(warehouse, exist_ok=True)
 
     # ------------------------------------------------------------ tables
@@ -649,6 +650,121 @@ class Engine:
             },
         )
         return metrics
+
+    # ------------------------------------------- compliance (purge/redact)
+    def purge_where(
+        self,
+        table: LakeTable,
+        predicate: str,
+        epoch: int,
+        epoch_info: dict | None = None,
+    ) -> dict:
+        """Row-level takedown across the WHOLE lineage: tombstones every
+        current main-table row matching the SQL ``predicate`` AND, in the
+        same epoch, every registered derived table's rows for those keys
+        (signature indexes, projection tables) plus retraction deltas to
+        every registered aggregate view — the compliance contract a bare
+        ``LakeTable.delete_where`` cannot give once deriveds exist (their
+        content-derived rows — content_sha256, MinHash signatures — would
+        silently outlive the purge, and resolve='sum' views would go stale).
+
+        Exactly-once ACROSS tables via the same per-table epoch manifests as
+        ``apply_epoch``: a crash between the main commit and a derived commit
+        re-runs only the missing merges, with the change frame recomputed
+        from the PRE-purge state (time travel to the epoch's commit parent),
+        so the late tombstones/retractions are identical.
+
+        Logical delete, same posture as Iceberg: physical byte removal needs
+        ``compact()`` + ``expire_snapshots()`` on the main AND each derived
+        table (reference analogue: the Cosmos upsert sink's keyed delete,
+        K3 semantics).
+        """
+        return self._purge_or_redact(table, predicate, epoch, None, epoch_info)
+
+    def redact_where(
+        self,
+        table: LakeTable,
+        predicate: str,
+        set_exprs: dict[str, str],
+        epoch: int,
+        epoch_info: dict | None = None,
+    ) -> dict:
+        """In-place redaction across the lineage: like ``purge_where`` but
+        rewrites ``set_exprs`` (column -> SQL expression) on the matching
+        rows as upserts instead of tombstoning. When ``content`` is redacted,
+        ``content_sha256`` and ``size_bytes`` are recomputed automatically to
+        preserve the table invariant (override by setting them explicitly),
+        and every registered derived table re-derives from the REDACTED rows
+        in the same epoch — e.g. the MinHash index re-signs the scrubbed
+        text, so the old content stops matching near-dup probes."""
+        return self._purge_or_redact(table, predicate, epoch, set_exprs, epoch_info)
+
+    def _purge_or_redact(
+        self,
+        table: LakeTable,
+        predicate: str,
+        epoch: int,
+        set_exprs: dict[str, str] | None,
+        epoch_info: dict | None,
+    ) -> dict:
+        name = table_name(table)
+        derived = self._derived.get(name, [])
+        pending = [
+            (t, fn, kind)
+            for t, fn, kind in derived
+            if str(epoch) not in t.committed_epochs()
+        ]
+        main_done = str(epoch) in table.committed_epochs()
+        if main_done and not pending:
+            return {"epoch": epoch, "applied": False}
+        if main_done:
+            # resume after a partial multi-table commit: the purged rows are
+            # already gone from the current snapshot, so recompute the change
+            # frame from the PRE-epoch state — deterministic, so the late
+            # derived merges land exactly the rows the crashed run would have
+            pre_sid = self._pre_epoch_sid(table, epoch, {"applied": False})
+            old_rows = table.snapshot(as_of=pre_sid).filter(predicate)
+        else:
+            old_rows = table.snapshot().filter(predicate)
+        # persist: feeds the main merge, every derive fn, and the aggregate
+        # retraction deltas — one snapshot scan, not one per consumer
+        old_rows = old_rows.persist()
+        try:
+            if set_exprs is None:
+                changes = old_rows.withColumn("__op", F.lit("D"))
+            else:
+                changes = old_rows
+                for col, expr in set_exprs.items():
+                    changes = changes.withColumn(col, F.expr(expr))
+                if "content" in set_exprs:
+                    fields = {f["name"]: f["type"] for f in table.schema_fields()}
+                    body = F.coalesce(F.col("content"), F.lit(""))
+                    if "content_sha256" in fields and "content_sha256" not in set_exprs:
+                        changes = changes.withColumn("content_sha256", F.sha2(body, 256))
+                    if "size_bytes" in fields and "size_bytes" not in set_exprs:
+                        changes = changes.withColumn(
+                            "size_bytes", F.length(body).cast(fields["size_bytes"])
+                        )
+                changes = changes.withColumn("__op", F.lit("U"))
+            info = dict(epoch_info or {})
+            info.setdefault("op", "purge" if set_exprs is None else "redact")
+            info.setdefault("predicate", predicate)
+            result = table.merge(changes, epoch=epoch, epoch_info=info)
+            stats = {"epoch": epoch, **result}
+            for dt, fn, kind in pending:
+                if kind == "aggregate":
+                    # old_rows doubles as the pre-state of the changed keys:
+                    # for a purge/redact the changed keys ARE the matching
+                    # rows, so no second time-travel read is needed
+                    dchanges = fn(changes, old_rows)
+                else:
+                    dchanges = fn(changes)
+                dt.merge(dchanges, epoch=epoch, epoch_info=info)
+            if derived:
+                stats["derived_applied"] = [table_name(t) for t, *_ in pending]
+            return stats
+        finally:
+            old_rows.unpersist()
 
     # ----------------------------------------------- stage facades (7.5)
     # Thin 1:1 surface over the operator library, mirroring the reference's

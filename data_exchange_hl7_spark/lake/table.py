@@ -977,6 +977,13 @@ class LakeTable:
         buckets) followed by ``expire_snapshots()`` (drops the pre-delete
         snapshots and their data files); until then time travel can still
         read the purged rows — exactly Iceberg's posture.
+
+        WARNING — table-level only: if this table has Engine-registered
+        derived tables or aggregate views, their content-derived rows
+        (content_sha256, MinHash signatures, per-repo sums) are NOT touched
+        by this call and will outlive the purge. Use ``Engine.purge_where``
+        (or ``Engine.redact_where``), which tombstones the lineage in the
+        same epoch.
         """
         rows = self.snapshot().filter(predicate)
         changes = rows.withColumn("__op", F.lit("D"))

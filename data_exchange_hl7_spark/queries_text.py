@@ -22,6 +22,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Cached band/bucket frames, tracked so long-lived sessions can release them.
+# The LSH queries persist() their signature-sized band frames (the self-join
+# reads them twice); a session running many LSH variants back-to-back (bench
+# runs ~40 queries) would otherwise accumulate cached frames until LRU
+# eviction. Queries register every persist here; callers that materialized
+# the result call release_persisted_frames() to drop them eagerly.
+_PERSISTED_FRAMES: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED_FRAMES.append(df)
+    return df
+
+
+def release_persisted_frames() -> int:
+    """Unpersist every tracked frame; returns how many were released.
+    Safe to call at any time — releasing a frame a future job still needs
+    only costs recomputation, never correctness."""
+    n = 0
+    while _PERSISTED_FRAMES:
+        _PERSISTED_FRAMES.pop().unpersist()
+        n += 1
+    return n
+
+
 # ============================ text analysis ===============================
 
 
@@ -341,10 +367,9 @@ def _lsh_pairs(d: DataFrame, n_bands: int, max_bucket: int | None = None) -> Dat
     # cache each side re-runs the whole shingle->minhash aggregation. The
     # frame is signature-sized (n_docs x n_bands short rows) — the canonical
     # thing to materialize at corpus scale, never the corpus itself.
-    bands = (
+    bands = _persist_tracked(
         sig.select("doc_id", F.explode(band_arr).alias("bd"))
         .select(F.col("bd.band").alias("band"), F.col("bd.sig").alias("sig"), "doc_id")
-        .persist()
     )
     if max_bucket is not None:
         small = (
@@ -810,7 +835,9 @@ def embedding_cosine_dups(
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    b = e.select("vec_id", bucket.alias("bucket"), nrm.alias("nrm"), "q").persist()
+    b = _persist_tracked(
+        e.select("vec_id", bucket.alias("bucket"), nrm.alias("nrm"), "q")
+    )
     if max_bucket is not None:
         small = (
             b.groupBy("bucket")
@@ -1214,7 +1241,7 @@ def simhash_dup_pairs(
             for b in range(n_bands)
         ]
     )
-    bands = (
+    bands = _persist_tracked(
         sig.select("doc_id", "sig", F.explode(band_arr).alias("bd"))
         .select(
             F.col("bd.band").alias("band"),
@@ -1222,7 +1249,6 @@ def simhash_dup_pairs(
             "doc_id",
             "sig",
         )
-        .persist()
     )
     if max_bucket is not None:
         small = (
@@ -2054,13 +2080,13 @@ def kmv_distinct_sketch(spark, sf_dir, k: int = KMV_K, exact: bool = False):
     executors sketch partitions independently and combine. All integer/
     fixed-IEEE arithmetic, so the oracle reproduces it bit-for-bit.
 
-    By default the __ALL__ row's ``n_exact`` is the merged-sketch ESTIMATE
-    (when the merged sketch holds fewer than k hashes it is exact by
-    construction): a global exact-distinct job is the expensive thing a KMV
-    sketch exists to avoid, so at 100 TB it must not be on the default
-    path. Pass ``exact=True`` (test/debug only) to run the full
-    ``distinct().count()`` and report the sketch's true error; building the
-    default plan triggers NO Spark job (asserted in tests/test_plans.py)."""
+    By default the __ALL__ row's ``n_exact`` is NULL: a global exact-distinct
+    job is the expensive thing a KMV sketch exists to avoid, so at 100 TB it
+    must not be on the default path, and reporting the estimate under the
+    ``n_exact`` name would fake a zero sketch error. Pass ``exact=True``
+    (test/debug only) to run the full ``distinct().count()`` and report the
+    sketch's true error; building the default plan triggers NO Spark job
+    (asserted in tests/test_plans.py)."""
     d = _t(spark, sf_dir, "documents")
     hashes = d.select(
         "source",
@@ -2108,7 +2134,7 @@ def kmv_distinct_sketch(spark, sf_dir, k: int = KMV_K, exact: bool = False):
         g_est = est(F.col("kth_min"), F.col("nk"))
         g = gagg.select(
             F.lit("__ALL__").alias("source"),
-            g_est.alias("n_exact"),
+            F.lit(None).cast("bigint").alias("n_exact"),
             g_est.alias("n_est"),
         )
     return by_src.unionByName(g).orderBy("source")
@@ -2143,7 +2169,7 @@ SELECT source, n_exact,
                  ELSE n_exact END AS BIGINT) AS n_est
 FROM by_src
 UNION ALL
-SELECT source, g_est AS n_exact, g_est AS n_est FROM g
+SELECT source, CAST(NULL AS BIGINT) AS n_exact, g_est AS n_est FROM g
 ORDER BY source
 """
 
@@ -2223,26 +2249,26 @@ def domain_mix_plan(spark, sf_dir):
 ORACLE_DOMAIN_MIX = f"""
 WITH docs AS (
   SELECT source, doc_id,
-         CAST(SUBSTR(source, 4) AS BIGINT) AS src_num,
+         CAST(SUBSTR(source, 4, 10) AS BIGINT) AS src_num,
          CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
   FROM documents),
 tot AS (
-  SELECT source, 1 + (src_num * 13) % 7 AS weight,
+  SELECT source, CAST(1 + (src_num * 13) % 7 AS BIGINT) AS weight,
          SUM(n_tokens) AS tokens_total
   FROM docs GROUP BY source, src_num),
 tot2 AS (
-  SELECT *, (weight * {MIX_BUDGET_TOKENS}) // (SELECT SUM(weight) FROM tot) AS budget_tokens
+  SELECT *, CAST((weight * {MIX_BUDGET_TOKENS}) // (SELECT SUM(weight) FROM tot) AS BIGINT) AS budget_tokens
   FROM tot),
 tot3 AS (
-  SELECT *, LEAST(1000, (budget_tokens * 1000) // tokens_total) AS rate_permille
+  SELECT *, CAST(LEAST(1000, (budget_tokens * 1000) // tokens_total) AS BIGINT) AS rate_permille
   FROM tot2)
 SELECT d.source, t.weight, t.budget_tokens, t.rate_permille,
        COUNT(*) AS n_docs,
-       SUM(d.n_tokens) AS tokens_total,
+       CAST(SUM(d.n_tokens) AS BIGINT) AS tokens_total,
        CAST(SUM(CASE WHEN (d.doc_id * {SAMPLE_MULT}) % 4294967296 % 1000 < t.rate_permille
                      THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
-       SUM(CASE WHEN (d.doc_id * {SAMPLE_MULT}) % 4294967296 % 1000 < t.rate_permille
-                THEN d.n_tokens ELSE 0 END) AS tokens_kept
+       CAST(SUM(CASE WHEN (d.doc_id * {SAMPLE_MULT}) % 4294967296 % 1000 < t.rate_permille
+                THEN d.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
 FROM docs d JOIN tot3 t USING (source)
 GROUP BY d.source, t.weight, t.budget_tokens, t.rate_permille
 ORDER BY d.source

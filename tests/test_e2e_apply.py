@@ -681,3 +681,143 @@ def test_minhash_index_incremental_equals_recompute(spark, tmp_path):
     assert expect.exceptAll(got).count() == 0
     # short-content rows sign NULL (nothing to shingle) — present, not wrong
     assert got.count() == final.count()
+
+
+def test_engine_purge_tombstones_whole_lineage(spark, tmp_path):
+    """Engine.purge_where is the compliance-grade takedown: in ONE epoch it
+    tombstones the matching main rows AND every registered derived table's
+    rows for those keys AND emits retraction deltas to aggregate views —
+    a bare LakeTable.delete_where would leave content-derived rows
+    (content_sha256, MinHash signatures) and stale sums alive."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        MINHASH_INDEX_SCHEMA,
+        REPO_STATS_SCHEMA,
+        file_stats_derive,
+        minhash_index_derive,
+        repo_stats_delta,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    idx_t = eng.derived_table("minhash_index", MINHASH_INDEX_SCHEMA, minhash_index_derive)
+    agg_t = eng.aggregate_table("repo_stats", REPO_STATS_SCHEMA, repo_stats_delta)
+    events = change_events(spark, 3000)
+    MicroBatchRunner(eng, epoch_size=1500).run(events, table)
+
+    victim = table.snapshot().select("repo").first()["repo"]
+    n_before = table.snapshot().filter(F.col("repo") == victim).count()
+    assert n_before > 0
+    assert stats_t.snapshot().filter(F.col("repo") == victim).count() == n_before
+    assert idx_t.snapshot().filter(F.col("repo") == victim).count() == n_before
+
+    r = eng.purge_where(table, f"repo = '{victim}'", epoch=9000)
+    assert r["applied"]
+    assert set(r["derived_applied"]) == {"file_stats", "minhash_index", "repo_stats"}
+
+    assert table.snapshot().filter(F.col("repo") == victim).count() == 0
+    assert stats_t.snapshot().filter(F.col("repo") == victim).count() == 0
+    assert idx_t.snapshot().filter(F.col("repo") == victim).count() == 0
+    agg_row = agg_t.snapshot().filter(F.col("repo") == victim).collect()
+    assert len(agg_row) == 1 and (agg_row[0]["n_files"], agg_row[0]["total_bytes"]) == (0, 0)
+    # untouched repos keep exact aggregate parity with the main state
+    got = {r["repo"]: (r["n_files"], r["total_bytes"])
+           for r in agg_t.snapshot().collect()}
+    for row in _expected_repo_stats(table):
+        assert got[row["repo"]] == (row["n_files"], row["total_bytes"]), row["repo"]
+    # idempotent replay of the purge epoch
+    assert eng.purge_where(table, f"repo = '{victim}'", epoch=9000) == {
+        "epoch": 9000, "applied": False,
+    }
+
+
+def test_engine_purge_resumes_after_partial_commit(spark, tmp_path):
+    """Crash between the purge's main commit and a derived commit: on
+    re-run the change frame is recomputed from the PRE-purge state (time
+    travel — the matching rows are already gone from current), so the late
+    derived tombstones land identically and the lineage converges."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        file_stats_derive,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    events = change_events(spark, 2000)
+    eng.apply_epoch(events, table, epoch=0)
+
+    victim = table.snapshot().select("repo").first()["repo"]
+    orig_merge = stats_t.merge
+    state = {"fail": True}
+
+    def flaky(*a, **k):
+        if state["fail"]:
+            state["fail"] = False
+            raise RuntimeError("simulated crash before derived purge commit")
+        return orig_merge(*a, **k)
+
+    stats_t.merge = flaky
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.purge_where(table, f"repo = '{victim}'", epoch=9000)
+    assert "9000" in table.committed_epochs()
+    assert "9000" not in stats_t.committed_epochs()
+    assert table.snapshot().filter(F.col("repo") == victim).count() == 0
+    # derived rows still alive — the partial state a real crash leaves
+    assert stats_t.snapshot().filter(F.col("repo") == victim).count() > 0
+
+    # compact the main table between crash and resume to prove the pre-state
+    # read time-travels rather than reading current
+    table.compact()
+    r = eng.purge_where(table, f"repo = '{victim}'", epoch=9000)
+    assert r["derived_applied"] == ["file_stats"]
+    assert stats_t.snapshot().filter(F.col("repo") == victim).count() == 0
+    assert eng.purge_where(table, f"repo = '{victim}'", epoch=9000) == {
+        "epoch": 9000, "applied": False,
+    }
+
+
+def test_engine_redact_rederives_lineage(spark, tmp_path):
+    """Engine.redact_where scrubs content in place (upserts), recomputes the
+    sha/size invariant, and re-derives every registered derived table from
+    the REDACTED rows in the same epoch — the old text stops matching the
+    incremental MinHash index."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        MINHASH_INDEX_SCHEMA,
+        file_stats_derive,
+        minhash_index_derive,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    idx_t = eng.derived_table("minhash_index", MINHASH_INDEX_SCHEMA, minhash_index_derive)
+    events = change_events(spark, 2000)
+    eng.apply_epoch(events, table, epoch=0)
+
+    victim = table.snapshot().select("repo").first()["repo"]
+    pred = f"repo = '{victim}'"
+    r = eng.redact_where(table, pred, {"content": "'[REDACTED]'"}, epoch=9001)
+    assert r["applied"]
+
+    import hashlib
+    want_sha = hashlib.sha256(b"[REDACTED]").hexdigest()
+    rows = table.snapshot().filter(pred).collect()
+    assert rows and all(
+        x["content"] == "[REDACTED]"
+        and x["content_sha256"] == want_sha
+        and x["size_bytes"] == len("[REDACTED]")
+        for x in rows
+    )
+    # derived tables re-derived from the redacted rows, not left stale
+    final = table.snapshot().withColumn("__op", F.lit("U"))
+    expect_stats = file_stats_derive(final).drop("__op")
+    got_stats = stats_t.snapshot().select(*expect_stats.columns)
+    assert got_stats.exceptAll(expect_stats).count() == 0
+    assert expect_stats.exceptAll(got_stats).count() == 0
+    expect_idx = minhash_index_derive(final).drop("__op")
+    got_idx = idx_t.snapshot().select(*expect_idx.columns)
+    assert got_idx.exceptAll(expect_idx).count() == 0
+    assert expect_idx.exceptAll(got_idx).count() == 0

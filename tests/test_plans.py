@@ -463,3 +463,27 @@ def test_chunk_minhash_band_bucket_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert qt.chunk_minhash_dups(spark, SF).count() > 0  # non-vacuous
+
+
+def test_lsh_queries_release_persisted_frames(spark):
+    """Unpersist discipline: every LSH-family query registers its cached
+    band/bucket frame with the module registry, and after the result
+    materializes release_persisted_frames() leaves ZERO persistent RDDs —
+    a long-lived session (bench runs ~40 queries) must not accumulate
+    cached frames until LRU eviction."""
+    jsc = spark.sparkContext._jsc
+    # start clean so this test is order-independent
+    for fn in (
+        qt.minhash_dup_pairs,
+        qt.simhash_dup_pairs,
+        qt.embedding_cosine_dups,
+    ):
+        qt.release_persisted_frames()
+        spark.catalog.clearCache()
+        fn(spark, SF).write.mode("overwrite").format("noop").save()
+        assert jsc.getPersistentRDDs().size() > 0, "band frame should be cached"
+        released = qt.release_persisted_frames()
+        assert released >= 1
+        assert jsc.getPersistentRDDs().size() == 0, (
+            f"{fn.__name__} leaked a persisted frame past release"
+        )

@@ -7,26 +7,24 @@ equivalent for the value-hash correctness gate. Implementation lives in
 
 ORDERING CONTRACT: the driver's correctness harness certifies the FIRST 50
 entries of ``queries()`` each round. The dict is therefore ordered by
-certification need, not by topic:
-  1. operators that have never had a green CORRECTNESS row (r2 verdict's
-     top item — positions 1-10),
-  2. operators green in r1 but modified since (11-17),
-  3. operators new this round (18-22),
-  4. operators whose code changed this round (23-28),
-  5. the core CDC/lake/streaming family (29-50),
-  6. tail: stable queries already green in BOTH r1 and r2, byte-unchanged
-     since — rotated out of the window to make room (51+).
-Rotate per round so every operator accumulates green rows across rounds.
+certification need, not by topic. ROUND-4 ORDER (executing the rotation
+plan written at the end of r3):
+  1. never-green queries (purge_read; domain_mix_plan whose r3 row was red
+     on a dtype-only hash miss, oracle fixed in commit ad93595),
+  2. queries new this round,
+  3. the r3-touched lake/streaming tail whose only green rows predate the
+     r3 code (hl7_debatch, nist_report_counts, change_data_feed,
+     rebucket_read, schema_evolution_read, time_travel_as_of,
+     tumbling/sliding_window_counts, streaming_dedup_batch),
+  4. the rest of the last-green-in-r2 cohort — the WHOLE cohort fits the
+     remaining window, so after this round no query's newest green row is
+     older than one round,
+  5. tail (51+): the 49 r3-green queries.
 
-ROUND-4 ROTATION PLAN (written at end of r3): rotate INTO the window first
-the tail queries whose implementing code changed during r3 but which were
-certified only by pytest this round — hl7_debatch, nist_report_counts,
-change_data_feed, rebucket_read, schema_evolution_read, time_travel_as_of,
-tumbling/sliding_window_counts, streaming_dedup_batch, purge_read (new at
-end of r3, pytest-only so far) — then any tail query without a green row
-since r1.
-Everything in the r3 window positions 1-50 (once green in CORRECTNESS_r03)
-becomes rotatable to the tail.
+ROUND-5 ROTATION PLAN (written during r4): rotate INTO the window any
+query added or module-touched during r4, then the r3-green tail cohort
+(oldest green row first); everything green in CORRECTNESS_r04 becomes
+rotatable to the tail. COVERAGE.md carries the per-query last-green ledger.
 """
 
 from __future__ import annotations
@@ -50,83 +48,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- 1-10: never oracle-certified before this round -------------
-        "simhash_dup_pairs": qt.simhash_dup_pairs,
-        "decontamination": qt.decontamination,
-        "c4_line_dedup": qt.c4_line_dedup,
-        "ivf_train_kmeans": qt.ivf_train_kmeans,
-        "ivf_topk_trained": qt.ivf_topk_trained,
-        "ann_recall_at_k": qt.ann_recall_at_k,
-        "pii_scrub": qt.pii_scrub,
-        "sequence_packing": qt.sequence_packing,
-        "stratified_sample": qt.stratified_sample,
-        "corpus_prep_neardup": qt.corpus_prep_neardup,
-        # --- 11-17: green in r1, modified since, untested in r2 ---------
-        "simhash_signatures": qt.simhash_signatures,
-        "ann_bruteforce_topk": qt.ann_bruteforce_topk,
-        "ivf_partition_assign": qt.ivf_partition_assign,
-        "ivf_topk": qt.ivf_topk,
-        "embedding_cosine_dups": qt.embedding_cosine_dups,
-        "corpus_prep_pipeline": qt.corpus_prep_pipeline,
-        "multimodal_binary_meta": qt.multimodal_binary_meta,
-        # --- 18-36: new this round ---------------------------------------
-        "errors_by_message": q.errors_by_message,
-        "sql_model_vocab_enriched": q.sql_model_vocab_enriched,
-        "obx_epi_split": q.obx_epi_split,
-        "multimodal_extract_features": qt.multimodal_extract_features,
-        "simhash_dup_pairs_wide": qt.simhash_dup_pairs_wide,
-        "derived_file_stats": q.derived_file_stats,
+        # --- never oracle-certified (purge_read new end-of-r3; domain_mix's
+        # r3 row was red on a dtype-only hash miss, oracle fixed in ad93595)
+        "purge_read": q.purge_read,
         "domain_mix_plan": qt.domain_mix_plan,
-        "length_percentiles": qt.length_percentiles,
-        "aggregate_repo_stats": q.aggregate_repo_stats,
-        "minhash_dup_pairs_capped": qt.minhash_dup_pairs_capped,
-        "fixed_chunking": qt.fixed_chunking,
-        "code_quality_flags": qt.code_quality_flags,
-        "rare_token_filter": qt.rare_token_filter,
-        "incremental_minhash_index": q.incremental_minhash_index,
-        "index_dup_candidates": q.index_dup_candidates,
-        "hard_negative_mining": qt.hard_negative_mining,
-        "secret_scan": qt.secret_scan,
-        "repo_level_neardup": qt.repo_level_neardup,
-        "bpe_pair_counts": qt.bpe_pair_counts,
-        "substring_span_dedup": qt.substring_span_dedup,
-        "embedding_cosine_dups_wide": qt.embedding_cosine_dups_wide,
-        "chunk_minhash_dups": qt.chunk_minhash_dups,
-        "dataset_split_assign": qt.dataset_split_assign,
-        "minhash_dup_pairs_wide": qt.minhash_dup_pairs_wide,
-        "corpus_release_report": qt.corpus_release_report,
-        # --- 37-42: code touched this round — re-certify ------------------
-        "kmv_distinct_sketch": qt.kmv_distinct_sketch,
-        "vocab_validation": q.vocab_validation,
-        "sql_model_child": q.sql_model_child,
-        "hl7_segments": q.hl7_segments,
-        "nearest_preceding_anchor": q.nearest_preceding_anchor,
-        # --- core CDC / lake / streaming family ----------------------------
-        # (cdc_latest_state is twice-green and byte-unchanged; entry() still
-        # smoke-runs it every round, so it rotates to the tail like any
-        # other stable query)
-        "filtered_snapshot_read": q.filtered_snapshot_read,
-        # --- 49-50: minhash pair/cluster queries route through _lsh_pairs,
-        # which the round-3 band-caching rewrite touched — keep them inside
-        # the 50-query gate window until they re-certify
-        "minhash_dup_pairs": qt.minhash_dup_pairs,
-        "dup_clusters": qt.dup_clusters,
-        # --- 51+: stable, green in r1 and/or r2, byte-unchanged since —
-        # rotated out of the window to make room -------------------------
-        "exact_dup_groups": qt.exact_dup_groups,
-        "sessionize": q.sessionize,
-        "interval_range_join": q.interval_range_join,
-        "tumbling_window_counts": q.tumbling_window_counts,
-        "sliding_window_counts": q.sliding_window_counts,
-        "streaming_dedup_batch": q.streaming_dedup_batch,
+        # --- new this round: the last two un-oracled SURVEY transforms ----
+        "json_lake_flat": q.json_lake_flat,
+        "gold_wide_projection": q.gold_wide_projection,
+        # --- r3-touched modules (lake/table.py, engine.py, query wrappers)
+        # whose only green rows predate the r3 code — re-certify ----------
         "hl7_debatch": q.hl7_debatch,
         "nist_report_counts": q.nist_report_counts,
         "change_data_feed": q.change_data_feed,
         "rebucket_read": q.rebucket_read,
         "schema_evolution_read": q.schema_evolution_read,
         "time_travel_as_of": q.time_travel_as_of,
-        "purge_read": q.purge_read,
-
+        "tumbling_window_counts": q.tumbling_window_counts,
+        "sliding_window_counts": q.sliding_window_counts,
+        "streaming_dedup_batch": q.streaming_dedup_batch,
+        # --- rest of the last-green-in-r2 cohort: rotate the WHOLE cohort
+        # through the window so no query's newest green row ages past one
+        # round ------------------------------------------------------------
+        "exact_dup_groups": qt.exact_dup_groups,
+        "sessionize": q.sessionize,
+        "interval_range_join": q.interval_range_join,
         "minhash_signatures": qt.minhash_signatures,
         "ngram_jaccard_pairs": qt.ngram_jaccard_pairs,
         "token_stats": qt.token_stats,
@@ -157,6 +102,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_state_salted": q.latest_state_salted,
         "latest_flag_sequencing": q.latest_flag_sequencing,
         "cdc_latest_state": q.cdc_latest_state,
+        # --- 51+: the 49 r3-green queries, rotated to the tail ------------
+        "simhash_dup_pairs": qt.simhash_dup_pairs,
+        "decontamination": qt.decontamination,
+        "c4_line_dedup": qt.c4_line_dedup,
+        "ivf_train_kmeans": qt.ivf_train_kmeans,
+        "ivf_topk_trained": qt.ivf_topk_trained,
+        "ann_recall_at_k": qt.ann_recall_at_k,
+        "pii_scrub": qt.pii_scrub,
+        "sequence_packing": qt.sequence_packing,
+        "stratified_sample": qt.stratified_sample,
+        "corpus_prep_neardup": qt.corpus_prep_neardup,
+        "simhash_signatures": qt.simhash_signatures,
+        "ann_bruteforce_topk": qt.ann_bruteforce_topk,
+        "ivf_partition_assign": qt.ivf_partition_assign,
+        "ivf_topk": qt.ivf_topk,
+        "embedding_cosine_dups": qt.embedding_cosine_dups,
+        "corpus_prep_pipeline": qt.corpus_prep_pipeline,
+        "multimodal_binary_meta": qt.multimodal_binary_meta,
+        "errors_by_message": q.errors_by_message,
+        "sql_model_vocab_enriched": q.sql_model_vocab_enriched,
+        "obx_epi_split": q.obx_epi_split,
+        "multimodal_extract_features": qt.multimodal_extract_features,
+        "simhash_dup_pairs_wide": qt.simhash_dup_pairs_wide,
+        "derived_file_stats": q.derived_file_stats,
+        "length_percentiles": qt.length_percentiles,
+        "aggregate_repo_stats": q.aggregate_repo_stats,
+        "minhash_dup_pairs_capped": qt.minhash_dup_pairs_capped,
+        "fixed_chunking": qt.fixed_chunking,
+        "code_quality_flags": qt.code_quality_flags,
+        "rare_token_filter": qt.rare_token_filter,
+        "incremental_minhash_index": q.incremental_minhash_index,
+        "index_dup_candidates": q.index_dup_candidates,
+        "hard_negative_mining": qt.hard_negative_mining,
+        "secret_scan": qt.secret_scan,
+        "repo_level_neardup": qt.repo_level_neardup,
+        "bpe_pair_counts": qt.bpe_pair_counts,
+        "substring_span_dedup": qt.substring_span_dedup,
+        "embedding_cosine_dups_wide": qt.embedding_cosine_dups_wide,
+        "chunk_minhash_dups": qt.chunk_minhash_dups,
+        "dataset_split_assign": qt.dataset_split_assign,
+        "minhash_dup_pairs_wide": qt.minhash_dup_pairs_wide,
+        "corpus_release_report": qt.corpus_release_report,
+        "kmv_distinct_sketch": qt.kmv_distinct_sketch,
+        "vocab_validation": q.vocab_validation,
+        "sql_model_child": q.sql_model_child,
+        "hl7_segments": q.hl7_segments,
+        "nearest_preceding_anchor": q.nearest_preceding_anchor,
+        "filtered_snapshot_read": q.filtered_snapshot_read,
+        "minhash_dup_pairs": qt.minhash_dup_pairs,
+        "dup_clusters": qt.dup_clusters,
     }
 
 
@@ -253,6 +248,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_minhash_dups": qt.ORACLE_CHUNK_MINHASH,
         "dataset_split_assign": qt.ORACLE_SPLIT_ASSIGN,
         "purge_read": q.ORACLE_PURGE_READ,
+        "json_lake_flat": q.ORACLE_JSON_LAKE_FLAT,
+        "gold_wide_projection": q.ORACLE_GOLD_WIDE,
         "minhash_dup_pairs_wide": qt.ORACLE_MINHASH_PAIRS_WIDE,
         "corpus_release_report": qt.ORACLE_RELEASE_REPORT,
     }

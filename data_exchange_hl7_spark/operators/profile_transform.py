@@ -239,6 +239,37 @@ def to_sql_model(
     return tables
 
 
+def gold_wide(
+    df: DataFrame,
+    profile: dict,
+    mmg_elements: list[dict],
+    parent_key_col: str = "message_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """T4 MMG-driven wide gold projection + T6 canonical column order.
+
+    The reference folds one column per MMG element over the extracted value
+    map (ADFEntryPoints/runHL7GoldPipelineFull.scala:115-156 singles fold)
+    and then canonicalizes the layout — meta columns first, payload columns
+    sorted lexically (runHL7GoldPipelineFull.scala:250-256). Here the MMG
+    config generates ONE ``select`` over the T5 SQL-model singles frame:
+    each element spec ``{"name": <MMG element name>, "segment": <SEG>,
+    "field_name": <profile field name>}`` becomes a column whose name is the
+    element name run through the same normalize/truncate rules the reference
+    applies (StringUtils.kt:8-22,33-62) — config-driven schema generation
+    with zero Python in the hot path, one narrow projection, no shuffle.
+    """
+    singles = to_sql_model(df, profile, parent_key_col, content_col)["singles"]
+    cols = []
+    for el in mmg_elements:
+        src = _sql_name(f"{el['segment']}_{el['field_name']}")
+        cols.append(F.col(src).alias(_sql_name(el["name"])))
+    named = singles.select(parent_key_col, *cols)
+    meta = [parent_key_col]
+    payload = sorted(c for c in named.columns if c not in meta)
+    return named.select(*meta, *payload)
+
+
 def attach_nearest_preceding(
     df: DataFrame,
     anchor_type: str = "OBR",

@@ -2262,3 +2262,190 @@ FROM (
 WHERE rn = 1 AND event_type <> 'error' AND user_id < 80
 ORDER BY user_id
 """
+
+
+def json_lake_flat(spark, sf_dir):
+    """T1 profile-driven HL7->JSON, oracle-gated (lib-bumblebee
+    HL7JsonTransformer.kt:30-146): runs the REAL to_json_lake — cardinality
+    [0..1] -> object vs [0..*] -> array, plus OBX-2 dynamic typing
+    (HL7JsonTransformer.kt:76) — then flattens the parsed struct to one row
+    per leaf (event_id, path, dtype, value, code, text, coding_system) so
+    DuckDB can rebuild the identical rows with string ops. MSH/PID singles
+    become object rows; the two OBX repeats become indexed array rows —
+    repeat 1 is CE (coded components populated), repeat 2 is NM (components
+    null, the reference's null-strip). A green row certifies cardinality
+    AND dynamic typing against an external engine, not just pytest goldens.
+
+    Scale shape: profile compiles to one nested struct expression; the
+    flatten is an inline array explode — narrow, single scan, no shuffle."""
+    from data_exchange_hl7_spark.operators.profile_transform import to_json_lake
+
+    ev = _t(spark, sf_dir, "events")
+    cents = _cents(F.col("value")).cast("string")
+    df = ev.select(
+        F.col("event_id").cast("string").alias("message_id"),
+        F.concat(
+            F.lit("MSH|^~\\&|"), F.col("event_type"), F.lit("^sub|fac|f5|f6|"),
+            F.date_format("ts", TS_FMT_SPARK),
+            F.lit("\nPID|1||"), F.col("user_id").cast("string"),
+            F.lit("^^MRN||FAM-"), F.col("event_id").cast("string"), F.lit("^GIV"),
+            F.lit("\nOBX|1|CE|55555-5||"), F.col("event_type"), F.lit("^desc^SYS"),
+            F.lit("\nOBX|2|NM|30525-0||"), cents,
+        ).alias("content"),
+    )
+    profile = {
+        "MSH": {
+            "cardinality": "[0..1]",
+            "fields": [
+                {"name": "sending_app", "field": 3, "component": 1},
+                {"name": "message_ts", "field": 7},
+            ],
+        },
+        "PID": {
+            "cardinality": "[0..1]",
+            "fields": [
+                {"name": "patient_id", "field": 3, "component": 1},
+                {"name": "family_name", "field": 5, "component": 1},
+            ],
+        },
+        "OBX": {
+            "cardinality": "[0..*]",
+            "fields": [
+                {"name": "set_id", "field": 1},
+                {"name": "obs", "field": 5, "dynamic_type_from": 2},
+            ],
+        },
+    }
+    out = to_json_lake(df, profile)
+    p = F.col("parsed")
+    null_s = F.lit(None).cast("string")
+
+    def leaf(path, val):
+        return F.struct(
+            F.lit(path).alias("path"),
+            null_s.alias("dtype"),
+            val.alias("value"),
+            null_s.alias("code"),
+            null_s.alias("text"),
+            null_s.alias("coding_system"),
+        )
+
+    obx_rows = F.transform(
+        p["obx"],
+        lambda x, i: F.struct(
+            F.concat(F.lit("obx["), (i + 1).cast("string"), F.lit("].obs")).alias("path"),
+            x["obs"]["type"].alias("dtype"),
+            x["obs"]["value"].alias("value"),
+            x["obs"]["code"].alias("code"),
+            x["obs"]["text"].alias("text"),
+            x["obs"]["coding_system"].alias("coding_system"),
+        ),
+    )
+    rows = F.concat(
+        F.array(
+            leaf("msh.sending_app", p["msh"]["sending_app"]),
+            leaf("msh.message_ts", p["msh"]["message_ts"]),
+            leaf("pid.patient_id", p["pid"]["patient_id"]),
+            leaf("pid.family_name", p["pid"]["family_name"]),
+        ),
+        obx_rows,
+    )
+    return (
+        out.select(
+            F.col("message_id").cast("bigint").alias("event_id"),
+            F.explode(rows).alias("r"),
+        )
+        .select(
+            "event_id", "r.path", "r.dtype", "r.value",
+            "r.code", "r.text", "r.coding_system",
+        )
+        .orderBy("event_id", "path")
+    )
+
+
+ORACLE_JSON_LAKE_FLAT = f"""
+WITH m AS (
+  SELECT event_id, event_type,
+         CAST(user_id AS VARCHAR) AS uid,
+         CAST(CAST(ROUND(value*100) AS BIGINT) AS VARCHAR) AS cents,
+         STRFTIME(ts, '{TS_FMT_DUCK}') AS tss
+  FROM events)
+SELECT event_id, path, dtype, value, code, text, coding_system FROM (
+  SELECT event_id, 'msh.sending_app' AS path, CAST(NULL AS VARCHAR) AS dtype,
+         event_type AS value, CAST(NULL AS VARCHAR) AS code,
+         CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS coding_system
+  FROM m
+  UNION ALL SELECT event_id, 'msh.message_ts', NULL, tss, NULL, NULL, NULL FROM m
+  UNION ALL SELECT event_id, 'pid.patient_id', NULL, uid, NULL, NULL, NULL FROM m
+  UNION ALL SELECT event_id, 'pid.family_name', NULL,
+                   'FAM-' || CAST(event_id AS VARCHAR), NULL, NULL, NULL FROM m
+  UNION ALL SELECT event_id, 'obx[1].obs', 'CE', event_type || '^desc^SYS',
+                   event_type, 'desc', 'SYS' FROM m
+  UNION ALL SELECT event_id, 'obx[2].obs', 'NM', cents, NULL, NULL, NULL FROM m
+) ORDER BY event_id, path
+"""
+
+
+def gold_wide_projection(spark, sf_dir):
+    """T4 MMG-driven wide gold projection + T6 canonical column order
+    (ADFEntryPoints/runHL7GoldPipelineFull.scala:115-156 singles fold,
+    250-256 canonical order) over HL7-shaped content synthesized in-plan:
+    an MMG element list whose names carry spaces, '#', '/' and '-' —
+    exercising the reference's normalize/truncate naming rules
+    (StringUtils.kt:8-22,33-62) — maps profile singles to one column per
+    element via the real gold_wide operator. Output layout is meta column
+    first, payload columns sorted lexically (the hash gate is column-order
+    insensitive, so the ordering itself is pinned by
+    tests/test_hl7.py::test_gold_wide_canonical_order)."""
+    from data_exchange_hl7_spark.operators.profile_transform import gold_wide
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        F.col("event_id").cast("string").alias("message_id"),
+        F.concat(
+            F.lit("MSH|^~\\&|"), F.col("event_type"), F.lit("^sub|fac|f5|f6|"),
+            F.date_format("ts", TS_FMT_SPARK),
+            F.lit("\nPID|1||"), F.col("user_id").cast("string"),
+            F.lit("^^MRN||FAM-"), F.col("event_id").cast("string"), F.lit("^GIV"),
+        ).alias("content"),
+    )
+    profile = {
+        "MSH": {
+            "cardinality": "[0..1]",
+            "fields": [
+                {"name": "sending_app", "field": 3, "component": 1},
+                {"name": "message_ts", "field": 7},
+            ],
+        },
+        "PID": {
+            "cardinality": "[0..1]",
+            "fields": [
+                {"name": "patient_id", "field": 3, "component": 1},
+                {"name": "family_name", "field": 5, "component": 1},
+                {"name": "given_name", "field": 5, "component": 2},
+            ],
+        },
+    }
+    elements = [
+        {"name": "Sending Application", "segment": "MSH", "field_name": "sending_app"},
+        {"name": "Message Date/Time", "segment": "MSH", "field_name": "message_ts"},
+        {"name": "Patient ID #", "segment": "PID", "field_name": "patient_id"},
+        {"name": "Family-Name", "segment": "PID", "field_name": "family_name"},
+        {"name": "Given Name", "segment": "PID", "field_name": "given_name"},
+    ]
+    wide = gold_wide(df, profile, elements)
+    payload = [c for c in wide.columns if c != "message_id"]
+    return wide.select(
+        F.col("message_id").cast("bigint").alias("event_id"), *payload
+    ).orderBy("event_id")
+
+
+ORACLE_GOLD_WIDE = f"""
+SELECT event_id,
+       'FAM-' || CAST(event_id AS VARCHAR) AS family_name,
+       'GIV' AS given_name,
+       STRFTIME(ts, '{TS_FMT_DUCK}') AS message_date_time,
+       CAST(user_id AS VARCHAR) AS patient_id_nbr,
+       event_type AS sending_application
+FROM events ORDER BY event_id
+"""

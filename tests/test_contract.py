@@ -39,22 +39,24 @@ def test_no_duplicate_dict_keys_in_source():
 
 
 def test_window_holds_priority_queries():
-    """Operators that were never externally certified before r3, plus every
-    operator new in r3, must sit inside the 50-entry window."""
+    """Round-4 rotation invariant: queries with no green CORRECTNESS row yet
+    (purge_read; domain_mix_plan whose r3 row was red), queries new in r4,
+    and the r3-touched lake/streaming tail whose only green rows predate the
+    r3 code must all sit inside the 50-entry window."""
     first = list(entrymod.queries())[:WINDOW]
-    never_certified_before_r3 = [
-        "simhash_dup_pairs", "decontamination", "c4_line_dedup",
-        "ivf_train_kmeans", "ivf_topk_trained", "ann_recall_at_k",
-        "pii_scrub", "sequence_packing", "stratified_sample",
-        "corpus_prep_neardup",
+    never_green = ["purge_read", "domain_mix_plan"]
+    new_in_r4 = [
+        "json_lake_flat", "gold_wide_projection",
     ]
-    new_in_r3 = [
-        "errors_by_message", "sql_model_vocab_enriched", "obx_epi_split",
-        "multimodal_extract_features", "simhash_dup_pairs_wide",
-        "secret_scan", "repo_level_neardup", "bpe_pair_counts",
-        "substring_span_dedup", "embedding_cosine_dups_wide",
-        "chunk_minhash_dups", "dataset_split_assign",
-        "minhash_dup_pairs_wide", "corpus_release_report",
+    stale_cert_r3_touched = [
+        "hl7_debatch", "nist_report_counts", "change_data_feed",
+        "rebucket_read", "schema_evolution_read", "time_travel_as_of",
+        "tumbling_window_counts", "sliding_window_counts",
+        "streaming_dedup_batch",
     ]
-    out = [n for n in never_certified_before_r3 + new_in_r3 if n not in first]
+    out = [
+        n
+        for n in never_green + new_in_r4 + stale_cert_r3_touched
+        if n not in first
+    ]
     assert not out, f"priority queries outside the certification window: {out}"

@@ -329,3 +329,51 @@ def test_json_lake_null_backfill_strips_nulls(spark):
     j = out.select("json_lake").collect()[0][0]
     assert "null" not in j  # PID missing entirely, no "pid":null emitted
     assert '"pid"' not in j
+
+
+def test_gold_wide_canonical_order(spark):
+    """T4+T6: gold_wide folds one column per MMG element over the SQL-model
+    singles (runHL7GoldPipelineFull.scala:115-156), names run through the
+    normalize/truncate rules (StringUtils.kt:8-22,33-62), and the layout is
+    canonical — meta key first, payload lexically sorted
+    (runHL7GoldPipelineFull.scala:250-256). The oracle-parity hash gate is
+    column-order insensitive, so this test pins the ordering itself."""
+    from data_exchange_hl7_spark.operators.profile_transform import gold_wide
+
+    df = _df(spark)
+    profile = {
+        "MSH": {
+            "cardinality": "[0..1]",
+            "fields": [
+                {"name": "sending_app", "field": 3, "component": 1},
+                {"name": "message_ts", "field": 7},
+            ],
+        },
+        "PID": {
+            "cardinality": "[0..1]",
+            "fields": [
+                {"name": "patient_id", "field": 3, "component": 1},
+                {"name": "family_name", "field": 5, "component": 1},
+            ],
+        },
+    }
+    elements = [
+        # deliberately NOT alphabetical, with chars the normalizer must fold
+        {"name": "Sending Application", "segment": "MSH", "field_name": "sending_app"},
+        {"name": "Patient ID #", "segment": "PID", "field_name": "patient_id"},
+        {"name": "Family-Name", "segment": "PID", "field_name": "family_name"},
+        {"name": "Message Date/Time", "segment": "MSH", "field_name": "message_ts"},
+    ]
+    wide = gold_wide(df, profile, elements)
+    assert wide.columns == [
+        "message_id",          # meta first
+        "family_name",         # then payload, lexically sorted
+        "message_date_time",   # '/' -> '_'
+        "patient_id_nbr",      # '#' -> '_nbr'
+        "sending_application",
+    ]
+    row = wide.collect()[0]
+    assert row["sending_application"] == "LabApp"
+    assert row["patient_id_nbr"] == "PAT-7"
+    assert row["family_name"] == "Doe"
+    assert row["message_date_time"] == "20240301102030"

@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round: the last two un-oracled SURVEY transforms ----
         "json_lake_flat": q.json_lake_flat,
         "gold_wide_projection": q.gold_wide_projection,
+        "hard_negatives_ivf": qt.hard_negatives_ivf,
+        "hard_negatives_recall": qt.hard_negatives_recall,
+        "length_percentiles_sketch": qt.length_percentiles_sketch,
         # --- r3-touched modules (lake/table.py, engine.py, query wrappers)
         # whose only green rows predate the r3 code — re-certify ----------
         "hl7_debatch": q.hl7_debatch,
@@ -250,6 +253,9 @@ def oracle_sql() -> dict[str, str]:
         "purge_read": q.ORACLE_PURGE_READ,
         "json_lake_flat": q.ORACLE_JSON_LAKE_FLAT,
         "gold_wide_projection": q.ORACLE_GOLD_WIDE,
+        "hard_negatives_ivf": qt.ORACLE_HN_IVF,
+        "hard_negatives_recall": qt.ORACLE_HN_RECALL,
+        "length_percentiles_sketch": qt.ORACLE_PCTL_SKETCH,
         "minhash_dup_pairs_wide": qt.ORACLE_MINHASH_PAIRS_WIDE,
         "corpus_release_report": qt.ORACLE_RELEASE_REPORT,
     }

@@ -1706,7 +1706,7 @@ def _kmeans_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
     )
     return (
         e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "q", "cid", dist.alias("d"))
+        .select(*e.columns, "cid", dist.alias("d"))
         .withColumn(
             "rn",
             F.row_number().over(Window.partitionBy("vec_id").orderBy("d", "cid")),
@@ -2323,6 +2323,113 @@ FROM r GROUP BY source ORDER BY source
 """
 
 
+PCTL_SKETCH_ACC = 100  # deliberately low so the sketch actually approximates
+PCTL_QS = (50, 90, 99)
+
+
+def length_percentiles_sketch(spark, sf_dir):
+    """The SKETCH path behind ``length_percentiles`` — the scale swap for a
+    monster source or a global percentile, where the exact per-source sort
+    stops distributing. Spark's ``percentile_approx`` is a mergeable
+    Greenwald-Khanna sketch: map-side partials, one shuffle keyed by source,
+    rank error <= n/accuracy by construction.
+
+    Sketches are engine-specific (DuckDB's ``approx_quantile`` is a
+    t-digest), so the HASHED output is the engine-independent VERDICT, not
+    the sketch value: each engine checks its own sketch against its own
+    exact rank interval — within_bound = the sketch value's occupied rank
+    range [r_lo+1, r_hi] intersects [target - tol, target + tol] with
+    target = ceil(q*n) (the exact operator's definition) and
+    tol = n/accuracy + 1. A green row therefore certifies BOTH engines'
+    sketch paths hold the advertised error bound on identical data — the
+    same judged-against-exact-baseline pattern as ann_recall_at_k.
+
+    A ``__ALL__`` tier computes the GLOBAL percentiles alongside the
+    per-source ones — the case that motivates the sketch (no per-key sort
+    exists to distribute) and the tier where both engines' sketches are
+    measurably inexact at sf0.01 (Spark GK p99 553 vs exact 538), so the
+    green row certifies a bound on real approximation error, not equality.
+
+    Scale shape: the sketch agg is one shuffle with map-side combine; the
+    verification join broadcasts the tiny per-(source, pctl) sketch frame
+    back over one corpus scan. The union for the __ALL__ tier doubles the
+    scan here for oracle parity; production would merge the per-source GK
+    partials instead (the sketch is mergeable — that is the point of it).
+    The verification is test harness, not the production operator — a
+    consumer takes the sketch agg alone."""
+    base = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    d = base.unionByName(
+        base.select(F.lit("__ALL__").alias("source"), "n_chars")
+    )
+    sk = d.groupBy("source").agg(
+        F.percentile_approx(
+            "n_chars", [q / 100.0 for q in PCTL_QS], PCTL_SKETCH_ACC
+        ).alias("sv"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    m = sk.select(
+        "source",
+        "n_docs",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(q) for q in PCTL_QS]), F.col("sv")
+            )
+        ).alias("pctl", "sketch_val"),
+    )
+    r = (
+        d.join(F.broadcast(m), "source")
+        .groupBy("source", "pctl", "n_docs", "sketch_val")
+        .agg(
+            F.sum((F.col("n_chars") < F.col("sketch_val")).cast("bigint")).alias("r_lo"),
+            F.sum((F.col("n_chars") <= F.col("sketch_val")).cast("bigint")).alias("r_hi"),
+        )
+    )
+    target = F.expr(f"(pctl * n_docs + 99) DIV 100")
+    tol = F.expr(f"n_docs DIV {PCTL_SKETCH_ACC} + 1")
+    return (
+        r.select(
+            "source",
+            F.col("pctl").cast("int").alias("pctl"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            target.cast("bigint").alias("target_rank"),
+            (
+                ((F.col("r_lo") + 1) <= (target + tol))
+                & (F.col("r_hi") >= (target - tol))
+            ).alias("within_bound"),
+        )
+        .orderBy("source", "pctl")
+    )
+
+
+ORACLE_PCTL_SKETCH = f"""
+WITH base AS (
+  SELECT source, n_chars FROM documents
+  UNION ALL SELECT '__ALL__', n_chars FROM documents),
+sk AS (
+  SELECT source, COUNT(*) AS n_docs,
+         approx_quantile(n_chars, 0.50) AS v50,
+         approx_quantile(n_chars, 0.90) AS v90,
+         approx_quantile(n_chars, 0.99) AS v99
+  FROM base GROUP BY source),
+m AS (
+  SELECT source, n_docs, 50 AS pctl, v50 AS sv FROM sk
+  UNION ALL SELECT source, n_docs, 90, v90 FROM sk
+  UNION ALL SELECT source, n_docs, 99, v99 FROM sk),
+r AS (
+  SELECT m.source, m.pctl, m.n_docs,
+         SUM(CASE WHEN d.n_chars <  m.sv THEN 1 ELSE 0 END) AS r_lo,
+         SUM(CASE WHEN d.n_chars <= m.sv THEN 1 ELSE 0 END) AS r_hi
+  FROM m JOIN base d USING (source)
+  GROUP BY m.source, m.pctl, m.n_docs)
+SELECT source, CAST(pctl AS INT) AS pctl, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST((pctl * n_docs + 99) // 100 AS BIGINT) AS target_rank,
+       (r_lo + 1 <= (pctl * n_docs + 99) // 100 + n_docs // {PCTL_SKETCH_ACC} + 1
+        AND r_hi >= (pctl * n_docs + 99) // 100 - n_docs // {PCTL_SKETCH_ACC} - 1)
+         AS within_bound
+FROM r ORDER BY source, pctl
+"""
+
+
 # --------------------- fixed-window chunking (training prep) ---------------
 
 CHUNK_W = 32  # tokens per training window
@@ -2654,6 +2761,76 @@ def hard_negative_mining(spark, sf_dir, k: int = HN_K, n_queries: int = HN_QUERI
     )
 
 
+def hard_negatives_ivf(spark, sf_dir, k: int = HN_K, n_queries: int = HN_QUERIES):
+    """Hard-negative mining AT INDEX SCALE: the label predicate pushed into
+    the trained-IVF cell scan — each anchor probes only its own k-means cell
+    and ranks the different-label vectors inside it. This is the documented
+    10^9-vector swap for ``hard_negative_mining`` (whose broadcast+scan form
+    is the exact baseline): the corpus never shuffles on anything but its
+    cell key, the anchor batch broadcasts, and the different-label filter
+    runs INSIDE the cell join before the window, so per-anchor work is
+    O(cell size), not O(N).
+
+    Same integer milli-grid dot products and vec_id tiebreaks as the ANN
+    family, so DuckDB replays it bit-for-bit. ``hard_negatives_recall``
+    grades this probe against the brute-force baseline per anchor."""
+    e = _quantized(spark, sf_dir)
+    cent = _kmeans_centroids(spark, sf_dir, KMEANS_K, KMEANS_ITERS)
+    cells = _kmeans_assign(e, cent).withColumnRenamed("cid", "cell")
+    anchors = cells.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("q").alias("qv"),
+        "cell",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("dot_milli"), "vec_id")
+    return (
+        F.broadcast(anchors)
+        .join(cells, "cell")
+        .filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("dot_milli", dot)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").cast("int").alias("negative_label"),
+            F.col("cell").cast("int").alias("cell"),
+            "dot_milli",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("anchor_id", "rank")
+    )
+
+
+def hard_negatives_recall(spark, sf_dir):
+    """Recall@k of the IVF-probed hard negatives against the brute-force
+    baseline, per anchor — the tuning metric for how much negative quality
+    the cell restriction costs (same shape as ``ann_recall_at_k``). Exact
+    integer floor-milli recall so the oracle reproduces it bit-for-bit."""
+    bf = hard_negative_mining(spark, sf_dir).select(
+        F.col("anchor_id").alias("aid"), F.col("negative_id").alias("nid")
+    )
+    iv = hard_negatives_ivf(spark, sf_dir).select(
+        F.col("anchor_id").alias("aid"), F.col("negative_id").alias("tv")
+    )
+    return (
+        bf.join(iv, (bf.aid == iv.aid) & (bf.nid == iv.tv), "left")
+        .select(bf.aid.alias("anchor_id"), iv.tv)
+        .groupBy("anchor_id")
+        .agg(
+            F.count("tv").cast("bigint").alias("n_hits"),
+            F.floor(F.count("tv") * 1000.0 / HN_K).cast("bigint").alias("recall_milli"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
 ORACLE_HARD_NEGATIVES = f"""
 WITH a AS (
   SELECT vec_id AS anchor_id, label AS anchor_label,
@@ -2673,6 +2850,48 @@ SELECT anchor_id, vec_id AS negative_id, CAST(label AS INT) AS negative_label,
 FROM d
 QUALIFY rank <= {HN_K}
 ORDER BY anchor_id, rank
+"""
+
+
+ORACLE_HN_IVF = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, q AS c FROM e WHERE vec_id < {KMEANS_K}),
+{_kmeans_iter_sql('c0', 'c1')},
+{_kmeans_iter_sql('c1', 'c2')},
+{_kmeans_iter_sql('c2', 'c3')},
+cells AS (
+  SELECT a.vec_id, a.q, e.label, a.cid AS cell
+  FROM a_c3 a JOIN e USING (vec_id) WHERE a.rn = 1),
+anchors AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, q AS qv, cell
+  FROM cells WHERE vec_id < {HN_QUERIES}),
+d AS (
+  SELECT anchor_id, c.vec_id, c.label, c.cell,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qv)), i -> qv[i] * c.q[i])) AS BIGINT) AS dot_milli
+  FROM anchors a JOIN cells c ON a.cell = c.cell
+  WHERE c.label <> a.anchor_label)
+SELECT anchor_id, vec_id AS negative_id, CAST(label AS INT) AS negative_label,
+       CAST(cell AS INT) AS cell, dot_milli,
+       CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY dot_milli DESC, vec_id) AS INT) AS rank
+FROM d
+QUALIFY rank <= {HN_K}
+ORDER BY anchor_id, rank
+"""
+
+
+ORACLE_HN_RECALL = f"""
+WITH bf AS ({ORACLE_HARD_NEGATIVES}),
+iv AS ({ORACLE_HN_IVF})
+SELECT bf.anchor_id,
+       CAST(COUNT(iv.negative_id) AS BIGINT) AS n_hits,
+       CAST(FLOOR(COUNT(iv.negative_id) * 1000.0 / {HN_K}) AS BIGINT) AS recall_milli
+FROM bf LEFT JOIN iv
+  ON bf.anchor_id = iv.anchor_id AND bf.negative_id = iv.negative_id
+GROUP BY bf.anchor_id
+ORDER BY bf.anchor_id
 """
 
 

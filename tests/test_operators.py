@@ -619,3 +619,33 @@ def test_lsh_hot_bucket_cap_binds(spark):
     capped = qt.minhash_dup_pairs_capped(spark, sf).count()
     uncapped = qt.minhash_dup_pairs(spark, sf).count()
     assert capped < uncapped, (capped, uncapped)
+
+
+# ------------------------------------------- sketch percentile error bound
+
+
+def test_pctl_sketch_bound_holds_and_is_nonvacuous(spark):
+    """length_percentiles_sketch's verdict columns must certify a REAL
+    approximation: (a) every (source, pctl) row — including the global
+    __ALL__ tier — reports within_bound, the GK guarantee rank_err <=
+    n/accuracy; (b) the sketch is actually inexact somewhere at sf0.01
+    (the __ALL__ tier: n=500 >> accuracy' centroids), so the bound check
+    is judged against genuine error, not equality."""
+    from pyspark.sql import functions as F
+
+    from data_exchange_hl7_spark import queries_text as qt
+
+    sf = "/root/testdata/sf0.01"
+    out = qt.length_percentiles_sketch(spark, sf).collect()
+    assert len(out) > 3  # per-source rows plus the 3 __ALL__ rows
+    assert all(r["within_bound"] for r in out)
+
+    # non-vacuity: the global GK sketch differs from the exact order stat
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("n_chars")
+    n = d.count()
+    sk = d.agg(
+        F.percentile_approx("n_chars", [0.5, 0.9, 0.99], qt.PCTL_SKETCH_ACC)
+    ).collect()[0][0]
+    exact_vals = [r[0] for r in d.orderBy("n_chars").collect()]
+    exact = [exact_vals[(q * n + 99) // 100 - 1] for q in qt.PCTL_QS]
+    assert sk != exact, "sketch exactly equals order stats — bound check vacuous"

@@ -487,3 +487,24 @@ def test_lsh_queries_release_persisted_frames(spark):
         assert jsc.getPersistentRDDs().size() == 0, (
             f"{fn.__name__} leaked a persisted frame past release"
         )
+
+
+def test_hard_negatives_ivf_cell_join_shape(spark):
+    """hard_negatives_ivf's scale contract: the label-filtered probe is an
+    equi-join on the k-means cell with the anchor side broadcast — never a
+    cartesian over the corpus (the crossJoin inside centroid ASSIGNMENT is
+    the broadcast-k-centroids argmin, bounded by k). The sketch-percentile
+    verification likewise broadcasts the tiny per-(source,pctl) frame."""
+    from data_exchange_hl7_spark.plans import explain_str
+
+    hn = qt.hard_negatives_ivf(spark, SF)
+    plan = explain_str(hn)
+    assert "CartesianProduct" not in plan
+    assert_broadcast_join(hn, at_least=1)
+    assert_no_python_udf(hn)
+
+    sk = qt.length_percentiles_sketch(spark, SF)
+    plan = explain_str(sk)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert_broadcast_join(sk, at_least=1)
+    assert_no_python_udf(sk)

@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_ivf": qt.hard_negatives_ivf,
         "hard_negatives_recall": qt.hard_negatives_recall,
         "length_percentiles_sketch": qt.length_percentiles_sketch,
+        "semantic_dedup": qt.semantic_dedup,
+        "dsir_importance": qt.dsir_importance,
         # --- r3-touched modules (lake/table.py, engine.py, query wrappers)
         # whose only green rows predate the r3 code — re-certify ----------
         "hl7_debatch": q.hl7_debatch,
@@ -83,7 +85,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_quality_flags": qt.repetition_quality_flags,
         "doc_fingerprint": qt.doc_fingerprint,
         "tfidf_top_terms": qt.tfidf_top_terms,
-        "q1_pricing_summary": q.q1_pricing_summary,
         "q3_shipping_priority": q.q3_shipping_priority,
         "q5_region_revenue": q.q5_region_revenue,
         "case_id_derivation": q.case_id_derivation,
@@ -105,7 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_state_salted": q.latest_state_salted,
         "latest_flag_sequencing": q.latest_flag_sequencing,
         "cdc_latest_state": q.cdc_latest_state,
-        # --- 51+: the 49 r3-green queries, rotated to the tail ------------
+        # --- 51+: q1 (green r1+r2, byte-unchanged — displaced when the two
+        # extra r4 queries overflowed the window) + the 49 r3-greens -------
+        "q1_pricing_summary": q.q1_pricing_summary,
         "simhash_dup_pairs": qt.simhash_dup_pairs,
         "decontamination": qt.decontamination,
         "c4_line_dedup": qt.c4_line_dedup,
@@ -256,6 +259,8 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives_ivf": qt.ORACLE_HN_IVF,
         "hard_negatives_recall": qt.ORACLE_HN_RECALL,
         "length_percentiles_sketch": qt.ORACLE_PCTL_SKETCH,
+        "semantic_dedup": qt.ORACLE_SEMDEDUP,
+        "dsir_importance": qt.ORACLE_DSIR,
         "minhash_dup_pairs_wide": qt.ORACLE_MINHASH_PAIRS_WIDE,
         "corpus_release_report": qt.ORACLE_RELEASE_REPORT,
     }

@@ -37,14 +37,56 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+# localCheckpoint storage is invisible to DataFrame.unpersist (the persisted
+# RDD is the checkpoint's internal one, not the plan cache), so checkpoint
+# sites register the raw JVM RDD ids instead and release_persisted_frames
+# unpersists them by id. Without this, checkpoint RDDs linger until the
+# async ContextCleaner notices the Python reference died — fine eventually,
+# but a long-lived session (or a storage-hygiene assertion) needs eager
+# release.
+_PERSISTED_RDD_IDS: list[tuple] = []  # (SparkContext, rdd_id)
+
+
+def _local_checkpoint_tracked(df: DataFrame, into: list | None = None) -> DataFrame:
+    """localCheckpoint(eager) and record the newly-persisted RDD ids —
+    into ``into`` when the caller manages the lifetime (per-round frames it
+    frees itself), else into the module registry for
+    release_persisted_frames."""
+    sc = df.sparkSession.sparkContext
+    before = {r for r in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint(eager=True)
+    sink = _PERSISTED_RDD_IDS if into is None else into
+    for rid in sc._jsc.getPersistentRDDs().keySet().toArray():
+        if rid not in before:
+            sink.append((sc, rid))
+    return out
+
+
+def _unpersist_rdd_ids(entries) -> int:
+    n = 0
+    for sc, rid in entries:
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            if jmap.containsKey(rid):
+                jmap.get(rid).unpersist(True)
+                n += 1
+        except Exception:
+            pass  # context already stopped — nothing left to release
+    return n
+
+
 def release_persisted_frames() -> int:
-    """Unpersist every tracked frame; returns how many were released.
-    Safe to call at any time — releasing a frame a future job still needs
-    only costs recomputation, never correctness."""
+    """Unpersist every tracked frame and checkpoint RDD; returns how many
+    were released. Safe to call at any time — releasing a frame a future
+    job still needs only costs recomputation, never correctness (tracked
+    checkpoint RDDs are only registered for frames whose consumers have
+    materialized or which remain recomputable)."""
     n = 0
     while _PERSISTED_FRAMES:
         _PERSISTED_FRAMES.pop().unpersist()
         n += 1
+    ids, _PERSISTED_RDD_IDS[:] = list(_PERSISTED_RDD_IDS), []
+    n += _unpersist_rdd_ids(ids)
     return n
 
 
@@ -394,19 +436,28 @@ def _component_labels(pairs: DataFrame, max_iter: int) -> DataFrame:
     pointer jumping; lineage truncated per round with localCheckpoint — each
     round would otherwise EMBED the previous round's full logical plan, and
     after k rounds the driver OOMs just stringifying the tree. (On a
-    cluster, reliable checkpoint() to the checkpoint dir.)"""
-    edges = (
+    cluster, reliable checkpoint() to the checkpoint dir.)
+
+    Storage hygiene: each round's checkpoint RDD is unpersisted as soon as
+    the next round's is materialized (it holds the only live copy for one
+    round, then is dead weight); edges are freed before return, and the
+    RETURNED labels checkpoint — which the caller still has to read — is
+    registered with the module registry so release_persisted_frames() drops
+    it after the query's result materializes."""
+    edge_ids: list = []
+    round_ids: list = []
+    edges = _local_checkpoint_tracked(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
+        ),
+        into=edge_ids,
     )
-    labels = (
+    labels = _local_checkpoint_tracked(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("lab", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("lab", F.col("node")),
+        into=round_ids,
     )
     # Convergence metric: labels are monotonically non-increasing per node
     # (min over neighbors-plus-self, then lab(lab) <= lab), so the global
@@ -429,16 +480,21 @@ def _component_labels(pairs: DataFrame, max_iter: int) -> DataFrame:
         # O(diameter) convergence into O(log n): a chain of near-dups
         # (A~B~C~...~Z) would otherwise need as many rounds as its length.
         lab_of = m.select(F.col("node").alias("lab"), F.col("lab").alias("lab2"))
-        new = (
+        cur_ids: list = []
+        new = _local_checkpoint_tracked(
             m.join(lab_of, "lab", "left")
-            .select("node", F.coalesce("lab2", "lab").alias("lab"))
-            .localCheckpoint(eager=True)
+            .select("node", F.coalesce("lab2", "lab").alias("lab")),
+            into=cur_ids,
         )
         cur_sum = new.agg(F.sum("lab")).collect()[0][0]
+        _unpersist_rdd_ids(round_ids)  # previous round: dead once `new` exists
+        round_ids = cur_ids
         labels = new
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    _unpersist_rdd_ids(edge_ids)
+    _PERSISTED_RDD_IDS.extend(round_ids)  # the returned frame's storage
     return labels
 
 
@@ -2892,6 +2948,210 @@ FROM bf LEFT JOIN iv
   ON bf.anchor_id = iv.anchor_id AND bf.negative_id = iv.negative_id
 GROUP BY bf.anchor_id
 ORDER BY bf.anchor_id
+"""
+
+
+# --------------------------- semantic dedup (SemDeDup) ---------------------
+
+# cos >= 0.30 on the synthetic milli-grid embeddings: 343 within-cell pairs
+# at sf0.01 so the gate is non-vacuous. Real embeddings use ~0.95+ — the
+# threshold is a constant in an integer predicate, the plan is identical.
+SEMDEDUP_THR_E2 = 30
+
+
+def semantic_dedup(spark, sf_dir, thr_e2: int = SEMDEDUP_THR_E2):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic-level dedup
+    over embeddings — k-means cluster the corpus, compare pairs ONLY within
+    a cluster, and drop all but one member of each near-duplicate relation.
+    Keeper rule here is keep-lowest-vec-id (the repo's uniform keep-first
+    convention; the paper's keep-farthest-from-centroid is one ORDER BY
+    swap), with the same exact integer cosine predicate as
+    embedding_cosine_dups: dot > 0 AND dot^2 * 10^4 >= thr^2_e4 * |a|^2 *
+    |b|^2. Emits a per-vector verdict: cell, how many lower-id duplicates
+    shadow it, and the keep flag.
+
+    Scale shape — the reason SemDeDup works at 10^9 vectors: the O(n^2)
+    similarity matrix is replaced by per-cell blocks. Centroid assignment
+    broadcasts k centroids over one corpus scan; the pair join is an
+    equi-join on the trained cell key (cells bound block size the way LSH
+    buckets do for the hash families); the verdict is a count-by-higher-id
+    agg plus one key-aligned left join back. No window, no cartesian.
+    """
+    e = _quantized(spark, sf_dir)
+    cent = _kmeans_centroids(spark, sf_dir, KMEANS_K, KMEANS_ITERS)
+    nrm = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cells = (
+        _kmeans_assign(e, cent)
+        .withColumnRenamed("cid", "cell")
+        .select("vec_id", "cell", "q", nrm.alias("nrm"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    thr_sq = thr_e2 * thr_e2
+    shadowed = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * 10000
+                >= F.lit(thr_sq) * F.col("a.nrm") * F.col("b.nrm")
+            )
+        )
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_lower_dups"))
+    )
+    return (
+        cells.join(shadowed, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce("n_lower_dups", F.lit(0)).cast("bigint").alias("n_lower_dups"),
+            F.col("n_lower_dups").isNull().alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_SEMDEDUP = f"""
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, q AS c FROM e WHERE vec_id < {KMEANS_K}),
+{_kmeans_iter_sql('c0', 'c1')},
+{_kmeans_iter_sql('c1', 'c2')},
+{_kmeans_iter_sql('c2', 'c3')},
+cells AS (
+  SELECT vec_id, q, cid AS cell,
+         CAST(LIST_SUM(LIST_TRANSFORM(q, x -> x * x)) AS BIGINT) AS nrm
+  FROM a_c3 WHERE rn = 1),
+p AS (
+  SELECT b.vec_id AS hi
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.q)), i -> a.q[i] * b.q[i])) AS BIGINT) > 0
+    AND POW(CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.q)), i -> a.q[i] * b.q[i])) AS BIGINT), 2) * 10000
+        >= {SEMDEDUP_THR_E2 * SEMDEDUP_THR_E2} * a.nrm * b.nrm),
+cnt AS (SELECT hi AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_lower_dups FROM p GROUP BY hi)
+SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+       CAST(COALESCE(cnt.n_lower_dups, 0) AS BIGINT) AS n_lower_dups,
+       cnt.vec_id IS NULL AS keep
+FROM cells c LEFT JOIN cnt USING (vec_id)
+ORDER BY c.vec_id
+"""
+
+
+# ----------------- DSIR-style importance resampling (data selection) -------
+
+DSIR_B = 64  # hashed feature buckets — the whole importance model is B rows
+DSIR_TARGET_SOURCE = "src0"  # the high-quality seed domain
+DSIR_KEEP_MILLI = 1000  # keep docs at least as target-like as average
+
+
+def dsir_importance(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how target-like its hashed n-gram feature
+    distribution is, where the target is a small seed domain
+    (``source = 'src0'``). Per hashed token bucket b the importance weight
+    is the integer likelihood ratio w_milli[b] = floor(1000 * p_target(b) /
+    p_raw(b)); a document's score is the floor-average weight of its
+    tokens, and keep = score >= 1000 (more target-like than the corpus
+    mean). All arithmetic is exact bigint on the md5 hash family, so DuckDB
+    replays it bit-for-bit (at sf0.01: scores span 920-1055, 246/500 kept —
+    a real split, not a vacuous gate).
+
+    Scale shape — why DSIR runs at 100 TB: the importance MODEL is B=64
+    rows (one hash-bucket agg over the token stream, map-side combined),
+    broadcast back over a single second scan; the per-doc score is one
+    hash agg keyed by doc_id. No window, no self-join; the target seed
+    never needs to fit anywhere special because it is just a predicate on
+    the same scan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    feats = d.select(
+        "doc_id", "source", F.explode(toks).alias("tok")
+    ).select(
+        "doc_id",
+        "source",
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(DSIR_B),
+        ).alias("b"),
+    )
+    dim = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum((F.col("source") == DSIR_TARGET_SOURCE).cast("bigint")).alias("n_tgt"),
+    )
+    totals = dim.agg(
+        F.sum("n_raw").alias("nr"), F.sum("n_tgt").alias("nt")
+    )
+    w = (
+        dim.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            # bigint DIV, not float division: the products leave double
+            # exactness (2^53) long before 100 TB of tokens
+            F.when(
+                F.col("n_tgt") > 0,
+                F.expr("(n_tgt * nr * 1000) div (n_raw * nt)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("w_milli"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.expr("sum(w_milli) div count(1)").cast("bigint").alias("score_milli"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_milli",
+            (F.col("score_milli") >= DSIR_KEEP_MILLI).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DSIR = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         UNNEST(LIST_FILTER(STR_SPLIT(text, ' '), t -> LEN(t) > 0)) AS tok
+  FROM documents),
+f AS (
+  SELECT doc_id, source,
+         CAST(CONCAT('0x', SUBSTRING(md5(tok), 1, 15)) AS BIGINT) % {DSIR_B} AS b
+  FROM tok),
+dim AS (
+  SELECT b, COUNT(*) AS n_raw,
+         SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS n_tgt
+  FROM f GROUP BY b),
+tot AS (SELECT SUM(n_raw) AS nr, SUM(n_tgt) AS nt FROM dim),
+w AS (
+  SELECT b,
+         CASE WHEN n_tgt > 0 THEN (n_tgt * nr * 1000) // (n_raw * nt)
+              ELSE 0 END AS w_milli
+  FROM dim, tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(w_milli) // COUNT(*) AS BIGINT) AS score_milli,
+       SUM(w_milli) // COUNT(*) >= {DSIR_KEEP_MILLI} AS keep
+FROM f JOIN w USING (b)
+GROUP BY doc_id ORDER BY doc_id
 """
 
 

@@ -46,7 +46,9 @@ def test_window_holds_priority_queries():
     first = list(entrymod.queries())[:WINDOW]
     never_green = ["purge_read", "domain_mix_plan"]
     new_in_r4 = [
-        "json_lake_flat", "gold_wide_projection",
+        "json_lake_flat", "gold_wide_projection", "hard_negatives_ivf",
+        "hard_negatives_recall", "length_percentiles_sketch",
+        "semantic_dedup", "dsir_importance",
     ]
     stale_cert_r3_touched = [
         "hl7_debatch", "nist_report_counts", "change_data_feed",

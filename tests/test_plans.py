@@ -477,6 +477,11 @@ def test_lsh_queries_release_persisted_frames(spark):
         qt.minhash_dup_pairs,
         qt.simhash_dup_pairs,
         qt.embedding_cosine_dups,
+        # checkpoints too: dup_clusters' per-round localCheckpoint RDDs are
+        # freed round-by-round and the returned frame's storage rides the
+        # same registry (localCheckpoint is invisible to DataFrame.unpersist,
+        # so without id-tracking these linger until the async ContextCleaner)
+        qt.dup_clusters,
     ):
         qt.release_persisted_frames()
         spark.catalog.clearCache()
@@ -508,3 +513,21 @@ def test_hard_negatives_ivf_cell_join_shape(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert_broadcast_join(sk, at_least=1)
     assert_no_python_udf(sk)
+
+
+def test_semantic_dedup_and_dsir_scale_shapes(spark):
+    """semantic_dedup's pair join is an equi-join on the trained cell key
+    (never a corpus cartesian); dsir_importance's importance model is a
+    broadcast dim (B=64 rows) over token scans. Both stay JVM-side."""
+    from data_exchange_hl7_spark.plans import explain_str
+
+    sd = qt.semantic_dedup(spark, SF)
+    plan = explain_str(sd)
+    assert "CartesianProduct" not in plan
+    assert_no_python_udf(sd)
+
+    ds = qt.dsir_importance(spark, SF)
+    plan = explain_str(ds)
+    assert "CartesianProduct" not in plan
+    assert_broadcast_join(ds, at_least=1)
+    assert_no_python_udf(ds)

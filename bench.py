@@ -85,6 +85,14 @@ BENCH_QUERIES = [
     "substring_span_dedup",
     "chunk_minhash_dups",
     "corpus_release_report",
+    # round-4 additions: IVF-probed hard negatives, semantic dedup, DSIR
+    # selection, the sketch percentile path, and the two new HL7 transforms
+    "hard_negatives_ivf",
+    "semantic_dedup",
+    "dsir_importance",
+    "length_percentiles_sketch",
+    "json_lake_flat",
+    "gold_wide_projection",
 ]
 
 

@@ -290,7 +290,13 @@ def main() -> None:
         "",
         f"- transform-stage speedup {LEVELS[0]}->{LEVELS[-1]}: **{t_ratio:.2f}x**,"
         f" efficiency **{t_eff:.3f}**" + (" (>= 0.8 ✓)" if t_eff >= 0.8 else ""),
-        f"- end-to-end apply speedup: **{ratio:.2f}x**, efficiency **{eff:.3f}**",
+        f"- end-to-end apply speedup: **{ratio:.2f}x**, efficiency **{eff:.3f}**"
+        " (one-box ceiling is memory bandwidth — control experiment below)",
+        "- load disclosure: per-level min kept across interleaved passes;"
+        " co-tenant loadavg at pass starts was "
+        f"{[r.get('loadavgs') for r in results]} for local{LEVELS} —"
+        " a pass that ran under a heavy neighbor loses the min, so the kept"
+        " numbers compare similarly-loaded windows.",
         f"- determinism: final table state identical at both levels ({lo['rows']} rows —",
         "  the engine's replay-byte-equality property holds under parallelism change).",
         "",

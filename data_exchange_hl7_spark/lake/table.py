@@ -60,6 +60,14 @@ _WIDEN_OK = {("int", "bigint"), ("int", "long"), ("float", "double")}
 # count; larger epochs fall back to AQE's runtime join choice
 _BROADCAST_KEY_LIMIT = 1_000_000
 
+# parquet row-group bloom filters on the key columns: the standard lever for
+# point lookups on hash-bucketed files, where min/max stats are useless (a
+# hash bucket's file spans the whole key range, but a bloom answers "is this
+# exact key here" per row group). expected-NDV sizes the filter for the
+# per-bucket-file key count of a 1M-event epoch at 64 buckets; parquet clamps
+# at parquet.bloom.filter.max.bytes regardless.
+_BLOOM_EXPECTED_NDV = 20_000
+
 
 def _spark_type(name: str) -> T.DataType:
     if name.startswith("map<"):
@@ -431,7 +439,8 @@ class LakeTable:
         """Drop files whose manifest min/max stats prove they cannot contain a
         row matching every predicate. A file with no stats for a predicate's
         column — or a type-incompatible comparison — is always kept (pruning
-        is an optimization, never a filter)."""
+        is an optimization, never a filter). ``in`` keeps a file when ANY of
+        the listed values fits its [min, max] box (the point-lookup shape)."""
         if not where:
             return files
         kept = []
@@ -448,6 +457,7 @@ class LakeTable:
                 try:
                     if (
                         (op == "=" and not (lo <= val <= hi))
+                        or (op == "in" and not any(lo <= v <= hi for v in val))
                         or (op in (">", ">=") and hi < val)
                         or (op == ">" and hi == val)
                         or (op in ("<", "<=") and lo > val)
@@ -520,10 +530,14 @@ class LakeTable:
             ">=": lambda c, v: c >= v,
             "<": lambda c, v: c < v,
             "<=": lambda c, v: c <= v,
+            # isin pushes to the scan as an In filter — the predicate shape
+            # that engages parquet row-group bloom filters on key columns
+            "in": lambda c, v: c.isin(*v),
         }
         e = None
         for col, op, val in where:
-            term = ops[op](F.col(col), F.lit(val))
+            # "in" takes the raw value list (isin lits each element itself)
+            term = ops[op](F.col(col), val if op == "in" else F.lit(val))
             e = term if e is None else (e & term)
         return e
 
@@ -680,6 +694,78 @@ class LakeTable:
         )
         return out.filter(self._where_expr(where)) if where else out
 
+    def lookup(
+        self,
+        keys: list[tuple],
+        as_of: int | str | None = None,
+        with_stats: bool = False,
+    ):
+        """Point lookup: the resolved current row (if any) for each requested
+        key tuple — the processing-status-by-id serving path (the reference
+        serves per-record status queries from its Cosmos containers,
+        pg-api/svc queries by upload/message id; SURVEY.md A4/K5).
+
+        Three pruning levers compose, so cost is independent of table size:
+        1. bucket pruning — each key hashes to exactly one bucket, so only
+           those buckets' files are considered (metadata-only);
+        2. manifest min/max box pruning — after ``compact(sort_cols=keys)``
+           the base files hold disjoint key ranges inside each bucket, and a
+           file whose [min, max] box fits NO requested key is never opened
+           (``in`` predicate in ``_prune``);
+        3. parquet row-group bloom filters — every write enables blooms on
+           the key columns (``_bucketed_writer``), and the pushed In filters
+           below let the scan drop row groups min/max cannot (hash-bucketed
+           DELTA files span the whole key range, so blooms are the only
+           per-file lever for the un-compacted tail).
+        The per-key read amplification is therefore: O(files_per_bucket
+        box-surviving base files) + the delta layers since the last
+        compaction — bounded by the compaction cadence, not by table size.
+
+        Returns the resolved rows (latest per key, tombstones dropped); with
+        ``with_stats=True`` returns ``(df, stats)`` where stats reports the
+        manifest-level file pruning so tests and operators can SEE the skip.
+        """
+        snap = self._load_snapshot(
+            self._resolve_ref(as_of) if as_of is not None else None
+        )
+        key_cols = snap["key_cols"]
+        types = {f["name"]: f["type"] for f in self.schema_fields(snap)}
+        kschema = T.StructType(
+            [T.StructField(c, _spark_type(types[c])) for c in key_cols]
+        )
+        kdf = self.spark.createDataFrame(keys, kschema)
+        # bucket ids for the requested keys: one metadata-sized local job
+        # (evaluates xxhash64 over len(keys) rows, no table scan)
+        brows = kdf.withColumn("__b", self._bucket_expr(snap)).collect()
+        buckets = sorted({r["__b"] for r in brows})
+        where = [
+            (c, "in", sorted({k[i] for k in keys}))
+            for i, c in enumerate(key_cols)
+        ]
+        out = self.snapshot(
+            buckets=buckets, as_of=as_of, where=where, keys_in=kdf
+        )
+        if not with_stats:
+            return out
+        total = read = 0
+        for b, entry in snap["buckets"].items():
+            if int(b) not in buckets:
+                continue
+            total += len(entry["files"])
+            read += len(self._prune(entry["files"], entry.get("stats"), where))
+        for d in snap.get("deltas", []):
+            for b, fs in d["files"].items():
+                if int(b) not in buckets:
+                    continue
+                total += len(fs)
+                read += len(self._prune(fs, d.get("stats"), where))
+        return out, {
+            "buckets_read": len(buckets),
+            "buckets_total": snap["n_buckets"],
+            "files_in_buckets": total,
+            "files_read": read,
+        }
+
     def changes_between(self, from_sid: int, to_sid: int | None = None) -> DataFrame:
         """Change data feed (MoR): every change row committed AFTER snapshot
         ``from_sid`` up to and including ``to_sid`` (default current), with
@@ -744,6 +830,19 @@ class LakeTable:
     def _bucket_expr(self, snap: dict):
         keys = [F.col(c) for c in snap["key_cols"]]
         return F.pmod(F.xxhash64(*keys), F.lit(snap["n_buckets"])).cast("int")
+
+    def _bucketed_writer(self, df: DataFrame, snap: dict):
+        """partitionBy(__bucket) parquet writer with key-column bloom filters
+        enabled — every data/delta file carries per-row-group blooms so the
+        ``lookup`` point-read path can prune row groups that min/max stats
+        cannot (hash-bucketed files span the whole key range)."""
+        w = df.write
+        for c in snap["key_cols"]:
+            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            w = w.option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(_BLOOM_EXPECTED_NDV)
+            )
+        return w.partitionBy("__bucket").mode("overwrite")
 
     def bucket_expr(self):
         """Public storage-bucket expression — upstream stages can pre-partition
@@ -834,12 +933,9 @@ class LakeTable:
         # write the rewritten buckets under a per-snapshot directory
         out_rel = self._staging_rel("s", new_sid)
         out_abs = os.path.join(self.data_dir, out_rel)
-        (
-            new_data.repartition(max(len(changed_buckets), 1), "__bucket")
-            .write.partitionBy("__bucket")
-            .mode("overwrite")
-            .parquet(out_abs)
-        )
+        self._bucketed_writer(
+            new_data.repartition(max(len(changed_buckets), 1), "__bucket"), snap
+        ).parquet(out_abs)
 
         # index the files that were just written, per bucket
         new_buckets = dict(snap["buckets"])
@@ -909,11 +1005,7 @@ class LakeTable:
                 .select(*cur_names, "__op", "__bucket")
                 .repartition(snap["n_buckets"], "__bucket")
             )
-        (
-            to_write.write.partitionBy("__bucket")
-            .mode("overwrite")
-            .parquet(out_abs)
-        )
+        self._bucketed_writer(to_write, snap).parquet(out_abs)
         files: dict[str, list[str]] = {}
         n_rows = 0
         for d in os.listdir(out_abs):
@@ -1081,7 +1173,7 @@ class LakeTable:
             ).sortWithinPartitions("__bucket", *sort_cols)
         else:
             staged = staged.repartition(max(len(dirty), 1), "__bucket")
-        staged.write.partitionBy("__bucket").mode("overwrite").parquet(out_abs)
+        self._bucketed_writer(staged, snap).parquet(out_abs)
         dirty_set = set(dirty)
         buckets = {
             b: e for b, e in snap["buckets"].items() if int(b) not in dirty_set
@@ -1160,7 +1252,7 @@ class LakeTable:
             ).sortWithinPartitions("__bucket", *sort_cols)
         else:
             staged = staged.repartition(new_n_buckets, "__bucket")
-        staged.write.partitionBy("__bucket").mode("overwrite").parquet(out_abs)
+        self._bucketed_writer(staged, snap).parquet(out_abs)
 
         buckets: dict[str, dict] = {}
         for d in os.listdir(out_abs):

@@ -620,3 +620,55 @@ def test_update_where_redacts_in_place(spark, tmp_path):
     assert rows == {"a": "<REDACTED>", "b": "ok"}
     assert not t.update_where("v = 'secret'", {"v": "'<REDACTED>'"}, epoch=1)["applied"]
     assert {x["k"]: x["v"] for x in t.snapshot(as_of=pre_sid).collect()}["a"] == "secret"
+
+
+def test_lookup_point_read_prunes_and_stays_correct(spark, tmp_path):
+    """lookup(): the processing-status-by-id serving path. Correctness —
+    latest row per requested key, tombstones honored, misses absent — plus
+    the three pruning levers: bucket pruning (only the keys' buckets'
+    files are considered), manifest box pruning on the sorted-compacted
+    base (files_read < files_in_buckets), and pushed In filters on the key
+    columns reaching the parquet scan (the shape that engages the
+    row-group blooms _bucketed_writer enables on every data/delta file)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "pl"),
+        [("repo", "string"), ("path", "string"), ("v", "string"), ("lsn", "bigint")],
+        ["repo", "path"], n_buckets=4, mode="mor", order_col="lsn",
+    )
+
+    def ch(rows):
+        return spark.createDataFrame(
+            rows, "repo string, path string, v string, lsn long, __op string"
+        )
+
+    n = 200
+    t.merge(ch([(f"r{i % 20}", f"p{i}", f"v{i}", i, "U") for i in range(n)]), epoch=0)
+    # sorted compaction: base files get disjoint (repo, path) ranges
+    t.compact(sort_cols=["repo", "path"], files_per_bucket=4)
+    # post-compaction tail: an update, a tombstone, and fresh keys
+    t.merge(
+        ch([("r1", "p1", "v1b", 1000, "U"), ("r2", "p2", None, 1001, "D"),
+            ("r3", "pX", "new", 1002, "U")]),
+        epoch=1,
+    )
+
+    out, st = t.lookup(
+        [("r1", "p1"), ("r2", "p2"), ("r3", "pX"), ("r9", "nope")],
+        with_stats=True,
+    )
+    rows = {(r["repo"], r["path"]): r["v"] for r in out.collect()}
+    assert rows == {("r1", "p1"): "v1b", ("r3", "pX"): "new"}  # D + miss absent
+
+    assert st["buckets_read"] < st["buckets_total"]
+    # box pruning on the sorted base: most of the 4 files/bucket miss the keys
+    assert st["files_read"] < st["files_in_buckets"]
+
+    # the In predicates on the key columns must reach the parquet scan
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "In(repo" in plan
+
+    # time-travel lookup: before the tombstone epoch, r2/p2 was alive
+    pre = t.lookup([("r2", "p2")], as_of=t.current_snapshot()["parent"])
+    assert [r["v"] for r in pre.collect()] == ["v2"]

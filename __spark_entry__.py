@@ -16,15 +16,29 @@ plan written at the end of r3):
      r3 code (hl7_debatch, nist_report_counts, change_data_feed,
      rebucket_read, schema_evolution_read, time_travel_as_of,
      tumbling/sliding_window_counts, streaming_dedup_batch),
-  4. the rest of the last-green-in-r2 cohort — the WHOLE cohort fits the
-     remaining window, so after this round no query's newest green row is
-     older than one round,
-  5. tail (51+): the 49 r3-green queries.
+  4. queries whose implementing modules changed DURING r4 after their r3
+     green rows (lake/table.py lookup + bloom writer + 'in' pruning;
+     engine.py rebuild_derived; the checkpoint-id tracking in
+     _component_labels): filtered_snapshot_read, derived_file_stats,
+     aggregate_repo_stats, incremental_minhash_index, index_dup_candidates,
+     dup_clusters, minhash_dup_pairs,
+  5. the last-green-in-r2 cohort, except seven whose green r2 rows remain
+     valid because their wrapper bodies are byte-unchanged since (q3, q5,
+     token_stats, lang_id_heuristic, doc_fingerprint, quality_score,
+     repetition_quality_flags — rotated to the tail to make room for 4),
+  6. tail (51+): r3-green queries + the seven above.
 
-ROUND-5 ROTATION PLAN (written during r4): rotate INTO the window any
-query added or module-touched during r4, then the r3-green tail cohort
-(oldest green row first); everything green in CORRECTNESS_r04 becomes
-rotatable to the tail. COVERAGE.md carries the per-query last-green ledger.
+ROUND-5 ROTATION PLAN (written during r4): rotate INTO the window first
+any never-green or red query from CORRECTNESS_r04, then queries added or
+module-touched during r5, then the remaining LSH family whose persist
+registry changed in late r3/r4 but whose r3 greens predate it
+(simhash_dup_pairs, simhash_dup_pairs_wide, embedding_cosine_dups[_wide],
+minhash_dup_pairs_capped, minhash_dup_pairs_wide, chunk_minhash_dups,
+repo_level_neardup, corpus_prep_neardup, corpus_release_report), then the
+oldest-green tail. NOTE: tests/test_oracle_parity.py replicates the gate
+for ALL queries at sf0.01 in every pytest run, so tail queries are never
+unchecked — only externally un-refreshed. COVERAGE.md carries the
+per-query last-green ledger (python ledger.py).
 """
 
 from __future__ import annotations
@@ -71,6 +85,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_counts": q.tumbling_window_counts,
         "sliding_window_counts": q.sliding_window_counts,
         "streaming_dedup_batch": q.streaming_dedup_batch,
+        # --- r4-touched modules (lake/table.py: lookup + bloom writer +
+        # 'in' pruning; engine.py: rebuild_derived; queries_text.py:
+        # checkpoint-id tracking in _component_labels / persist registry)
+        # whose r3 green rows predate the r4 code — re-certify ------------
+        "filtered_snapshot_read": q.filtered_snapshot_read,
+        "derived_file_stats": q.derived_file_stats,
+        "aggregate_repo_stats": q.aggregate_repo_stats,
+        "incremental_minhash_index": q.incremental_minhash_index,
+        "index_dup_candidates": q.index_dup_candidates,
+        "dup_clusters": qt.dup_clusters,
+        "minhash_dup_pairs": qt.minhash_dup_pairs,
         # --- rest of the last-green-in-r2 cohort: rotate the WHOLE cohort
         # through the window so no query's newest green row ages past one
         # round ------------------------------------------------------------
@@ -79,14 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_range_join": q.interval_range_join,
         "minhash_signatures": qt.minhash_signatures,
         "ngram_jaccard_pairs": qt.ngram_jaccard_pairs,
-        "token_stats": qt.token_stats,
-        "lang_id_heuristic": qt.lang_id_heuristic,
-        "quality_score": qt.quality_score,
-        "repetition_quality_flags": qt.repetition_quality_flags,
-        "doc_fingerprint": qt.doc_fingerprint,
         "tfidf_top_terms": qt.tfidf_top_terms,
-        "q3_shipping_priority": q.q3_shipping_priority,
-        "q5_region_revenue": q.q5_region_revenue,
         "case_id_derivation": q.case_id_derivation,
         "error_summary": q.error_summary,
         "errors_by_category": q.errors_by_category,
@@ -109,6 +127,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 51+: q1 (green r1+r2, byte-unchanged — displaced when the two
         # extra r4 queries overflowed the window) + the 49 r3-greens -------
         "q1_pricing_summary": q.q1_pricing_summary,
+        "q3_shipping_priority": q.q3_shipping_priority,
+        "q5_region_revenue": q.q5_region_revenue,
+        "token_stats": qt.token_stats,
+        "lang_id_heuristic": qt.lang_id_heuristic,
+        "doc_fingerprint": qt.doc_fingerprint,
+        "quality_score": qt.quality_score,
+        "repetition_quality_flags": qt.repetition_quality_flags,
         "simhash_dup_pairs": qt.simhash_dup_pairs,
         "decontamination": qt.decontamination,
         "c4_line_dedup": qt.c4_line_dedup,
@@ -131,15 +156,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "obx_epi_split": q.obx_epi_split,
         "multimodal_extract_features": qt.multimodal_extract_features,
         "simhash_dup_pairs_wide": qt.simhash_dup_pairs_wide,
-        "derived_file_stats": q.derived_file_stats,
         "length_percentiles": qt.length_percentiles,
-        "aggregate_repo_stats": q.aggregate_repo_stats,
         "minhash_dup_pairs_capped": qt.minhash_dup_pairs_capped,
         "fixed_chunking": qt.fixed_chunking,
         "code_quality_flags": qt.code_quality_flags,
         "rare_token_filter": qt.rare_token_filter,
-        "incremental_minhash_index": q.incremental_minhash_index,
-        "index_dup_candidates": q.index_dup_candidates,
         "hard_negative_mining": qt.hard_negative_mining,
         "secret_scan": qt.secret_scan,
         "repo_level_neardup": qt.repo_level_neardup,
@@ -155,9 +176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_model_child": q.sql_model_child,
         "hl7_segments": q.hl7_segments,
         "nearest_preceding_anchor": q.nearest_preceding_anchor,
-        "filtered_snapshot_read": q.filtered_snapshot_read,
-        "minhash_dup_pairs": qt.minhash_dup_pairs,
-        "dup_clusters": qt.dup_clusters,
     }
 
 

@@ -56,9 +56,17 @@ def test_window_holds_priority_queries():
         "tumbling_window_counts", "sliding_window_counts",
         "streaming_dedup_batch",
     ]
+    # modules changed DURING r4 after their r3 green rows (lake/table.py
+    # lookup+blooms, engine.py rebuild_derived, _component_labels tracking)
+    stale_cert_r4_touched = [
+        "filtered_snapshot_read", "derived_file_stats",
+        "aggregate_repo_stats", "incremental_minhash_index",
+        "index_dup_candidates", "dup_clusters", "minhash_dup_pairs",
+    ]
     out = [
         n
         for n in never_green + new_in_r4 + stale_cert_r3_touched
+        + stale_cert_r4_touched
         if n not in first
     ]
     assert not out, f"priority queries outside the certification window: {out}"

@@ -22,11 +22,12 @@ plan written at the end of r3):
      _component_labels): filtered_snapshot_read, derived_file_stats,
      aggregate_repo_stats, incremental_minhash_index, index_dup_candidates,
      dup_clusters, minhash_dup_pairs,
-  5. the last-green-in-r2 cohort, except seven whose green r2 rows remain
+  5. the last-green-in-r2 cohort, except eight whose green r2 rows remain
      valid because their wrapper bodies are byte-unchanged since (q3, q5,
-     token_stats, lang_id_heuristic, doc_fingerprint, quality_score,
-     repetition_quality_flags — rotated to the tail to make room for 4),
-  6. tail (51+): r3-green queries + the seven above.
+     errors_by_path, token_stats, lang_id_heuristic, doc_fingerprint,
+     quality_score, repetition_quality_flags — rotated to the tail to make
+     room for the groups above),
+  6. tail (51+): r3-green queries + the eight above (q1 likewise).
 
 ROUND-5 ROTATION PLAN (written during r4): rotate INTO the window first
 any never-green or red query from CORRECTNESS_r04, then queries added or
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles_sketch": qt.length_percentiles_sketch,
         "semantic_dedup": qt.semantic_dedup,
         "dsir_importance": qt.dsir_importance,
+        "dup_clusters_incremental": qt.dup_clusters_incremental,
         # --- r3-touched modules (lake/table.py, engine.py, query wrappers)
         # whose only green rows predate the r3 code — re-certify ----------
         "hl7_debatch": q.hl7_debatch,
@@ -108,7 +110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_id_derivation": q.case_id_derivation,
         "error_summary": q.error_summary,
         "errors_by_category": q.errors_by_category,
-        "errors_by_path": q.errors_by_path,
         "receiver_file_report": q.receiver_file_report,
         "branch_router": q.branch_router,
         "distinct_profiles": q.distinct_profiles,
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q.q1_pricing_summary,
         "q3_shipping_priority": q.q3_shipping_priority,
         "q5_region_revenue": q.q5_region_revenue,
+        "errors_by_path": q.errors_by_path,
         "token_stats": qt.token_stats,
         "lang_id_heuristic": qt.lang_id_heuristic,
         "doc_fingerprint": qt.doc_fingerprint,
@@ -279,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "length_percentiles_sketch": qt.ORACLE_PCTL_SKETCH,
         "semantic_dedup": qt.ORACLE_SEMDEDUP,
         "dsir_importance": qt.ORACLE_DSIR,
+        "dup_clusters_incremental": qt.ORACLE_DUP_CLUSTERS_INCREMENTAL,
         "minhash_dup_pairs_wide": qt.ORACLE_MINHASH_PAIRS_WIDE,
         "corpus_release_report": qt.ORACLE_RELEASE_REPORT,
     }

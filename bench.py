@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "length_percentiles_sketch",
     "json_lake_flat",
     "gold_wide_projection",
+    "dup_clusters_incremental",
 ]
 
 

@@ -562,6 +562,58 @@ ORDER BY doc_id
 """
 
 
+def dup_clusters_incremental(spark, sf_dir, n_bands: int = N_BANDS, max_iter: int = 15):
+    """INCREMENTAL near-dup clustering: maintain connected-component labels
+    as the corpus grows, without re-clustering the whole pair graph — the
+    cluster-level companion to the epoch-maintained MinHash index
+    (incremental_minhash_index / index_dup_candidates).
+
+    The invariant that makes CC incrementally maintainable: a component's
+    standing labels are a lossless summary of its connectivity, so
+    CC(old-label edges ∪ new pairs) == CC(all pairs). Stage 1 clusters the
+    "old epoch" (even doc_ids) alone; stage 2 seeds the propagation with
+    the stage-1 (node -> label) edges plus only the pairs that touch a new
+    (odd) doc. Certified by the BATCH oracle verbatim — a green row proves
+    the incremental recurrence lands the exact batch labels, the property
+    a per-epoch deployment relies on.
+
+    Scale shape per epoch: the label table is one row per clustered doc
+    (merge-maintained like any derived table); new-pair discovery is the
+    certified index path (broadcast delta vs standing band index); the
+    propagation runs over |touched labels| + |new pairs| edges, O(changes)
+    like every other epoch cost — never over the full historical pair
+    graph. Both stages here share one plan so one oracle certifies the
+    recurrence end-to-end."""
+    d = _with_synth_dups(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    pairs = _lsh_pairs(d, n_bands)
+    even = lambda c: F.col(c) % 2 == 0
+    old_pairs = pairs.filter(even("doc_a") & even("doc_b"))
+    new_pairs = pairs.filter(~(even("doc_a") & even("doc_b")))
+    old_labels = _component_labels(old_pairs, max_iter)
+    # standing labels as edges: lab <= node by construction; lab == node
+    # (the canonical member) is covered by every other member's edge to it
+    seed = old_labels.filter(F.col("lab") != F.col("node")).select(
+        F.col("lab").alias("doc_a"), F.col("node").alias("doc_b")
+    )
+    labels = _component_labels(seed.unionByName(new_pairs), max_iter)
+    sizes = labels.groupBy("lab").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "lab")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("lab").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("lab")).cast("int").alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# the batch oracle verbatim: the incremental recurrence must land the exact
+# batch labels (that equality IS the maintained invariant)
+ORACLE_DUP_CLUSTERS_INCREMENTAL = ORACLE_DUP_CLUSTERS
+
+
 # document-frequency cap for Jaccard shingles: a shingle appearing in more
 # than MAX_SHINGLE_DF docs of one source is dropped BEFORE the self-join
 # (standard DF pruning, as in CCNet-style dedup). Without it one hot shingle

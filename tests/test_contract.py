@@ -48,7 +48,7 @@ def test_window_holds_priority_queries():
     new_in_r4 = [
         "json_lake_flat", "gold_wide_projection", "hard_negatives_ivf",
         "hard_negatives_recall", "length_percentiles_sketch",
-        "semantic_dedup", "dsir_importance",
+        "semantic_dedup", "dsir_importance", "dup_clusters_incremental",
     ]
     stale_cert_r3_touched = [
         "hl7_debatch", "nist_report_counts", "change_data_feed",

@@ -135,11 +135,53 @@ def profile_column(content, profile: dict) -> Column:
     return F.struct(*members)
 
 
+def _attach_parsed(
+    df: DataFrame, profile: dict, content_col: str, out_col: str
+) -> DataFrame:
+    """``profile_column`` with the projection-CSE discipline (BENCH.md):
+    higher-order-function expressions are excluded from codegen
+    subexpression elimination, so the single-expression struct re-splits
+    ``content`` and re-filters the line array once PER FIELD (~5x wall on
+    the 100k-message json-lake flatten). Bind the line array and each
+    segment's line (or line array) in their OWN projections — a
+    multiply-referenced non-cheap alias survives CollapseProject — then
+    build the struct from the bound columns: content splits once, each
+    segment filters once, fields extract from an already-materialized
+    string."""
+    df = df.withColumn("__hl7_lines", F.split(F.col(content_col), "\r?\n"))
+    tmp = ["__hl7_lines"]
+    members = []
+
+    # single-parameter lambda factories: pyspark's higher-order functions
+    # infer arity from the Python signature, so defaulted captures would be
+    # bound to the (element, index) Columns
+    def _pred(seg):
+        return lambda x: x.startswith(seg + "|") | (F.trim(x) == seg)
+
+    def _mk(seg, fields):
+        return lambda line: _seg_struct(line, seg, fields)
+
+    for seg, spec in profile.items():
+        segs = F.filter(F.col("__hl7_lines"), _pred(seg))
+        if spec.get("cardinality", "[0..1]") == "[0..*]":
+            c = f"__segs_{seg}"
+            df = df.withColumn(c, segs)
+            col = F.transform(F.col(c), _mk(seg, spec["fields"]))
+        else:
+            c = f"__seg_{seg}"
+            df = df.withColumn(c, F.try_element_at(segs, F.lit(1)))
+            line = F.col(c)
+            col = F.when(line.isNotNull(), _seg_struct(line, seg, spec["fields"]))
+        tmp.append(c)
+        members.append(col.alias(seg.lower()))
+    return df.withColumn(out_col, F.struct(*members)).drop(*tmp)
+
+
 def to_json_lake(df: DataFrame, profile: dict, content_col: str = "content") -> DataFrame:
     """T1 json-lake stage: add the parsed struct + its JSON rendering, drop
     raw content (fn-hl7-json-lake Function.kt:169 removes content after
     transform)."""
-    out = df.withColumn("parsed", profile_column(content_col, profile))
+    out = _attach_parsed(df, profile, content_col, "parsed")
     return out.withColumn("json_lake", F.to_json("parsed")).drop(content_col)
 
 
@@ -205,7 +247,7 @@ def to_sql_model(
     """
     from data_exchange_hl7_spark.functions.scalars import deterministic_key
 
-    parsed_df = df.withColumn("__parsed", profile_column(content_col, profile))
+    parsed_df = _attach_parsed(df, profile, content_col, "__parsed")
     singles_sel = [F.col(parent_key_col)]
     tables: dict[str, DataFrame] = {}
     for seg, spec in profile.items():

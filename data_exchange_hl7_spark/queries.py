@@ -33,6 +33,17 @@ def _cents(col) -> F.Column:
     return F.round(col * 100).cast("bigint")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a small scan out to the session's cores before CPU-dense
+    expression work. The sf-scale parquet inputs arrive as ONE split (file
+    << spark.sql.files.maxPartitionBytes), so every downstream narrow stage
+    would otherwise run in a single task; at production scale the scan has
+    file/split parallelism and this exchange moves only the small
+    pre-synthesis table (a few MB), not the expanded content."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
@@ -228,7 +239,7 @@ def latest_state_salted(spark, sf_dir):
 def case_id_derivation(spark, sf_dir):
     """A2 case-id derivation: concat_ws('~~', ...)
     (fn_validate_hl7.scala:57-72)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     return (
         ev.select(
             "event_id",
@@ -249,7 +260,7 @@ FROM events ORDER BY event_id
 def dup_detection(spark, sf_dir):
     """A6 duplicate detection: groupBy(key).count().filter(>=2)
     (MmgValidator.kt:128 sub-id uniqueness)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     return (
         ev.groupBy("user_id", "event_type")
         .agg(F.count("*").alias("n"))
@@ -303,7 +314,7 @@ def errors_by_path(spark, sf_dir):
     at (ValidationController.kt:415-416 groups report entries byPath /
     byMessage with groupingBy{}.eachCount(); the path here is the T9
     json-path get over the event props)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     return (
         ev.filter(F.col("event_type") == "error")
         .groupBy(F.get_json_object("props", "$.k").alias("path"))
@@ -328,7 +339,7 @@ def errors_by_message(spark, sf_dir):
     from data_exchange_hl7_spark.operators import validate as V
     from data_exchange_hl7_spark.operators.sinks import errors_by_message as by_msg
 
-    return by_msg(V.validate(_nist_frame(_t(spark, sf_dir, "events"))))
+    return by_msg(V.validate(_nist_frame(_spread(_t(spark, sf_dir, "events")))))
 
 
 # entry census of _nist_frame, per event: missing commit (structure) +
@@ -371,7 +382,7 @@ FROM documents GROUP BY source ORDER BY source
 
 def branch_router(spark, sf_dir):
     """K2 ok/err branch counts (fn-sc-branch Function.kt:35-69)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     return (
         ev.withColumn(
             "route", F.when(F.col("event_type") == "error", "ERR").otherwise("OK")
@@ -468,7 +479,7 @@ def nearest_preceding_anchor(spark, sf_dir):
     """J4/T3 as-of semantics: each event joined to the nearest PRECEDING
     'signup' of the same user (OBX -> nearest preceding OBR,
     fn_hl7_to_obxs_and_segm.scala:26-34) via last(ignorenulls) window."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -606,7 +617,7 @@ def vocab_validation(spark, sf_dir):
     from data_exchange_hl7_spark.operators import validate as V
     from data_exchange_hl7_spark.operators.vocab import VocabCheck, check_vocab, vocab_table
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     vocab = vocab_table(
         spark, [("EVENT_TYPE", t, t.upper()) for t in EVENT_TYPE_VOCAB]
     )
@@ -684,7 +695,7 @@ def nist_report_counts(spark, sf_dir):
     struct (NistReport.kt:33-55) and status from the precedence rule."""
     from data_exchange_hl7_spark.operators import validate as V
 
-    out = V.validate(_nist_frame(_t(spark, sf_dir, "events")))
+    out = V.validate(_nist_frame(_spread(_t(spark, sf_dir, "events"))))
     return out.select(
         "event_id",
         "status",
@@ -709,7 +720,7 @@ def profile_resolution(spark, sf_dir):
         resolve_profile,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     df = ev.select(
         "event_id",
         F.concat(
@@ -777,7 +788,7 @@ def embedded_binary_strip(spark, sf_dir):
     message + payload columns with string ops."""
     from data_exchange_hl7_spark.operators.normalize import strip_embedded_binary
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     payload = F.base64(F.col("event_type").cast("binary"))
     df = ev.select(
         F.col("event_id").cast("string").alias("message_id"),
@@ -830,7 +841,7 @@ def sql_model_child(spark, sf_dir):
     operator; the oracle rebuilds the child rows with UNNEST."""
     from data_exchange_hl7_spark.operators.profile_transform import to_sql_model
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     cents = _cents(F.col("value")).cast("string")
     df = ev.select(
         F.col("event_id").cast("string").alias("message_id"),
@@ -888,7 +899,7 @@ def sql_model_vocab_enriched(spark, sf_dir):
     from data_exchange_hl7_spark.operators.profile_transform import to_sql_model
     from data_exchange_hl7_spark.operators.vocab import enrich_coded, vocab_table
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     df = ev.select(
         F.col("event_id").cast("string").alias("message_id"),
         F.concat(
@@ -955,7 +966,7 @@ def obx_epi_split(spark, sf_dir):
         split_obx_epi,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     first_code = (
         F.when(F.col("event_type") == "error", F.lit("11111-1"))
         .otherwise(F.lit("68991-9"))
@@ -1022,7 +1033,7 @@ def hl7_debatch(spark, sf_dir):
     content-hash identities. The oracle reconstructs each output row."""
     from data_exchange_hl7_spark.operators.debatch import debatch
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     df = ev.select(
         F.col("event_id").cast("string").alias("file_id"),
         F.concat(
@@ -1072,7 +1083,7 @@ def hl7_segments(spark, sf_dir):
     type running counter, 'OBX[2]' ids), not the token analogue."""
     from data_exchange_hl7_spark.operators.profile_transform import segment_lake
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     cents = _cents(F.col("value")).cast("string")
     df = ev.select(
         F.col("event_id").cast("string").alias("message_id"),
@@ -1119,7 +1130,7 @@ def redaction(spark, sf_dir):
     per-rule report."""
     from data_exchange_hl7_spark.operators.normalize import redact
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     raw = F.when(
         F.col("user_id") % 2 == 0,
         F.concat(F.lit("mail "), F.col("event_type"), F.lit("@example.com ok")),
@@ -1174,7 +1185,7 @@ def mmg_content_validation(spark, sf_dir):
         check_subid_uniqueness,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     u = F.col("user_id")
     date = F.when(u % 5 == 0, F.lit("99999999")).otherwise(
         F.date_format("ts", "yyyyMMdd")
@@ -2280,7 +2291,7 @@ def json_lake_flat(spark, sf_dir):
     flatten is an inline array explode — narrow, single scan, no shuffle."""
     from data_exchange_hl7_spark.operators.profile_transform import to_json_lake
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     cents = _cents(F.col("value")).cast("string")
     df = ev.select(
         F.col("event_id").cast("string").alias("message_id"),
@@ -2399,7 +2410,7 @@ def gold_wide_projection(spark, sf_dir):
     tests/test_hl7.py::test_gold_wide_canonical_order)."""
     from data_exchange_hl7_spark.operators.profile_transform import gold_wide
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     df = ev.select(
         F.col("event_id").cast("string").alias("message_id"),
         F.concat(

@@ -36,7 +36,16 @@ registry changed in late r3/r4 but whose r3 greens predate it
 (simhash_dup_pairs, simhash_dup_pairs_wide, embedding_cosine_dups[_wide],
 minhash_dup_pairs_capped, minhash_dup_pairs_wide, chunk_minhash_dups,
 repo_level_neardup, corpus_prep_neardup, corpus_release_report), then the
-oldest-green tail. NOTE: tests/test_oracle_parity.py replicates the gate
+oldest-green tail. NOTE (late r4): the single-split fan-out (`_spread` /
+the `_t` round-robin repartition) touched EVERY wrapper in queries.py and
+queries_text.py after the r4 gate ran, so by the byte-unchanged rule all
+tail greens are stale; the change is plan-level only (no expression
+changed) and the full oracle-parity suite re-verified all 104 queries at
+sf0.01 the same session, but r5 should still prefer rotating the heavy
+LSH family plus a sample of the spread-touched wrappers. The three
+late-r4 code-corpus queries (license_detect, import_graph,
+normalized_clone_dedup) sit inside the r4 window, displacing the A1
+dedup family to 51+. NOTE: tests/test_oracle_parity.py replicates the gate
 for ALL queries at sf0.01 in every pytest run, so tail queries are never
 unchecked — only externally un-refreshed. COVERAGE.md carries the
 per-query last-green ledger (python ledger.py).
@@ -76,6 +85,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": qt.semantic_dedup,
         "dsir_importance": qt.dsir_importance,
         "dup_clusters_incremental": qt.dup_clusters_incremental,
+        "license_detect": qt.license_detect,
+        "import_graph": qt.import_graph,
+        "normalized_clone_dedup": qt.normalized_clone_dedup,
         # --- r3-touched modules (lake/table.py, engine.py, query wrappers)
         # whose only green rows predate the r3 code — re-certify ----------
         "hl7_debatch": q.hl7_debatch,
@@ -122,11 +134,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redaction": q.redaction,
         "mmg_content_validation": q.mmg_content_validation,
         "dup_detection": q.dup_detection,
+        # --- 51+: the A1 dedup family (latest_state_salted /
+        # latest_flag_sequencing / cdc_latest_state, green r1+r2, dedup.py
+        # byte-unchanged since; cdc_latest_state is also exercised by
+        # entry() every driver smoke run) + q1 — displaced when the late-r4
+        # queries (license_detect, import_graph, normalized_clone_dedup)
+        # overflowed the window — then the 49 r3-greens -------------------
         "latest_state_salted": q.latest_state_salted,
         "latest_flag_sequencing": q.latest_flag_sequencing,
         "cdc_latest_state": q.cdc_latest_state,
-        # --- 51+: q1 (green r1+r2, byte-unchanged — displaced when the two
-        # extra r4 queries overflowed the window) + the 49 r3-greens -------
         "q1_pricing_summary": q.q1_pricing_summary,
         "q3_shipping_priority": q.q3_shipping_priority,
         "q5_region_revenue": q.q5_region_revenue,
@@ -273,6 +289,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_dups_wide": qt.ORACLE_COSINE_DUPS_WIDE,
         "chunk_minhash_dups": qt.ORACLE_CHUNK_MINHASH,
         "dataset_split_assign": qt.ORACLE_SPLIT_ASSIGN,
+        "license_detect": qt.ORACLE_LICENSE,
+        "import_graph": qt.ORACLE_IMPORT_GRAPH,
+        "normalized_clone_dedup": qt.ORACLE_NORM_CLONES,
         "purge_read": q.ORACLE_PURGE_READ,
         "json_lake_flat": q.ORACLE_JSON_LAKE_FLAT,
         "gold_wide_projection": q.ORACLE_GOLD_WIDE,

@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "json_lake_flat",
     "gold_wide_projection",
     "dup_clusters_incremental",
+    "license_detect",
+    "import_graph",
+    "normalized_clone_dedup",
 ]
 
 

@@ -19,7 +19,15 @@ STOPWORDS = ["the", "and", "of", "a", "to", "in", "is", "it"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Test-scale table loader. The sf parquet inputs are single-split files
+    (<< spark.sql.files.maxPartitionBytes), so without the round-robin
+    fan-out every narrow stage (shingling, MinHash, regex scans) would run
+    in ONE task; at production scale the scan has file/split parallelism
+    and the exchange moves only the small raw table, never the expanded
+    shingle/token rows. Round-robin, not hash: no skew, and the narrow-plan
+    tests (no `Exchange hashpartitioning`) still hold."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # Cached band/bucket frames, tracked so long-lived sessions can release them.
@@ -3938,4 +3946,319 @@ SELECT source, split,
 FROM docs LEFT JOIN dup USING (doc_id)
 GROUP BY source, split
 ORDER BY source, split
+"""
+
+
+# ==================== license detection (The Stack-style) ==================
+#
+# Public pipelines for code corpora (The Stack / StarCoder data prep) gate
+# on detected license before anything else: an SPDX tag wins outright, else
+# characteristic phrases are matched over the punctuation-normalized file
+# head, and only permissively-licensed files are kept for training.
+
+LICENSE_HEAD_CHARS = 400
+# (license id, phrase as it appears AFTER [^a-zA-Z0-9]+ -> ' ' normalization)
+LICENSE_PHRASES = [
+    ("MIT", "permission is hereby granted free of charge"),
+    ("Apache-2.0", "licensed under the apache license version 2 0"),
+    ("BSD-3-Clause", "redistribution and use in source and binary forms"),
+    ("GPL-3.0-only", "gnu general public license"),
+]
+LICENSE_PERMISSIVE = ["MIT", "Apache-2.0", "BSD-3-Clause", "BSD-2-Clause"]
+SPDX_RE = r"SPDX-License-Identifier: ([A-Za-z0-9.\-]+)"
+
+
+def license_detect(spark, sf_dir):
+    """License detection + permissive keep gate for a source-code corpus
+    (the first filter of The Stack's public pipeline; reference analogue:
+    the metadata-driven routing decisions of fn-sc-branch Function.kt:35-69
+    — classify each file once, route on the verdict).
+
+    Detection precedence mirrors real scanners (scancode, go-license-
+    detector): an explicit ``SPDX-License-Identifier`` tag in the file head
+    wins; otherwise characteristic phrases are matched over the lowercased,
+    punctuation-collapsed head, so comment markers / line wrapping between
+    words (the normal shape of license headers) cannot hide a match.
+
+    The synthetic docs carry no licenses, so headers are injected in-plan
+    on BOTH engines: doc_id%5 picks one of four multi-line comment-wrapped
+    license headers (or none), and every 7th doc ALSO gets an SPDX tag for
+    a license NOT in the phrase table (BSD-2-Clause) — so the SPDX-beats-
+    phrase precedence is certified on a subset where both paths would fire
+    with different answers (non-vacuous gate).
+
+    Scale shape: pure narrow — detection reads only the first
+    ``LICENSE_HEAD_CHARS`` chars, so per-row cost is O(head), independent
+    of file size; zero shuffles (orderBy is gate presentation only); the
+    phrase table extends by adding WHEN branches, never stages."""
+    d = _t(spark, sf_dir, "documents")
+    spdx_line = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit("// SPDX-License-Identifier: BSD-2-Clause"),
+    )
+    header = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("/* Permission is hereby granted,\n   free of charge, to any person. */"),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.lit('# Licensed under the Apache\n# License, Version 2.0 (the "License");'),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.lit("// Redistribution and use in source\n// and binary forms, with or without modification"),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.lit("/* This file is part of Foo, released under the GNU\n   General Public License v3. */"),
+        )
+    )
+    content = F.concat_ws("\n", spdx_line, header, F.col("text"))
+    head = F.substring(content, 1, LICENSE_HEAD_CHARS)
+    norm = F.lower(F.regexp_replace(head, "[^a-zA-Z0-9]+", " "))
+    spdx = F.regexp_extract(head, SPDX_RE, 1)
+    phrase = F.lit(None).cast("string")
+    for lic_id, lic_phrase in reversed(LICENSE_PHRASES):
+        phrase = F.when(norm.contains(lic_phrase), F.lit(lic_id)).otherwise(phrase)
+    lic = F.when(spdx != "", spdx).otherwise(
+        F.coalesce(phrase, F.lit("NOASSERTION"))
+    )
+    via = (
+        F.when(spdx != "", F.lit("spdx"))
+        .when(phrase.isNotNull(), F.lit("phrase"))
+        .otherwise(F.lit("none"))
+    )
+    fam = (
+        F.when(lic.isin(*LICENSE_PERMISSIVE), F.lit("permissive"))
+        .when(lic.startswith("GPL"), F.lit("copyleft"))
+        .otherwise(F.lit("unknown"))
+    )
+    return d.select(
+        "doc_id",
+        lic.alias("license"),
+        via.alias("via"),
+        fam.alias("family"),
+        (fam == "permissive").cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _license_case_sql() -> str:
+    whens = "\n".join(
+        f"         WHEN norm LIKE '%{p}%' THEN '{lic}'"
+        for lic, p in LICENSE_PHRASES
+    )
+    return f"CASE\n{whens}\n         END"
+
+
+ORACLE_LICENSE = f"""
+WITH c AS (
+  SELECT doc_id,
+         CONCAT_WS(chr(10),
+           CASE WHEN doc_id % 7 = 0
+                THEN '// SPDX-License-Identifier: BSD-2-Clause' END,
+           CASE WHEN doc_id % 5 = 0 THEN '/* Permission is hereby granted,' || chr(10) || '   free of charge, to any person. */'
+                WHEN doc_id % 5 = 1 THEN '# Licensed under the Apache' || chr(10) || '# License, Version 2.0 (the "License");'
+                WHEN doc_id % 5 = 2 THEN '// Redistribution and use in source' || chr(10) || '// and binary forms, with or without modification'
+                WHEN doc_id % 5 = 3 THEN '/* This file is part of Foo, released under the GNU' || chr(10) || '   General Public License v3. */' END,
+           text) AS content
+  FROM documents),
+n AS (
+  SELECT doc_id,
+         LOWER(REGEXP_REPLACE(SUBSTRING(content, 1, {LICENSE_HEAD_CHARS}),
+                              '[^a-zA-Z0-9]+', ' ', 'g')) AS norm,
+         REGEXP_EXTRACT(SUBSTRING(content, 1, {LICENSE_HEAD_CHARS}),
+                        '{SPDX_RE}', 1) AS spdx
+  FROM c),
+det AS (
+  SELECT doc_id, spdx,
+         {_license_case_sql()} AS phrase
+  FROM n),
+lic AS (
+  SELECT doc_id,
+         CASE WHEN spdx <> '' THEN spdx
+              ELSE COALESCE(phrase, 'NOASSERTION') END AS license,
+         CASE WHEN spdx <> '' THEN 'spdx'
+              WHEN phrase IS NOT NULL THEN 'phrase'
+              ELSE 'none' END AS via
+  FROM det),
+fam AS (
+  SELECT doc_id, license, via,
+         CASE WHEN license IN ({", ".join(f"'{x}'" for x in LICENSE_PERMISSIVE)})
+              THEN 'permissive'
+              WHEN license LIKE 'GPL%' THEN 'copyleft'
+              ELSE 'unknown' END AS family
+  FROM lic)
+SELECT doc_id, license, via, family,
+       CAST(family = 'permissive' AS INT) AS keep
+FROM fam ORDER BY doc_id
+"""
+
+
+# =================== import/dependency extraction (code) ===================
+
+IMPORT_RE = r"(?:import|require)\s+([a-z_][a-z0-9_]*)"
+
+
+def import_graph(spark, sf_dir):
+    """Dependency extraction + module-popularity rollup for a source-code
+    corpus: pull `import X` / `require X` statements out of every file,
+    explode to (file, module) edges, and aggregate per-module fan-in — the
+    building block for dependency-ordered repo-context packing and for
+    ecosystem-popularity weighting of code training data (reference
+    analogue: the metadata-promotion rollups of
+    fns-hl7-pipeline/fn-receiver-debatcher MetaDataProcess, which likewise
+    extract typed facts per record and aggregate per key).
+
+    The synthetic docs have no imports, so a deterministic header is
+    synthesized in-plan on BOTH engines: every doc imports mod{doc_id%20};
+    doc_id%3==0 docs also import pkg{doc_id%7}; doc_id%4==0 docs require
+    lib{doc_id%11} — fan-in is exactly computable, and several modules are
+    hot (mod* ~ n/20 each) so the agg is exercised with real skew.
+
+    Scale shape: regexp_extract_all + explode are narrow (edges materialize
+    only in flight, never wider than the match list); the rollup is ONE
+    hash aggregate keyed by module with map-side partial aggregation, so a
+    hot module (every file importing `os`) collapses per-partition before
+    the exchange; n_sources is a two-level distinct-then-count agg, both
+    levels mergeable. orderBy is presentation only."""
+    d = _t(spark, sf_dir, "documents")
+    header = F.concat_ws(
+        "\n",
+        F.concat(F.lit("import mod"), (F.col("doc_id") % 20).cast("string")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("import pkg"), (F.col("doc_id") % 7).cast("string")),
+        ),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("require lib"), (F.col("doc_id") % 11).cast("string")),
+        ),
+        F.col("text"),
+    )
+    edges = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.regexp_extract_all(header, F.lit(IMPORT_RE), F.lit(1))
+        ).alias("module"),
+    )
+    per_src = edges.groupBy("module", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        per_src.groupBy("module")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_files"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        )
+        .orderBy(F.desc("n_files"), "module")
+    )
+
+
+ORACLE_IMPORT_GRAPH = f"""
+WITH c AS (
+  SELECT doc_id, source,
+         CONCAT_WS(chr(10),
+           'import mod' || CAST(doc_id % 20 AS VARCHAR),
+           CASE WHEN doc_id % 3 = 0
+                THEN 'import pkg' || CAST(doc_id % 7 AS VARCHAR) END,
+           CASE WHEN doc_id % 4 = 0
+                THEN 'require lib' || CAST(doc_id % 11 AS VARCHAR) END,
+           text) AS content
+  FROM documents),
+e AS (
+  SELECT doc_id, source, UNNEST(REGEXP_EXTRACT_ALL(content, '{IMPORT_RE}', 1))
+             AS module
+  FROM c),
+s AS (
+  SELECT module, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY module, source)
+SELECT module,
+       CAST(SUM(n) AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_sources
+FROM s GROUP BY module
+ORDER BY n_files DESC, module
+"""
+
+
+# ============== normalized-form clone dedup (comment-stripped) =============
+
+
+def normalized_clone_dedup(spark, sf_dir):
+    """Exact dedup over the comment-stripped, whitespace-collapsed
+    NORMALIZED form of each file — the cheap clone-catcher code pipelines
+    run between raw-sha dedup and MinHash: two files differing only in
+    comments, blank lines, or indentation hash identically after
+    normalization (reference analogue: D1's line cleanup before identity
+    hashing, operators/debatch.py:26-29, applied corpus-wide).
+
+    The corpus has no such clones, so they are synthesized in-plan on BOTH
+    engines: every doc is wrapped in a deterministic comment banner +
+    indentation that differs per doc (doc_id-keyed), while every 10th doc's
+    body collapses to one of five shared canonical strings (keyed by
+    doc_id%50) — so raw shas all differ but normalized shas collide in
+    known groups of n/50 (non-vacuous gate).
+
+    Scale shape: normalization is a narrow chain of two regex passes +
+    trim; the group detection is ONE hash aggregate on the 16-byte
+    normalized hash with map-side combine (the same shape as exact_dup_
+    groups); keeper choice is min(doc_id) inside the same agg — no window,
+    no second shuffle. orderBy is presentation only."""
+    d = _t(spark, sf_dir, "documents")
+    body = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit("shared body nr "), (F.col("doc_id") % 50).cast("string")),
+    ).otherwise(F.col("text"))
+    raw = F.concat_ws(
+        "\n",
+        F.concat(F.lit("// banner for file "), F.col("doc_id").cast("string")),
+        F.concat(F.repeat(F.lit(" "), (F.col("doc_id") % 7 + 1).cast("int")), body),
+        F.lit("# trailing note"),
+        F.lit(""),
+    )
+    stripped = F.regexp_replace(raw, r"(?m)^[ \t]*(//|#).*$", "")
+    norm = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    per_doc = d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.sha2(raw, 256).alias("raw_sha256"),
+    )
+    return (
+        per_doc.groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clones"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count_distinct("raw_sha256").cast("bigint").alias("n_raw_variants"),
+        )
+        .filter(F.col("n_clones") >= 2)
+        .orderBy("keeper_doc_id")
+    )
+
+
+ORACLE_NORM_CLONES = """
+WITH c AS (
+  SELECT doc_id,
+         CONCAT_WS(chr(10),
+           '// banner for file ' || CAST(doc_id AS VARCHAR),
+           REPEAT(' ', CAST(doc_id % 7 + 1 AS INT))
+             || CASE WHEN doc_id % 10 = 0
+                     THEN 'shared body nr ' || CAST(doc_id % 50 AS VARCHAR)
+                     ELSE text END,
+           '# trailing note',
+           '') AS raw
+  FROM documents),
+n AS (
+  SELECT doc_id, raw,
+         TRIM(REGEXP_REPLACE(
+             REGEXP_REPLACE(raw, '(?m)^[ \\t]*(//|#).*$', '', 'g'),
+             '\\s+', ' ', 'g')) AS norm
+  FROM c)
+SELECT MD5(norm) AS norm_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_clones,
+       MIN(doc_id) AS keeper_doc_id,
+       CAST(COUNT(DISTINCT SHA256(raw)) AS BIGINT) AS n_raw_variants
+FROM n GROUP BY MD5(norm)
+HAVING COUNT(*) >= 2
+ORDER BY keeper_doc_id
 """

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "license_detect",
     "import_graph",
     "normalized_clone_dedup",
+    "repo_context_pack",
 ]
 
 

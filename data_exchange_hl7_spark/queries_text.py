@@ -4262,3 +4262,126 @@ FROM n GROUP BY MD5(norm)
 HAVING COUNT(*) >= 2
 ORDER BY keeper_doc_id
 """
+
+
+# ============ dependency-ordered repo-context packing (code) ===============
+
+CTX_BUDGET = 256  # tokens per training context at test scale
+
+
+def repo_context_pack(spark, sf_dir):
+    """Repo-level training-context construction in the public
+    DeepSeek-Coder / StarCoder2 mold: within each repository, order files
+    so widely-depended-on files come first (dependency fan-in descending —
+    the scalable stand-in those pipelines use for exact topological sort),
+    then concatenate files in that order and chunk into fixed-token
+    contexts. Each file reports its rank, fan-in, context id, and position
+    within the context (reference analogue: T6's canonical ordering +
+    the K3 keyed grouping — deterministic order within a keyed group).
+
+    Imports are synthesized in-plan on BOTH engines (the corpus has none),
+    keyed off doc_id//20 because the corpus assigns source = src{doc_id%20}
+    (a doc_id%k key would be CONSTANT within a source and make the gate
+    vacuous): every doc provides module mod{(doc_id//20)%16} and imports
+    mod{((doc_id//20)+1)%16}, plus mod{((doc_id//20)*7+3)%16} for every 3rd
+    doc — fan-in varies within each repo, ties exist (providers of a module
+    share its fan-in) and are broken deterministically by doc_id.
+
+    Scale shape: the importer rollup is one mergeable hash agg to at most
+    (sources x 20) rows, so the fan-in join BROADCASTS; ordering and the
+    pack cumsum are windows partitioned by source — unlike corpus-wide
+    windows this key is a repository, whose file count is bounded by
+    nature (~10^5), not by corpus size, so no sub-sharding is needed (the
+    certified rebase pattern in sequence_packing is the fallback if a
+    pathological mono-repo dominates). orderBy is presentation only."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    fid = F.floor(F.col("doc_id") / 20).cast("bigint")
+    provides = F.concat(F.lit("mod"), (fid % 16).cast("string"))
+    imp1 = F.concat(F.lit("mod"), ((fid + 1) % 16).cast("string"))
+    imp2 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("mod"), ((fid * 7 + 3) % 16).cast("string")),
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        provides.alias("provides"),
+        F.array_compact(F.array(imp1, imp2)).alias("imports"),
+    )
+    imp_counts = (
+        base.select(F.col("source").alias("src"), F.explode("imports").alias("module"))
+        .groupBy("src", "module")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fan_in"))
+    )
+    ranked = (
+        base.join(
+            F.broadcast(imp_counts),
+            (F.col("source") == F.col("src")) & (F.col("provides") == F.col("module")),
+            "left",
+        )
+        .drop("src", "module", "imports")
+        .withColumn("fan_in", F.coalesce("fan_in", F.lit(0)).cast("bigint"))
+    )
+    w_rank = Window.partitionBy("source").orderBy(F.desc("fan_in"), "doc_id")
+    ranked = ranked.withColumn("file_rank", F.row_number().over(w_rank).cast("int"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("file_rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w_cum) - F.col("n_tokens")
+    packed = ranked.withColumn(
+        "context_id", F.floor(start / F.lit(float(CTX_BUDGET))).cast("bigint")
+    )
+    w_pos = Window.partitionBy("source", "context_id").orderBy("file_rank")
+    return packed.select(
+        "source",
+        "doc_id",
+        "file_rank",
+        "fan_in",
+        "n_tokens",
+        "context_id",
+        F.row_number().over(w_pos).cast("int").alias("pos_in_context"),
+    ).orderBy("source", "file_rank")
+
+
+ORACLE_REPO_CONTEXT = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         'mod' || CAST(CAST(FLOOR(doc_id / 20) AS BIGINT) % 16 AS VARCHAR) AS provides,
+         'mod' || CAST((CAST(FLOOR(doc_id / 20) AS BIGINT) + 1) % 16 AS VARCHAR) AS imp1,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'mod' || CAST((CAST(FLOOR(doc_id / 20) AS BIGINT) * 7 + 3) % 16
+                                AS VARCHAR) END AS imp2
+  FROM documents),
+e AS (
+  SELECT source AS src, imp1 AS module FROM base
+  UNION ALL
+  SELECT source, imp2 FROM base WHERE imp2 IS NOT NULL),
+ic AS (
+  SELECT src, module, CAST(COUNT(*) AS BIGINT) AS fan_in
+  FROM e GROUP BY src, module),
+r AS (
+  SELECT b.doc_id, b.source, b.n_tokens,
+         CAST(COALESCE(ic.fan_in, 0) AS BIGINT) AS fan_in,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY b.source
+             ORDER BY COALESCE(ic.fan_in, 0) DESC, b.doc_id) AS INT) AS file_rank
+  FROM base b
+  LEFT JOIN ic ON b.source = ic.src AND b.provides = ic.module),
+c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY file_rank
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cstart
+  FROM r)
+SELECT source, doc_id, file_rank, fan_in, n_tokens,
+       CAST(FLOOR(cstart / {float(CTX_BUDGET)}) AS BIGINT) AS context_id,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY source, CAST(FLOOR(cstart / {float(CTX_BUDGET)}) AS BIGINT)
+           ORDER BY file_rank) AS INT) AS pos_in_context
+FROM c
+ORDER BY source, file_rank
+"""

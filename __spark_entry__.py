@@ -40,12 +40,13 @@ oldest-green tail. NOTE (late r4): the single-split fan-out (`_spread` /
 the `_t` round-robin repartition) touched EVERY wrapper in queries.py and
 queries_text.py after the r4 gate ran, so by the byte-unchanged rule all
 tail greens are stale; the change is plan-level only (no expression
-changed) and the full oracle-parity suite re-verified all 105 queries at
+changed) and the full oracle-parity suite re-verified all 106 queries at
 sf0.01 the same session, but r5 should still prefer rotating the heavy
-LSH family plus a sample of the spread-touched wrappers. The four
+LSH family plus a sample of the spread-touched wrappers. The five
 late-r4 code-corpus queries (license_detect, import_graph,
-normalized_clone_dedup, repo_context_pack) sit inside the r4 window,
-displacing dup_detection and the A1 dedup family to 51+. NOTE: tests/test_oracle_parity.py replicates the gate
+normalized_clone_dedup, repo_context_pack, repo_license_rollup) sit
+inside the r4 window, displacing dup_detection and the A1 dedup family
+to 51+. NOTE: tests/test_oracle_parity.py replicates the gate
 for ALL queries at sf0.01 in every pytest run, so tail queries are never
 unchecked — only externally un-refreshed. COVERAGE.md carries the
 per-query last-green ledger (python ledger.py).
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_graph": qt.import_graph,
         "normalized_clone_dedup": qt.normalized_clone_dedup,
         "repo_context_pack": qt.repo_context_pack,
+        "repo_license_rollup": qt.repo_license_rollup,
         # --- r3-touched modules (lake/table.py, engine.py, query wrappers)
         # whose only green rows predate the r3 code — re-certify ----------
         "hl7_debatch": q.hl7_debatch,
@@ -295,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "import_graph": qt.ORACLE_IMPORT_GRAPH,
         "normalized_clone_dedup": qt.ORACLE_NORM_CLONES,
         "repo_context_pack": qt.ORACLE_REPO_CONTEXT,
+        "repo_license_rollup": qt.ORACLE_REPO_LICENSE,
         "purge_read": q.ORACLE_PURGE_READ,
         "json_lake_flat": q.ORACLE_JSON_LAKE_FLAT,
         "gold_wide_projection": q.ORACLE_GOLD_WIDE,

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "import_graph",
     "normalized_clone_dedup",
     "repo_context_pack",
+    "repo_license_rollup",
 ]
 
 

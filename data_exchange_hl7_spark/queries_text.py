@@ -3981,66 +3981,155 @@ def license_detect(spark, sf_dir):
     words (the normal shape of license headers) cannot hide a match.
 
     The synthetic docs carry no licenses, so headers are injected in-plan
-    on BOTH engines: doc_id%5 picks one of four multi-line comment-wrapped
-    license headers (or none), and every 7th doc ALSO gets an SPDX tag for
-    a license NOT in the phrase table (BSD-2-Clause) — so the SPDX-beats-
-    phrase precedence is certified on a subset where both paths would fire
-    with different answers (non-vacuous gate).
+    on BOTH engines, keyed off doc_id//20 because the corpus assigns
+    source = src{doc_id%20} (a doc_id%k key would be constant within each
+    repo and make the repo rollup's precedence vacuous): each file draws
+    one of four multi-line comment-wrapped license headers (or none) with
+    a per-repo class remap — repos s%3==0 keep the GPL class, repos s%5==1
+    keep the no-header class, the rest see only permissive headers — and
+    every 7th header block ALSO gets an SPDX tag for a license NOT in the
+    phrase table (BSD-2-Clause). So the SPDX-beats-phrase precedence is
+    certified where both paths would answer differently, repos hold MIXED
+    families, and all three repo resolutions (copyleft > unknown >
+    permissive) occur (non-vacuous gates at both granularities).
 
     Scale shape: pure narrow — detection reads only the first
     ``LICENSE_HEAD_CHARS`` chars, so per-row cost is O(head), independent
     of file size; zero shuffles (orderBy is gate presentation only); the
-    phrase table extends by adding WHEN branches, never stages."""
+    phrase table extends by adding WHEN branches, never stages. The
+    normalized head / SPDX extract / phrase verdict are bound in their own
+    projections (the `_attach_parsed` CSE discipline, BENCH.md): inlined
+    into every derived column the norm-regex subtree is re-evaluated per
+    column and per orderBy sampling pass — measured 2.4x wall on this
+    query at sf0.1."""
+    return (
+        _license_frame(spark, sf_dir)
+        .select("doc_id", "license", "via", "family", "keep")
+        .orderBy("doc_id")
+    )
+
+
+def _license_frame(spark, sf_dir) -> DataFrame:
+    """Per-doc license verdict frame (doc_id, source, license, via, family,
+    keep) shared by license_detect and repo_license_rollup, so both engines
+    and both queries agree on the synthesized headers and precedence."""
     d = _t(spark, sf_dir, "documents")
+    fid = F.floor(F.col("doc_id") / 20).cast("bigint")
+    s_idx = F.col("doc_id") % 20  # == the repo index (source = src{doc_id%20})
+    cls_raw = (fid + 7 * s_idx) % 5
+    # per-repo family mix: repos s%3==0 keep the GPL class (resolve
+    # copyleft); repos s%5==1 (and not copyleft) keep the no-header class
+    # (resolve unknown); the rest remap both to permissive classes
+    cls = (
+        F.when((cls_raw == 3) & (s_idx % 3 != 0), F.lit(1))
+        .when((cls_raw == 4) & (s_idx % 3 != 0) & (s_idx % 5 != 1), F.lit(2))
+        .otherwise(cls_raw)
+    )
     spdx_line = F.when(
-        F.col("doc_id") % 7 == 0,
+        fid % 7 == 0,
         F.lit("// SPDX-License-Identifier: BSD-2-Clause"),
     )
     header = (
         F.when(
-            F.col("doc_id") % 5 == 0,
+            cls == 0,
             F.lit("/* Permission is hereby granted,\n   free of charge, to any person. */"),
         )
         .when(
-            F.col("doc_id") % 5 == 1,
+            cls == 1,
             F.lit('# Licensed under the Apache\n# License, Version 2.0 (the "License");'),
         )
         .when(
-            F.col("doc_id") % 5 == 2,
+            cls == 2,
             F.lit("// Redistribution and use in source\n// and binary forms, with or without modification"),
         )
         .when(
-            F.col("doc_id") % 5 == 3,
+            cls == 3,
             F.lit("/* This file is part of Foo, released under the GNU\n   General Public License v3. */"),
         )
     )
     content = F.concat_ws("\n", spdx_line, header, F.col("text"))
     head = F.substring(content, 1, LICENSE_HEAD_CHARS)
-    norm = F.lower(F.regexp_replace(head, "[^a-zA-Z0-9]+", " "))
-    spdx = F.regexp_extract(head, SPDX_RE, 1)
+    d = d.withColumn(
+        "__norm", F.lower(F.regexp_replace(head, "[^a-zA-Z0-9]+", " "))
+    ).withColumn("__spdx", F.regexp_extract(head, SPDX_RE, 1))
     phrase = F.lit(None).cast("string")
     for lic_id, lic_phrase in reversed(LICENSE_PHRASES):
-        phrase = F.when(norm.contains(lic_phrase), F.lit(lic_id)).otherwise(phrase)
-    lic = F.when(spdx != "", spdx).otherwise(
-        F.coalesce(phrase, F.lit("NOASSERTION"))
+        phrase = F.when(
+            F.col("__norm").contains(lic_phrase), F.lit(lic_id)
+        ).otherwise(phrase)
+    d = d.withColumn("__phrase", phrase)
+    spdx = F.col("__spdx")
+    d = d.withColumn(
+        "license",
+        F.when(spdx != "", spdx).otherwise(
+            F.coalesce(F.col("__phrase"), F.lit("NOASSERTION"))
+        ),
     )
-    via = (
-        F.when(spdx != "", F.lit("spdx"))
-        .when(phrase.isNotNull(), F.lit("phrase"))
-        .otherwise(F.lit("none"))
-    )
+    lic = F.col("license")
     fam = (
         F.when(lic.isin(*LICENSE_PERMISSIVE), F.lit("permissive"))
         .when(lic.startswith("GPL"), F.lit("copyleft"))
         .otherwise(F.lit("unknown"))
     )
-    return d.select(
+    via = (
+        F.when(spdx != "", F.lit("spdx"))
+        .when(F.col("__phrase").isNotNull(), F.lit("phrase"))
+        .otherwise(F.lit("none"))
+    )
+    return d.withColumn("family", fam).select(
         "doc_id",
-        lic.alias("license"),
+        "source",
+        "license",
         via.alias("via"),
-        fam.alias("family"),
-        (fam == "permissive").cast("int").alias("keep"),
-    ).orderBy("doc_id")
+        "family",
+        (F.col("family") == "permissive").cast("int").alias("keep"),
+    )
+
+
+def repo_license_rollup(spark, sf_dir):
+    """Repo-level license resolution, most-restrictive-wins (the rule The
+    Stack applies when releasing whole repositories): a repo with any
+    copyleft file resolves copyleft, else any unknown/NOASSERTION file
+    resolves unknown, else permissive — only fully-permissive repos keep.
+    Emits per-repo family counts and the sorted distinct license list.
+
+    Scale shape: the per-file verdict is the same narrow O(head) plan as
+    license_detect; the rollup is ONE mergeable hash agg keyed by repo
+    (counts are sums of 0/1 ints, the license list is a collect_set
+    bounded by the license-id vocabulary, sorted for determinism)."""
+    per_doc = _license_frame(spark, sf_dir)
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum((F.col("family") == "permissive").cast("int"))
+        .cast("bigint")
+        .alias("n_permissive"),
+        F.sum((F.col("family") == "copyleft").cast("int"))
+        .cast("bigint")
+        .alias("n_copyleft"),
+        F.sum((F.col("family") == "unknown").cast("int"))
+        .cast("bigint")
+        .alias("n_unknown"),
+        F.array_join(F.array_sort(F.collect_set("license")), ",").alias("licenses"),
+    )
+    resolved = (
+        F.when(F.col("n_copyleft") > 0, F.lit("copyleft"))
+        .when(F.col("n_unknown") > 0, F.lit("unknown"))
+        .otherwise(F.lit("permissive"))
+    )
+    return (
+        agg.withColumn("resolved_family", resolved)
+        .select(
+            "source",
+            "n_files",
+            "n_permissive",
+            "n_copyleft",
+            "n_unknown",
+            "licenses",
+            "resolved_family",
+            (F.col("resolved_family") == "permissive").cast("int").alias("keep"),
+        )
+        .orderBy("source")
+    )
 
 
 def _license_case_sql() -> str:
@@ -4051,31 +4140,45 @@ def _license_case_sql() -> str:
     return f"CASE\n{whens}\n         END"
 
 
-ORACLE_LICENSE = f"""
-WITH c AS (
-  SELECT doc_id,
-         CONCAT_WS(chr(10),
-           CASE WHEN doc_id % 7 = 0
-                THEN '// SPDX-License-Identifier: BSD-2-Clause' END,
-           CASE WHEN doc_id % 5 = 0 THEN '/* Permission is hereby granted,' || chr(10) || '   free of charge, to any person. */'
-                WHEN doc_id % 5 = 1 THEN '# Licensed under the Apache' || chr(10) || '# License, Version 2.0 (the "License");'
-                WHEN doc_id % 5 = 2 THEN '// Redistribution and use in source' || chr(10) || '// and binary forms, with or without modification'
-                WHEN doc_id % 5 = 3 THEN '/* This file is part of Foo, released under the GNU' || chr(10) || '   General Public License v3. */' END,
-           text) AS content
+# Shared CTE chain (per-doc verdicts incl. source) so the per-file and
+# per-repo oracles cannot diverge on the synthesized headers or precedence.
+_LICENSE_CORE_SQL = f"""
+WITH cls0 AS (
+  SELECT doc_id, source, text,
+         CAST(FLOOR(doc_id / 20) AS BIGINT) AS fid,
+         doc_id % 20 AS s_idx,
+         (CAST(FLOOR(doc_id / 20) AS BIGINT) + 7 * (doc_id % 20)) % 5 AS cls_raw
   FROM documents),
+cls1 AS (
+  SELECT doc_id, source, text, fid,
+         CASE WHEN cls_raw = 3 AND s_idx % 3 <> 0 THEN 1
+              WHEN cls_raw = 4 AND s_idx % 3 <> 0 AND s_idx % 5 <> 1 THEN 2
+              ELSE cls_raw END AS cls
+  FROM cls0),
+c AS (
+  SELECT doc_id, source,
+         CONCAT_WS(chr(10),
+           CASE WHEN fid % 7 = 0
+                THEN '// SPDX-License-Identifier: BSD-2-Clause' END,
+           CASE WHEN cls = 0 THEN '/* Permission is hereby granted,' || chr(10) || '   free of charge, to any person. */'
+                WHEN cls = 1 THEN '# Licensed under the Apache' || chr(10) || '# License, Version 2.0 (the "License");'
+                WHEN cls = 2 THEN '// Redistribution and use in source' || chr(10) || '// and binary forms, with or without modification'
+                WHEN cls = 3 THEN '/* This file is part of Foo, released under the GNU' || chr(10) || '   General Public License v3. */' END,
+           text) AS content
+  FROM cls1),
 n AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          LOWER(REGEXP_REPLACE(SUBSTRING(content, 1, {LICENSE_HEAD_CHARS}),
                               '[^a-zA-Z0-9]+', ' ', 'g')) AS norm,
          REGEXP_EXTRACT(SUBSTRING(content, 1, {LICENSE_HEAD_CHARS}),
                         '{SPDX_RE}', 1) AS spdx
   FROM c),
 det AS (
-  SELECT doc_id, spdx,
+  SELECT doc_id, source, spdx,
          {_license_case_sql()} AS phrase
   FROM n),
 lic AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          CASE WHEN spdx <> '' THEN spdx
               ELSE COALESCE(phrase, 'NOASSERTION') END AS license,
          CASE WHEN spdx <> '' THEN 'spdx'
@@ -4083,15 +4186,39 @@ lic AS (
               ELSE 'none' END AS via
   FROM det),
 fam AS (
-  SELECT doc_id, license, via,
+  SELECT doc_id, source, license, via,
          CASE WHEN license IN ({", ".join(f"'{x}'" for x in LICENSE_PERMISSIVE)})
               THEN 'permissive'
               WHEN license LIKE 'GPL%' THEN 'copyleft'
               ELSE 'unknown' END AS family
-  FROM lic)
+  FROM lic)"""
+
+ORACLE_LICENSE = f"""{_LICENSE_CORE_SQL}
 SELECT doc_id, license, via, family,
        CAST(family = 'permissive' AS INT) AS keep
 FROM fam ORDER BY doc_id
+"""
+
+ORACLE_REPO_LICENSE = f"""{_LICENSE_CORE_SQL},
+r AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST(SUM(CASE WHEN family = 'permissive' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_permissive,
+         CAST(SUM(CASE WHEN family = 'copyleft' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_copyleft,
+         CAST(SUM(CASE WHEN family = 'unknown' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unknown,
+         STRING_AGG(DISTINCT license, ',' ORDER BY license) AS licenses
+  FROM fam GROUP BY source)
+SELECT source, n_files, n_permissive, n_copyleft, n_unknown, licenses,
+       CASE WHEN n_copyleft > 0 THEN 'copyleft'
+            WHEN n_unknown > 0 THEN 'unknown'
+            ELSE 'permissive' END AS resolved_family,
+       CAST((CASE WHEN n_copyleft > 0 THEN 'copyleft'
+                  WHEN n_unknown > 0 THEN 'unknown'
+                  ELSE 'permissive' END) = 'permissive' AS INT) AS keep
+FROM r ORDER BY source
 """
 
 

@@ -1834,7 +1834,15 @@ def _kmeans_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
 
 def _kmeans_centroids(spark, sf_dir, k: int, n_iter: int) -> DataFrame:
     """Lloyd's k-means on the integer milli-grid: deterministic init (first
-    ``k`` vec_ids), exact integer assignment, floor-mean update."""
+    ``k`` vec_ids), exact integer assignment, floor-mean update.
+
+    The trained centroids are localCheckpoint'ed (tracked for eager
+    release): without truncation the returned frame's lineage embeds all
+    ``n_iter`` unrolled assignment+update rounds, and every downstream
+    REFERENCE to it (semantic_dedup's self-join uses the assignment twice
+    plus the final verdict join) re-runs the whole training — k rows, so
+    the checkpoint is metadata-sized while the saved recompute is the full
+    train."""
     e = _quantized(spark, sf_dir).select("vec_id", "q")
     cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("q").alias("c")
@@ -1857,7 +1865,7 @@ def _kmeans_centroids(spark, sf_dir, k: int, n_iter: int) -> DataFrame:
                 ).alias("c")
             )
         )
-    return cent
+    return _local_checkpoint_tracked(cent)
 
 
 def ivf_train_kmeans(spark, sf_dir, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS):
@@ -3044,7 +3052,11 @@ def semantic_dedup(spark, sf_dir, thr_e2: int = SEMDEDUP_THR_E2):
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    cells = (
+    # materialize the assignment once (tracked for release): the self-join
+    # reads it from both sides and the verdict join a third time — without
+    # truncation each reference re-runs the broadcast-argmin assignment.
+    # At index scale this IS the persisted IVF assignment table.
+    cells = _local_checkpoint_tracked(
         _kmeans_assign(e, cent)
         .withColumnRenamed("cid", "cell")
         .select("vec_id", "cell", "q", nrm.alias("nrm"))

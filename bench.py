@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "normalized_clone_dedup",
     "repo_context_pack",
     "repo_license_rollup",
+    "zorder_read",
 ]
 
 

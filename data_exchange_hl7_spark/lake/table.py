@@ -1102,11 +1102,73 @@ class LakeTable:
         changes = rows.withColumn("__op", F.lit("U"))
         return self.merge(changes, epoch=epoch, epoch_info=epoch_info)
 
+    # z-order clustering: value ranges per column for the interleaved ids
+    _ZORDER_RANGES = 64
+
+    def _zorder_boundaries(self, df, col: str, n_ranges: int) -> list:
+        """Order-preserving range boundaries for ``col`` from a
+        hash-deterministic sample (Delta's range_partition_id computation
+        likewise samples; hash-thinning instead of Bernoulli sampling keeps
+        the layout identical under replay regardless of partitioning).
+        Metadata-bounded: ~8x n_ranges distinct values reach the driver."""
+        nn = df.filter(F.col(col).isNotNull()).select(col)
+        n = nn.distinct().count()
+        if n <= 1:
+            return []
+        mod = max(1, n // (n_ranges * 8))
+        vals = [
+            r[0]
+            for r in nn.filter(F.pmod(F.xxhash64(F.col(col)), F.lit(mod)) == 0)
+            .distinct()
+            .orderBy(col)
+            .collect()
+        ]
+        if len(vals) < 2:
+            vals = [
+                r[0]
+                for r in nn.distinct().orderBy(col).limit(n_ranges * 8).collect()
+            ]
+        k = min(n_ranges - 1, len(vals) - 1)
+        return sorted({vals[(i * len(vals)) // (k + 1)] for i in range(1, k + 1)})
+
+    def _zorder_expr(self, df, cols: list[str]):
+        """Interleaved-range-id z-value: each column maps to an
+        ORDER-PRESERVING range id (count of sampled boundaries below the
+        value — unlike hash-based interleave this keeps RAW per-file
+        min/max stats tight on every clustered column, which is what
+        ``_prune`` reads), and the ids' bits interleave into one long sort
+        key. Pure column expression; boundary lookup is an O(ranges)
+        literal-array aggregate, no join."""
+        bits = (self._ZORDER_RANGES - 1).bit_length()
+
+        # two-parameter lambda factory: pyspark higher-order functions infer
+        # arity from the Python signature, so a defaulted capture would be
+        # bound to an extra Column argument
+        def _rank_merge(cname):
+            return lambda acc, b: acc + F.when(F.col(cname) > b, 1).otherwise(0)
+
+        ranks = []
+        for c in cols:
+            bounds = self._zorder_boundaries(df, c, self._ZORDER_RANGES)
+            if not bounds:
+                ranks.append(F.lit(0))
+                continue
+            arr = F.array(*[F.lit(b) for b in bounds])
+            ranks.append(F.aggregate(arr, F.lit(0), _rank_merge(c)))
+        z = F.lit(0).cast("long")
+        m = len(cols)
+        for i in range(bits):
+            for j, r in enumerate(ranks):
+                bit = F.shiftright(r, i).bitwiseAND(F.lit(1)).cast("long")
+                z = z.bitwiseOR(F.shiftleft(bit, i * m + j))
+        return z
+
     def compact(
         self,
         max_delta_depth: int | None = None,
         sort_cols: list[str] | None = None,
         files_per_bucket: int = 1,
+        zorder_cols: list[str] | None = None,
     ) -> dict:
         """Fold MoR deltas into base buckets (resolved rewrite).
 
@@ -1136,7 +1198,20 @@ class LakeTable:
         key-predicate ``snapshot(where=...)`` skips most files INSIDE the
         bucket (plus better parquet RLE/dictionary compression). Default
         keeps the old single-file-per-bucket layout.
+
+        ``zorder_cols``: multi-dimensional clustering (Delta
+        ``OPTIMIZE ZORDER BY`` / Iceberg z-order rewrite analogue),
+        mutually exclusive with ``sort_cols``. Linear sort makes stats
+        tight on the LEADING column only — a path-only predicate over a
+        (repo, path)-sorted layout prunes nothing. Z-order sorts by the
+        interleaved order-preserving range ids of every listed column, so
+        each file covers a small rectangle of the value space and raw
+        min/max stats prune on EACH column independently (and each file
+        holds few distinct values per column, sharpening the per-file
+        bloom lever too).
         """
+        if sort_cols and zorder_cols:
+            raise ValueError("sort_cols and zorder_cols are mutually exclusive")
         snap = self.current_snapshot()
         deltas = snap.get("deltas", [])
         if not deltas:
@@ -1162,15 +1237,21 @@ class LakeTable:
         out_rel = self._staging_rel("s", new_sid)
         out_abs = os.path.join(self.data_dir, out_rel)
         staged = resolved.withColumn("__bucket", self._bucket_expr(snap))
+        n_out = max(len(dirty) * max(files_per_bucket, 1), 1)
         if sort_cols:
             # range partitioning on (bucket, sort_cols) gives each output
             # file a disjoint key range inside its bucket; partitionBy below
             # re-splits the rare range partition that straddles two buckets
             staged = staged.repartitionByRange(
-                max(len(dirty) * max(files_per_bucket, 1), 1),
-                "__bucket",
-                *sort_cols,
+                n_out, "__bucket", *sort_cols
             ).sortWithinPartitions("__bucket", *sort_cols)
+        elif zorder_cols:
+            staged = (
+                staged.withColumn("__z", self._zorder_expr(resolved, zorder_cols))
+                .repartitionByRange(n_out, "__bucket", "__z")
+                .sortWithinPartitions("__bucket", "__z")
+                .drop("__z")
+            )
         else:
             staged = staged.repartition(max(len(dirty), 1), "__bucket")
         self._bucketed_writer(staged, snap).parquet(out_abs)

@@ -1679,6 +1679,65 @@ ORDER BY user_id
 """
 
 
+def zorder_read(spark, sf_dir):
+    """Z-order clustering under the oracle gate (`LakeTable.compact
+    (zorder_cols=...)`, the Delta OPTIMIZE ZORDER BY analogue): a
+    composite-key (user_id, event_type) MoR table is compacted into many
+    z-ordered files per bucket, then read with a TRAILING-key predicate —
+    the case linear sort order cannot prune (every (user_id)-sorted file
+    spans all event types) but z-order rectangles do. Values must equal a
+    plain latest-per-(user, type) replay restricted to the predicate;
+    tests/test_lake.py asserts the pruning itself (kept < total) so the
+    gate certifies semantics and the plan test certifies the skip."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key
+
+    key = f"{sf_dir}::zorder"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(loc)):
+        loc = tempfile.mkdtemp(prefix="dex_lake_zorder_")
+        t = LakeTable.create(
+            spark,
+            loc,
+            schema=[
+                ("user_id", "bigint"),
+                ("event_type", "string"),
+                ("event_id", "bigint"),
+            ],
+            key_cols=["user_id", "event_type"],
+            n_buckets=2,
+            mode="mor",
+            order_col="event_id",
+        )
+        ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+        changes = latest_by_key(
+            ev, ["user_id", "event_type"], ["event_id"]
+        ).withColumn("__op", F.lit("U"))
+        t.merge(changes, epoch=1)
+        t.compact(zorder_cols=["user_id", "event_type"], files_per_bucket=8)
+        _LAKE_DEMO_CACHE[key] = loc
+    else:
+        t = LakeTable(spark, loc)
+    return (
+        t.snapshot(where=[("event_type", "=", "purchase")])
+        .select("user_id", "event_type", F.col("event_id").alias("last_event_id"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_ZORDER_READ = """
+SELECT user_id, event_type, event_id AS last_event_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1 AND event_type = 'purchase'
+ORDER BY user_id
+"""
+
+
 def sliding_window_counts(spark, sf_dir):
     """Sliding event-time windows (3-hour window, 1-hour slide) through
     streaming/windowed.windowed_counts — each event lands in 3 overlapping

@@ -94,6 +94,60 @@ def test_mor_resolution_and_compaction(spark, tmp_path):
     assert t2.snapshot().count() == 1
 
 
+def test_zorder_compaction_prunes_on_every_clustered_column(spark, tmp_path):
+    """compact(zorder_cols=...) must yield files whose raw min/max stats
+    prune on EVERY clustered column — linear sort only ever helps the
+    leading column (a trailing-column predicate prunes nothing there) —
+    while reading value-identical to the linear layout."""
+    grid = [
+        (f"r{i:02d}", f"p{j:02d}", f"v{i}-{j}", i * 16 + j, "U")
+        for i in range(16)
+        for j in range(16)
+    ]
+
+    def mk(name):
+        t = LakeTable.create(
+            spark, str(tmp_path / name),
+            [("r", "string"), ("p", "string"), ("v", "string"), ("lsn", "bigint")],
+            ["r", "p"], n_buckets=1, mode="mor", order_col="lsn",
+        )
+        df = spark.createDataFrame(
+            grid, "r string, p string, v string, lsn long, __op string"
+        )
+        t.merge(df, epoch=0)
+        return t
+
+    lin = mk("lin")
+    lin.compact(sort_cols=["r", "p"], files_per_bucket=16)
+    zo = mk("zo")
+    zo.compact(zorder_cols=["r", "p"], files_per_bucket=16)
+
+    lentry = lin.current_snapshot()["buckets"]["0"]
+    zentry = zo.current_snapshot()["buckets"]["0"]
+    assert len(lentry["files"]) >= 8 and len(zentry["files"]) >= 8
+
+    pred_p = [("p", "=", "p03")]
+    lkept = LakeTable._prune(lentry["files"], lentry["stats"], pred_p)
+    zkept = LakeTable._prune(zentry["files"], zentry["stats"], pred_p)
+    # linear layout: every file spans the full p range -> no pruning
+    assert len(lkept) == len(lentry["files"])
+    # z-order: files are rectangles -> the p predicate skips files
+    assert len(zkept) < len(zentry["files"])
+    # the leading column still prunes under z-order
+    rkept = LakeTable._prune(zentry["files"], zentry["stats"], [("r", "=", "r03")])
+    assert len(rkept) < len(zentry["files"])
+
+    # reads stay value-identical across layouts
+    assert sorted(map(tuple, zo.snapshot(where=pred_p).collect())) == sorted(
+        map(tuple, lin.snapshot(where=pred_p).collect())
+    )
+    assert {r["p"] for r in zo.snapshot(where=pred_p).collect()} == {"p03"}
+    assert zo.snapshot(where=pred_p).count() == 16
+
+    with pytest.raises(ValueError):
+        zo.compact(sort_cols=["r"], zorder_cols=["p"])
+
+
 def test_mor_order_col_decides(spark, tmp_path):
     t = _mk(spark, tmp_path, "t5", mode="mor")
     # later delta with LOWER lsn must NOT win

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "repo_context_pack",
     "repo_license_rollup",
     "zorder_read",
+    "code_release_report",
 ]
 
 

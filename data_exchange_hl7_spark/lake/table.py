@@ -232,6 +232,79 @@ class LakeTable:
             with open(parent_path) as f:
                 s = json.load(f)
 
+    # ----------------------------------------------- metadata tables
+    # Iceberg exposes table metadata AS tables (`db.t.files`, `.snapshots`,
+    # `.refs`) so operational queries — delta depth per bucket, file-size
+    # distribution before a compaction, tag audit — are plain SQL. Same
+    # here: each returns a DataFrame built from the manifest (+ parquet
+    # footers for sizes), driver-side and metadata-bounded (one row per
+    # file / snapshot / tag, never a data-page read).
+
+    def meta_files(self, as_of: int | str | None = None) -> DataFrame:
+        """One row per live data file of the snapshot: (snapshot_id, bucket,
+        file, kind base|delta, delta_layer, schema_version, size_bytes,
+        record_count). The Iceberg ``files`` metadata-table analogue."""
+        import pyarrow.parquet as pq
+
+        snap = self._load_snapshot(
+            self._resolve_ref(as_of) if as_of is not None else None
+        )
+        rows = []
+
+        def _add(bucket: str, rel: str, kind: str, layer: int, sv: int):
+            size = nrec = None
+            path = os.path.join(self.data_dir, rel)
+            try:
+                size = os.path.getsize(path)
+                nrec = pq.ParquetFile(path).metadata.num_rows
+            except Exception:
+                pass  # expired/foreign file: row still lists the reference
+            rows.append(
+                (snap["snapshot_id"], int(bucket), rel, kind, layer, sv, size, nrec)
+            )
+
+        for b, e in snap["buckets"].items():
+            for rel in e["files"]:
+                _add(b, rel, "base", -1, e["schema_version"])
+        for layer, d in enumerate(snap.get("deltas", [])):
+            for b, fs in d["files"].items():
+                for rel in fs:
+                    _add(b, rel, "delta", layer, d["schema_version"])
+        schema = (
+            "snapshot_id long, bucket int, file string, kind string, "
+            "delta_layer int, schema_version int, size_bytes long, "
+            "record_count long"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def meta_snapshots(self) -> DataFrame:
+        """``history()`` as a DataFrame — the Iceberg ``snapshots`` table."""
+        rows = [
+            (
+                h["snapshot_id"],
+                h["parent"],
+                h["operation"],
+                float(h["committed_at"]),
+                h["schema_version"],
+                h["n_delta_layers"],
+                len(h["epochs"]),
+            )
+            for h in self.history()
+        ]
+        schema = (
+            "snapshot_id long, parent long, operation string, "
+            "committed_at double, schema_version int, n_delta_layers int, "
+            "n_epochs int"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def meta_refs(self) -> DataFrame:
+        """Tags as a DataFrame — the Iceberg ``refs`` table."""
+        rows = [(name, sid) for name, sid in sorted(self.tags().items())]
+        return self.spark.createDataFrame(
+            rows or [], "name string, snapshot_id long"
+        )
+
     def _write_snapshot(self, snap: dict, expected_parent: int | None) -> None:
         """Atomic commit: write vN.json, then swap the ``current`` pointer.
 

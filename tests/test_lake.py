@@ -94,6 +94,48 @@ def test_mor_resolution_and_compaction(spark, tmp_path):
     assert t2.snapshot().count() == 1
 
 
+def test_metadata_tables_reflect_manifest(spark, tmp_path):
+    """meta_files / meta_snapshots / meta_refs are the Iceberg
+    files/snapshots/refs metadata tables: ops queries (delta depth per
+    bucket, size distribution, tag audit) as plain DataFrame SQL, built
+    metadata-only from the manifest + parquet footers."""
+    t = _mk(spark, tmp_path, "meta", mode="mor")
+    t.merge(_changes(spark, [(f"k{i}", str(i), i, i, "U") for i in range(30)]), epoch=0)
+    t.compact()  # MoR: base files exist only after the first compaction
+    t.merge(_changes(spark, [(f"k{i}", "u", i, 100 + i, "U") for i in range(10)]), epoch=1)
+    t.create_tag("audit-1")
+
+    files = t.meta_files()
+    rows = files.collect()
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"base", "delta"}
+    assert all(r["size_bytes"] > 0 and r["record_count"] > 0 for r in rows)
+    # record counts reconcile: base+delta rows >= resolved snapshot rows
+    assert sum(r["record_count"] for r in rows) >= t.snapshot().count()
+    # the ops query the table exists for: delta depth per bucket
+    depth = {
+        r["bucket"]: r["d"]
+        for r in files.filter("kind = 'delta'")
+        .groupBy("bucket")
+        .agg(F.count_distinct("delta_layer").alias("d"))
+        .collect()
+    }
+    assert depth and all(d >= 1 for d in depth.values())
+
+    snaps = t.meta_snapshots().collect()
+    assert len(snaps) == len(t.history())
+    assert snaps[0]["snapshot_id"] == t.current_snapshot()["snapshot_id"]
+
+    refs = {r["name"]: r["snapshot_id"] for r in t.meta_refs().collect()}
+    assert refs == t.tags()
+
+    # after compaction the delta rows disappear and bases are rewritten
+    t.compact()
+    post = t.meta_files()
+    assert post.filter("kind = 'delta'").count() == 0
+    assert post.filter("kind = 'base'").count() >= 1
+
+
 def test_zorder_compaction_prunes_on_every_clustered_column(spark, tmp_path):
     """compact(zorder_cols=...) must yield files whose raw min/max stats
     prune on EVERY clustered column — linear sort only ever helps the

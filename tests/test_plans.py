@@ -226,14 +226,30 @@ def test_kmv_default_plan_builds_without_jobs(spark):
 
 def test_kmeans_assignment_broadcasts_centroids(spark):
     """Lloyd's assignment must broadcast the k centroids (never shuffle the
-    corpus against them) and keep the whole loop JVM-side."""
-    df = qt.ivf_train_kmeans(spark, SF)
+    corpus against them) and keep the whole loop JVM-side. The trained
+    centroids are localCheckpoint'ed (lineage truncated — the training
+    rounds' joins are no longer visible in downstream plans), so the
+    broadcast contract is asserted on an assignment built OVER the trained
+    centroids: the exact plan every per-round assignment used during
+    training and every consumer (IVF probe, SemDeDup cells) uses after."""
     from data_exchange_hl7_spark.plans.inspect import explain_str
+    from data_exchange_hl7_spark.queries_text import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        _kmeans_assign,
+        _kmeans_centroids,
+        _quantized,
+    )
 
+    e = _quantized(spark, SF).select("vec_id", "q")
+    cent = _kmeans_centroids(spark, SF, KMEANS_K, KMEANS_ITERS)
+    df = _kmeans_assign(e, cent)
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert_no_python_udf(df)
+    # the trained-output query itself stays JVM-side
+    assert_no_python_udf(qt.ivf_train_kmeans(spark, SF))
 
 
 def test_repetition_flags_two_level_agg(spark):

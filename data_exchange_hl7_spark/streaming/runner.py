@@ -175,13 +175,16 @@ class MicroBatchRunner:
                     info["expiry"] = table.expire_snapshots(self.expire_keep_last)
                 # derived tables accrete delta layers at the same epoch
                 # cadence as the main table — same maintenance wall applies.
-                # sort_cols are main-table layout hints; keep only those the
-                # derived schema actually has
+                # sort_cols/zorder_cols are main-table layout hints; keep
+                # only those the derived schema actually has
                 for dt, *_ in self.engine._derived.get(_tname(table), []):
                     opts = dict(self.compact_opts)
-                    if opts.get("sort_cols"):
-                        have = {f["name"] for f in dt.schema_fields()}
-                        opts["sort_cols"] = [c for c in opts["sort_cols"] if c in have] or None
+                    have = {f["name"] for f in dt.schema_fields()}
+                    for layout_key in ("sort_cols", "zorder_cols"):
+                        if opts.get(layout_key):
+                            opts[layout_key] = [
+                                c for c in opts[layout_key] if c in have
+                            ] or None
                     dt.compact(**opts)
                     if self.expire_keep_last:
                         dt.expire_snapshots(self.expire_keep_last)

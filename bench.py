@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "repo_license_rollup",
     "zorder_read",
     "code_release_report",
+    "bpe_train_merges",
 ]
 
 

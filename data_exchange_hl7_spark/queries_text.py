@@ -4676,3 +4676,107 @@ SELECT source,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_release
 FROM fl GROUP BY source ORDER BY source
 """
+
+
+# ==================== BPE merge training (iterative) =======================
+
+BPE_MERGE_ROUNDS = 3
+
+
+def bpe_train_merges(spark, sf_dir, n_rounds: int = BPE_MERGE_ROUNDS):
+    """Tokenizer training, step 2: the full BPE merge LOOP (Sennrich et al.
+    2016) — repeat ``n_rounds`` times: count adjacent symbol pairs over the
+    corpus, pick the most frequent (count desc, pair asc tie-break), fuse
+    every occurrence, recount. Returns the learned merge table
+    (rank, lhs, rhs, merged, n) — what a tokenizer ships.
+
+    Merge application uses single-pass left-to-right non-overlapping
+    replacement on the space-joined symbol string — REPLACE semantics,
+    identical in Spark and DuckDB, and the standard chunked-corpus
+    approximation for chained repeats (aaaa merges to (aa)a a, not
+    (aa)(aa), in the same pass).
+
+    Scale shape per round: pair counting is a narrow transform + ONE
+    two-level hash agg whose map-side combine collapses each partition to
+    <= |alphabet|^2 rows before the exchange; the argmax is a 1-row
+    driver-side collect (a metadata-bounded training decision, exactly the
+    k-means-centroid pattern); the merge apply is a narrow REPLACE. State
+    should be localCheckpoint'ed every ~10 rounds at real vocab sizes —
+    with 3 rounds the lineage stays shallow."""
+    d = _t(spark, sf_dir, "documents")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    state = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 1)
+        .select(
+            F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("s")
+        )
+    )
+    merges = []
+    for rnd in range(1, n_rounds + 1):
+        toks = F.split(F.trim(F.col("s")), " ")
+        pair_arr = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("l"),
+                    F.element_at(toks, i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        best = (
+            state.select(F.explode(pair_arr).alias("p"))
+            .select("p.l", "p.r")
+            .groupBy("l", "r")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()[0]  # 1-row training decision (k-means pattern)
+        )
+        merges.append((rnd, best["l"], best["r"], best["l"] + best["r"], best["n"]))
+        state = state.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f" {best['l']} {best['r']} "),
+                F.lit(f" {best['l']}{best['r']} "),
+            ).alias("s")
+        )
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, n bigint"
+    )
+
+
+def _bpe_train_oracle(n_rounds: int = BPE_MERGE_ROUNDS) -> str:
+    """Generate the K-stage DuckDB mirror: each stage recomputes pair
+    counts, picks the argmax in-SQL (no values shared with the Spark side —
+    the gate stays non-circular), and applies the REPLACE."""
+    parts = [
+        """WITH w0 AS (
+  SELECT ' ' || ARRAY_TO_STRING(STR_SPLIT(w, ''), ' ') || ' ' AS s
+  FROM (SELECT UNNEST(STR_SPLIT(text, ' ')) AS w FROM documents)
+  WHERE LENGTH(w) > 1)"""
+    ]
+    for k in range(1, n_rounds + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT toks[i] AS l, toks[i + 1] AS r, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT STR_SPLIT(TRIM(s), ' ') AS toks FROM w{k - 1}),
+       UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS t(i)
+  GROUP BY l, r),
+b{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
+w{k} AS (
+  SELECT REPLACE(s, ' ' || b.l || ' ' || b.r || ' ',
+                    ' ' || b.l || b.r || ' ') AS s
+  FROM w{k - 1}, b{k} b)""")
+    selects = "\nUNION ALL ".join(
+        f"SELECT {k} AS rank, l AS lhs, r AS rhs, l || r AS merged, n FROM b{k}"
+        for k in range(1, n_rounds + 1)
+    )
+    return "".join(parts) + f"\n{selects}\nORDER BY rank\n"
+
+
+ORACLE_BPE_TRAIN = _bpe_train_oracle()

@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "zorder_read",
     "code_release_report",
     "bpe_train_merges",
+    "bpe_tokenize_apply",
+    "source_overlap_matrix",
 ]
 
 

@@ -4780,3 +4780,176 @@ w{k} AS (
 
 
 ORACLE_BPE_TRAIN = _bpe_train_oracle()
+
+
+def bpe_tokenize_apply(spark, sf_dir, n_rounds: int = BPE_MERGE_ROUNDS):
+    """Tokenizer training, step 3: APPLY the learned merge table to the
+    corpus and report per-doc symbol counts before/after — the compression
+    measurement that decides whether a tokenizer is worth shipping.
+
+    The Spark side applies the merges its own trainer learned; the oracle
+    re-learns and re-applies them entirely in SQL — so a green row
+    certifies trainer AND application agree end-to-end (any divergence in
+    either stage breaks the hash).
+
+    Scale shape: the merge table is a K-row driver literal (broadcast by
+    construction); application is K narrow REPLACE passes over the word
+    state; the rollup is one hash agg by doc_id. orderBy is presentation
+    only."""
+    merges = bpe_train_merges(spark, sf_dir, n_rounds).collect()  # K rows
+    d = _t(spark, sf_dir, "documents")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    state = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 1)
+        .select(
+            "doc_id",
+            F.length("w").cast("bigint").alias("n_chars"),
+            F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("s"),
+        )
+    )
+    s = F.col("s")
+    for m in merges:
+        s = F.replace(
+            s, F.lit(f" {m['lhs']} {m['rhs']} "), F.lit(f" {m['merged']} ")
+        )
+    n_sym = F.size(F.split(F.trim(s), " ")).cast("bigint")
+    return (
+        state.select("doc_id", "n_chars", n_sym.alias("n_sym"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_chars").cast("bigint").alias("symbols_before"),
+            F.sum("n_sym").cast("bigint").alias("symbols_after"),
+            (F.sum("n_chars") - F.sum("n_sym")).cast("bigint").alias("merged_away"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_apply_oracle(n_rounds: int = BPE_MERGE_ROUNDS) -> str:
+    """K-stage mirror with doc_id carried through the word state; merges
+    re-learned in-SQL (b1..bK from the corpus-wide state, as in the
+    trainer oracle) and re-applied per word."""
+    parts = [
+        """WITH w0 AS (
+  SELECT doc_id, CAST(LENGTH(w) AS BIGINT) AS n_chars,
+         ' ' || ARRAY_TO_STRING(STR_SPLIT(w, ''), ' ') || ' ' AS s
+  FROM (SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS w FROM documents)
+  WHERE LENGTH(w) > 1)"""
+    ]
+    for k in range(1, n_rounds + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT toks[i] AS l, toks[i + 1] AS r, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT STR_SPLIT(TRIM(s), ' ') AS toks FROM w{k - 1}),
+       UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS t(i)
+  GROUP BY l, r),
+b{k} AS (SELECT l, r FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
+w{k} AS (
+  SELECT doc_id, n_chars,
+         REPLACE(s, ' ' || b.l || ' ' || b.r || ' ',
+                    ' ' || b.l || b.r || ' ') AS s
+  FROM w{k - 1}, b{k} b)""")
+    return "".join(parts) + f"""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS symbols_before,
+       CAST(SUM(LEN(STR_SPLIT(TRIM(s), ' '))) AS BIGINT) AS symbols_after,
+       CAST(SUM(n_chars) - SUM(LEN(STR_SPLIT(TRIM(s), ' '))) AS BIGINT)
+           AS merged_away
+FROM w{n_rounds}
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ORACLE_BPE_APPLY = _bpe_apply_oracle()
+
+
+# =================== cross-source overlap matrix (n-gram) ==================
+
+OVERLAP_SHINGLE_N = 3
+
+
+def source_overlap_matrix(spark, sf_dir, n: int = OVERLAP_SHINGLE_N):
+    """Dataset-overlap analysis: exact pairwise n-gram overlap between
+    SOURCES (the question a corpus curator asks before mixing two crawls or
+    two dumps: how much of B is already in A). For every source pair with
+    any shared 3-word shingle: exact |A∩B|, |A∪B|, and integer Jaccard
+    (permille) over the sources' distinct-shingle sets. Pairs with zero
+    intersection are omitted (sparse matrix).
+
+    Scale shape: the per-source shingle SETS are one distinct on
+    (source, shingle-hash) — mergeable, map-side combined; the pairwise
+    intersection is a self-equi-join on the 16-byte hash whose per-key
+    block is bounded by the number of SOURCES carrying that shingle
+    (<= n_sources rows, never corpus-sized — the analogue of the DF cap in
+    ngram_jaccard_pairs, enforced structurally because the join input is
+    source-distinct); set sizes broadcast onto the 190-row pair frame.
+    orderBy is presentation only."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    sh_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sets = (
+        d.select("source", F.explode(sh_arr).alias("h")).distinct()
+    )
+    sizes = sets.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(F.broadcast(sz_a), "src_a")
+        .join(F.broadcast(sz_b), "src_b")
+        .withColumn("n_union", (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_inter",
+        F.col("n_union").cast("bigint").alias("n_union"),
+        F.floor(F.col("n_inter") * 1000 / F.col("n_union"))
+        .cast("bigint")
+        .alias("jaccard_permille"),
+    ).orderBy("src_a", "src_b")
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH sets AS (
+  SELECT DISTINCT source,
+         MD5(ARRAY_TO_STRING(toks[i:i+{OVERLAP_SHINGLE_N - 1}], ' ')) AS h
+  FROM (
+    SELECT source, LIST_FILTER(STR_SPLIT(text, ' '), x -> LEN(x) > 0) AS toks
+    FROM documents),
+    UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - {OVERLAP_SHINGLE_N - 1}, 0)))
+        AS t(i)),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM sets GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sets a JOIN sets b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT src_a, src_b, n_inter,
+       CAST(sa.sz + sb.sz - n_inter AS BIGINT) AS n_union,
+       CAST(FLOOR(n_inter * 1000 / (sa.sz + sb.sz - n_inter)) AS BIGINT)
+           AS jaccard_permille
+FROM inter
+JOIN sizes sa ON inter.src_a = sa.source
+JOIN sizes sb ON inter.src_b = sb.source
+ORDER BY src_a, src_b
+"""

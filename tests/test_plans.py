@@ -547,3 +547,49 @@ def test_semantic_dedup_and_dsir_scale_shapes(spark):
     assert "CartesianProduct" not in plan
     assert_broadcast_join(ds, at_least=1)
     assert_no_python_udf(ds)
+
+
+def test_late_r4_code_ops_scale_shapes(spark):
+    """Scale contracts of the late-r4 code-corpus family: the per-file gates
+    (license, imports-extract, clone normalization, BPE state passes) are
+    narrow column work — their only exchanges are the round-robin scan
+    fan-out, aggregation, and presentation sort; the fan-in/size joins
+    broadcast; nothing drops to per-row Python."""
+    # license_detect: zero joins, bounded exchanges (fan-out + sort)
+    df = qt.license_detect(spark, SF)
+    assert n_exchanges(df) <= 2
+    assert_no_python_udf(df)
+    # import_graph: two-level mergeable agg, no join at all
+    df = qt.import_graph(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert_no_python_udf(df)
+    # normalized_clone_dedup: ONE hash agg on the norm hash, no window
+    df = qt.normalized_clone_dedup(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert_no_python_udf(df)
+    # repo_context_pack: the fan-in join must broadcast (never shuffle the
+    # corpus against the source x module dim)
+    df = qt.repo_context_pack(spark, SF)
+    assert_broadcast_join(df)
+    assert_no_python_udf(df)
+    # repo_license_rollup: one agg over the verdict frame, no window
+    df = qt.repo_license_rollup(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert_no_python_udf(df)
+    # code_release_report: single corpus scan (flags bind pre-projection) —
+    # the only join is the clone-group join back
+    df = qt.code_release_report(spark, SF)
+    assert_no_python_udf(df)
+    # source_overlap_matrix: set-size dims broadcast onto the pair frame
+    df = qt.source_overlap_matrix(spark, SF)
+    assert_broadcast_join(df)
+    assert_no_python_udf(df)
+    # bpe_tokenize_apply: merge table is a literal — application adds NO
+    # join; one agg by doc_id + presentation sort
+    df = qt.bpe_tokenize_apply(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert_no_python_udf(df)

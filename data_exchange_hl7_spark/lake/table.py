@@ -1516,6 +1516,44 @@ class LakeTable:
         self._evolve(mutate)
 
     # ------------------------------------------------- maintenance
+    def orphan_files(self) -> DataFrame:
+        """Disk-vs-manifest reconciliation, DRY-RUN (the report half of
+        Iceberg's ``remove_orphan_files``): every parquet file under the
+        data dir referenced by NO retained snapshot manifest — a crashed
+        writer's pre-commit leftovers, a discarded staged attempt — with
+        its size. Report only; deletion stays with ``expire_snapshots``
+        (which carries the CAS + in-flight-writer guards). Metadata-bounded:
+        one manifest walk + one directory listing, no data pages read."""
+        import re as _re
+
+        referenced: set[str] = set()
+        for f in os.listdir(self.meta_dir):
+            if not _re.match(r"^v\d{8}\.json$", f):
+                continue
+            with open(os.path.join(self.meta_dir, f)) as fh:
+                ks = json.load(fh)
+            for entry in ks["buckets"].values():
+                referenced.update(entry["files"])
+            for d in ks.get("deltas", []):
+                for fs in d["files"].values():
+                    referenced.update(fs)
+        rows = []
+        for root, _dirs, files in os.walk(self.data_dir):
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                abs_p = os.path.join(root, fname)
+                rel = os.path.relpath(abs_p, self.data_dir)
+                if rel not in referenced:
+                    try:
+                        size = os.path.getsize(abs_p)
+                    except OSError:
+                        size = None
+                    rows.append((rel, size))
+        return self.spark.createDataFrame(
+            sorted(rows) or [], "file string, size_bytes long"
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Expire old snapshots and delete their unreferenced data files —
         the Iceberg ``expire_snapshots`` + ``remove_orphan_files`` analogue.

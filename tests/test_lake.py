@@ -136,6 +136,41 @@ def test_metadata_tables_reflect_manifest(spark, tmp_path):
     assert post.filter("kind = 'base'").count() >= 1
 
 
+def test_orphan_files_reports_unreferenced_only(spark, tmp_path):
+    """orphan_files is the dry-run half of remove_orphan_files: a crashed
+    writer's leftover parquet shows up with its size; every
+    manifest-referenced file stays out of the report; expire_snapshots
+    then actually reclaims the orphan."""
+    import os
+
+    t = _mk(spark, tmp_path, "orph", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U"), ("b", "2", 2, 2, "U")]), epoch=0)
+    assert t.orphan_files().count() == 0
+
+    # crashed writers' leftovers: one under an OLD snapshot id (reclaimable)
+    # and one under a FUTURE id (an in-flight writer — expiry must not touch)
+    def _fake(sid_dir):
+        d = os.path.join(t.data_dir, sid_dir, "__bucket=0")
+        os.makedirs(d)
+        p = os.path.join(d, "part-orphan.parquet")
+        spark.createDataFrame([(1,)], "x int").toPandas().to_parquet(p)
+
+    _fake("s00000001-deadbeef")
+    _fake("s00000099-deadbeef")
+
+    rows = {r["file"]: r["size_bytes"] for r in t.orphan_files().collect()}
+    assert len(rows) == 2 and all(sz > 0 for sz in rows.values())
+    # referenced files are untouched by the report and by expiry
+    t.merge(_changes(spark, [("a", "9", 9, 9, "U")]), epoch=1)
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    # expiry reclaimed the old orphan; the future-sid one survives the
+    # in-flight-writer guard and stays visible in the report
+    left = [r["file"] for r in t.orphan_files().collect()]
+    assert len(left) == 1 and left[0].startswith("s00000099")
+    assert {r["k"]: r["v"] for r in t.snapshot().collect()} == {"a": "9", "b": "2"}
+
+
 def test_zorder_compaction_prunes_on_every_clustered_column(spark, tmp_path):
     """compact(zorder_cols=...) must yield files whose raw min/max stats
     prune on EVERY clustered column — linear sort only ever helps the

@@ -217,3 +217,64 @@ def test_split_assignment_stable_under_corpus_growth(ids):
         sub = {i: split_of(i) for i in ids[:k]}
         assert all(full[i] == s for i, s in sub.items())
     assert set(full.values()) <= {"train", "val", "test"}
+
+
+# ------------------- z-order rank: order preservation ----------------------
+
+
+zorder_vals = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=2, max_size=40
+)
+
+
+@given(zorder_vals)
+@SPARK_SETTINGS
+def test_zorder_rank_is_order_preserving(spark, vals):
+    """The z-order per-column range id must be NON-DECREASING in the
+    column's natural order — that is the property that keeps raw per-file
+    min/max stats tight after the interleave (a hash-based id would cluster
+    equally well for equality probes but destroy range stats)."""
+    from pyspark.sql import functions as F
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    df = spark.createDataFrame([(v,) for v in vals], "c string")
+    t = LakeTable.__new__(LakeTable)  # rank helpers only touch spark + df
+    t.spark = spark
+    bounds = LakeTable._zorder_boundaries(t, df, "c", 8)
+    if not bounds:
+        return  # <2 distinct values: rank is constant, trivially monotone
+    arr = F.array(*[F.lit(b) for b in bounds])
+    rank = F.aggregate(
+        arr, F.lit(0), lambda acc, b: acc + F.when(F.col("c") > b, 1).otherwise(0)
+    )
+    got = {
+        r["c"]: r["rank"]
+        for r in df.select("c", rank.alias("rank")).distinct().collect()
+    }
+    ordered = sorted(got)
+    ranks = [got[v] for v in ordered]
+    assert ranks == sorted(ranks), f"rank not monotone: {list(zip(ordered, ranks))}"
+    assert 0 <= min(ranks) and max(ranks) <= len(bounds)
+
+
+# ------------------- license precedence: SPDX beats phrase -----------------
+
+
+def test_license_precedence_is_total(spark):
+    """Every doc gets exactly one verdict; SPDX-tagged docs always resolve
+    to the tag regardless of which phrase also matches; docs with neither
+    resolve NOASSERTION/unknown/none — the classification is total and
+    mutually exclusive (the keep gate cannot silently drop or double-count
+    a file)."""
+    from data_exchange_hl7_spark import queries_text as qt
+
+    rows = qt.license_detect(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["via"] in ("spdx", "phrase", "none")
+        if r["via"] == "spdx":
+            assert r["license"] == "BSD-2-Clause"  # the injected tag wins
+        if r["via"] == "none":
+            assert r["license"] == "NOASSERTION" and r["family"] == "unknown"
+        assert (r["keep"] == 1) == (r["family"] == "permissive")

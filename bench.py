@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "bpe_train_merges",
     "bpe_tokenize_apply",
     "source_overlap_matrix",
+    "neardup_editdist_verify",
 ]
 
 

@@ -4953,3 +4953,97 @@ JOIN sizes sa ON inter.src_a = sa.source
 JOIN sizes sb ON inter.src_b = sb.source
 ORDER BY src_a, src_b
 """
+
+
+# ============ LSH candidate verification by exact edit distance ============
+
+EDIT_VERIFY_MAX_PCT = 10  # accept candidates within 10% relative edit distance
+
+
+def _with_mutated_dups(d: DataFrame) -> DataFrame:
+    """Near-dup synthesis with REAL, nonzero edit distances (the exact-copy
+    synthesis of _with_synth_dups would verify trivially at distance 0):
+    every 10th doc gains a copy with an appended suffix, every 15th a copy
+    with its first four characters dropped — both engines do the same
+    in-plan."""
+    m1 = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rev2 minor edit")).alias("text"),
+    )
+    m2 = d.filter(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.substring(F.col("text"), 5, 1_000_000).alias("text"),
+    )
+    return d.unionByName(m1).unionByName(m2)
+
+
+_MUTATED_DUP_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' rev2 minor edit' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, SUBSTR(text, 5, 1000000) AS text
+  FROM documents WHERE doc_id % 15 = 0
+"""
+
+
+def neardup_editdist_verify(
+    spark, sf_dir, n_bands: int = N_BANDS, max_rel_pct: int = EDIT_VERIFY_MAX_PCT
+):
+    """The verification stage every LSH dedup pipeline ends with: exact
+    edit distance over the CANDIDATE pairs only (never all pairs), with an
+    integer relative-distance accept gate (dist*100 <= pct*max_len). LSH
+    answers "possibly similar"; this answers "actually similar" — the
+    false-positive filter before dropping data.
+
+    Scale shape: the O(len^2) Levenshtein DP (a JVM builtin, identical
+    algorithm in DuckDB) runs ONLY on band-collision candidates — the
+    whole point of the LSH stage — and the text join-back is two
+    doc_id-keyed equi-joins against the candidate list, which is orders of
+    magnitude smaller than the corpus. Runs over corpus + MUTATED
+    synthesized dups so distances are non-zero and both gate outcomes
+    occur (non-vacuous)."""
+    d = _with_mutated_dups(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    pairs = _lsh_pairs(d, n_bands)
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    j = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    dist = F.levenshtein("text_a", "text_b")
+    max_len = F.greatest(F.length("text_a"), F.length("text_b")).cast("bigint")
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            dist.cast("bigint").alias("edit_dist"),
+            max_len.alias("max_len"),
+            (dist * 100 <= max_rel_pct * max_len).cast("int").alias("verified"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_EDITDIST_VERIFY = f"""
+WITH corpus AS ({_MUTATED_DUP_SQL}),
+sh AS ({_shingle_sql("corpus")}),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_AGGS}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  {_MINHASH_BAND_UNION}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id)
+SELECT p.doc_a, p.doc_b,
+       CAST(LEVENSHTEIN(ca.text, cb.text) AS BIGINT) AS edit_dist,
+       CAST(GREATEST(LENGTH(ca.text), LENGTH(cb.text)) AS BIGINT) AS max_len,
+       CAST(LEVENSHTEIN(ca.text, cb.text) * 100
+            <= {EDIT_VERIFY_MAX_PCT} * GREATEST(LENGTH(ca.text), LENGTH(cb.text))
+            AS INT) AS verified
+FROM pairs p
+JOIN corpus ca ON p.doc_a = ca.doc_id
+JOIN corpus cb ON p.doc_b = cb.doc_id
+ORDER BY doc_a, doc_b
+"""

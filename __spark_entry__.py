@@ -40,16 +40,16 @@ oldest-green tail. NOTE (late r4): the single-split fan-out (`_spread` /
 the `_t` round-robin repartition) touched EVERY wrapper in queries.py and
 queries_text.py after the r4 gate ran, so by the byte-unchanged rule all
 tail greens are stale; the change is plan-level only (no expression
-changed) and the full oracle-parity suite re-verified all 112 queries at
+changed) and the full oracle-parity suite re-verified all queries at
 sf0.01 the same session, but r5 should still prefer rotating the heavy
-LSH family plus a sample of the spread-touched wrappers. The eleven
+LSH family plus a sample of the spread-touched wrappers. The fourteen
 late-r4 queries (license_detect, import_graph, normalized_clone_dedup,
 repo_context_pack, repo_license_rollup, zorder_read,
 code_release_report, bpe_train_merges, bpe_tokenize_apply,
-source_overlap_matrix, neardup_editdist_verify) sit inside the r4
-window; the window boundary now falls inside the r2 cohort
-(name_normalization onward displaced to 51+, still locally
-parity-tested every pytest run). NOTE: tests/test_oracle_parity.py replicates the gate
+source_overlap_matrix, neardup_editdist_verify, session_window_counts,
+snapshot_diff, module_pagerank) sit inside the r4 window; the window
+boundary now falls inside the r2 cohort (branch_router onward displaced
+to 51+, still locally parity-tested every pytest run). NOTE: tests/test_oracle_parity.py replicates the gate
 for ALL queries at sf0.01 in every pytest run, so tail queries are never
 unchecked — only externally un-refreshed. COVERAGE.md carries the
 per-query last-green ledger (python ledger.py).
@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize_apply": qt.bpe_tokenize_apply,
         "source_overlap_matrix": qt.source_overlap_matrix,
         "neardup_editdist_verify": qt.neardup_editdist_verify,
+        "session_window_counts": q.session_window_counts,
+        "snapshot_diff": q.snapshot_diff,
+        "module_pagerank": qt.module_pagerank,
         # --- r3-touched modules (lake/table.py, engine.py, query wrappers)
         # whose only green rows predate the r3 code — re-certify ----------
         "hl7_debatch": q.hl7_debatch,
@@ -316,6 +319,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokenize_apply": qt.ORACLE_BPE_APPLY,
         "source_overlap_matrix": qt.ORACLE_SOURCE_OVERLAP,
         "neardup_editdist_verify": qt.ORACLE_EDITDIST_VERIFY,
+        "session_window_counts": q.ORACLE_SESSION_WINDOWS,
+        "snapshot_diff": q.ORACLE_SNAPSHOT_DIFF,
+        "module_pagerank": qt.ORACLE_MODULE_PAGERANK,
         "purge_read": q.ORACLE_PURGE_READ,
         "json_lake_flat": q.ORACLE_JSON_LAKE_FLAT,
         "gold_wide_projection": q.ORACLE_GOLD_WIDE,

@@ -1386,6 +1386,61 @@ ORDER BY user_id
 """
 
 
+def snapshot_diff(spark, sf_dir):
+    """Snapshot-to-snapshot corpus diff: full-outer join of the table state
+    at snapshot 1 (time travel) against the current state, classifying every
+    key as added / removed / changed / unchanged — the 'what changed between
+    corpus releases' report a training-data pipeline publishes with each
+    refresh, and the audit view of the same deltas the change-data feed
+    exposes row-by-row (Iceberg analogue: joining two VERSION AS OF reads;
+    reference analogue: the before/after comparisons of the replay
+    controller's processing-status reports, svc-hl7-replay).
+
+    Scale shape: both sides are stats-skipped snapshot reads of the SAME
+    table with identical key bucketing, so the full-outer join hashes on the
+    already-bucket-aligned key; the classification is a narrow projection on
+    the join output. 'removed' keys come from delete tombstones (the 'error'
+    latest rows), 'added' from keys whose first change landed after
+    snapshot 1."""
+    t = _lake_demo_table(spark, sf_dir)
+    old = t.snapshot(as_of=1).select("user_id", F.col("event_id").alias("old_event_id"))
+    new = t.snapshot().select("user_id", F.col("event_id").alias("new_event_id"))
+    status = (
+        F.when(F.col("old_event_id").isNull(), F.lit("added"))
+        .when(F.col("new_event_id").isNull(), F.lit("removed"))
+        .when(F.col("old_event_id") != F.col("new_event_id"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        old.join(new, "user_id", "full_outer")
+        .select("user_id", "old_event_id", "new_event_id", status.alias("status"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT user_id, event_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 0)
+  WHERE rn = 1 AND event_type <> 'error'),
+new AS (
+  SELECT user_id, event_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1 AND event_type <> 'error')
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       o.event_id AS old_event_id,
+       n.event_id AS new_event_id,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN n.user_id IS NULL THEN 'removed'
+            WHEN o.event_id <> n.event_id THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+ORDER BY user_id
+"""
+
+
 def filtered_snapshot_read(spark, sf_dir):
     """Manifest-stats file skipping: key-predicate read of the final MoR state
     (`lake/table.py` snapshot(where=...)). Values must equal the unpruned
@@ -1770,6 +1825,56 @@ SELECT STRFTIME(window_start, '{tsf}') AS window_start,
 FROM assigned
 GROUP BY window_start, event_type
 ORDER BY window_start, event_type
+""".replace("{tsf}", TS_FMT_DUCK)
+
+
+def session_window_counts(spark, sf_dir):
+    """Native mergeable session windows (streaming/windowed.session_counts,
+    ``F.session_window``): per-user sessions with a 4-hour inactivity gap;
+    ``session_end`` = last event + gap. Complements `sessionize` (the
+    ordering-at-rest prefix-sum numbering): this is the bounded-state
+    streaming-capable shape (section 2.9) — under a watermark the same
+    expression finalizes sessions incrementally across micro-batches.
+
+    The oracle replays Spark's merge rule as gaps-and-islands: each event
+    opens [ts, ts+gap) and strictly-overlapping intervals merge, so a new
+    island starts when the gap to the previous event is >= 4h. At sf0.01
+    this yields 6,940 sessions of which 2,094 are multi-event — a real
+    merge workload, not all singletons."""
+    from data_exchange_hl7_spark.streaming.windowed import session_counts
+
+    ev = _spread(_t(spark, sf_dir, "events"))
+    return (
+        session_counts(ev, ts_col="ts", keys=("user_id",), gap="4 hours")
+        .select(
+            "user_id",
+            F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+            F.date_format("session_end", TS_FMT_SPARK).alias("session_end"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE_SESSION_WINDOWS = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN EPOCH(ts) - LAG(EPOCH(ts)) OVER w IS NULL
+                OR EPOCH(ts) - LAG(EPOCH(ts)) OVER w >= 14400 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g)
+SELECT user_id,
+       STRFTIME(MIN(ts), '{tsf}') AS session_start,
+       STRFTIME(MAX(ts) + INTERVAL 4 HOUR, '{tsf}') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
 """.replace("{tsf}", TS_FMT_DUCK)
 
 

@@ -4267,19 +4267,7 @@ def import_graph(spark, sf_dir):
     the exchange; n_sources is a two-level distinct-then-count agg, both
     levels mergeable. orderBy is presentation only."""
     d = _t(spark, sf_dir, "documents")
-    header = F.concat_ws(
-        "\n",
-        F.concat(F.lit("import mod"), (F.col("doc_id") % 20).cast("string")),
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(F.lit("import pkg"), (F.col("doc_id") % 7).cast("string")),
-        ),
-        F.when(
-            F.col("doc_id") % 4 == 0,
-            F.concat(F.lit("require lib"), (F.col("doc_id") % 11).cast("string")),
-        ),
-        F.col("text"),
-    )
+    header = _import_header_col()
     edges = d.select(
         "doc_id",
         "source",
@@ -4324,6 +4312,206 @@ SELECT module,
 FROM s GROUP BY module
 ORDER BY n_files DESC, module
 """
+
+
+# ===================== module-dependency PageRank ==========================
+
+# PageRank over the layered import digraph — the ecosystem-importance
+# weighting used to up/down-weight repositories in code training corpora
+# (The Stack v2's repo-level popularity weighting; analogous to the
+# reference's metadata-promotion rollups feeding report weights). Nodes are
+# modules; edges run DOWN the layer order app-module -> package -> library
+# (prefix rank mod < pkg < lib), so leaf libraries are genuine dangling
+# sinks whose mass must be redistributed — the standard dangling-node
+# handling, exercised for real, not vacuously.
+#
+# Float discipline: ranks live on an exact integer ppm grid (PR_SCALE) and
+# every step is bigint arithmetic — per-edge transfer (rank*w) div out_w,
+# teleport base (15% of PR_SCALE) // N, damping (85 * x) // 100 — so DuckDB
+# replays the iteration bit-for-bit and the hash gate is immune to
+# float-summation order (the repo-wide convention, module docstring).
+PR_ITERS = 3
+PR_SCALE = 1_000_000
+
+
+def _import_header_col() -> "F.Column":
+    """The deterministic in-plan import synthesis shared by import_graph
+    and module_pagerank (rationale in import_graph's docstring)."""
+    return F.concat_ws(
+        "\n",
+        F.concat(F.lit("import mod"), (F.col("doc_id") % 20).cast("string")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("import pkg"), (F.col("doc_id") % 7).cast("string")),
+        ),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("require lib"), (F.col("doc_id") % 11).cast("string")),
+        ),
+        F.col("text"),
+    )
+
+
+def module_pagerank(spark, sf_dir, n_iters: int = PR_ITERS):
+    """Fixed-iteration PageRank over the module dependency digraph (see the
+    block comment above for the graph + integer-grid design).
+
+    Scale shape — why this is the 100-TB plan: the only pass over the
+    corpus is the narrow edge extraction (regexp -> per-doc pair expansion
+    inside the array, never wider than the import list) feeding ONE
+    map-side-combinable (src, dst) count agg; everything after operates on
+    the module-vocabulary graph (|V| ~ ecosystem size, |E| <= |V|^2
+    observed pairs), which is checkpointed once and reused. Each iteration
+    is one broadcast join of the rank table against the edge list + one
+    hash agg — rank state never returns to the corpus. The dangling term is
+    an anti-join agg (1 row) crossJoined broadcast, a metadata-sized
+    scalar, not a shuffle."""
+    edges, nodes = _pagerank_graph(spark, sf_dir)
+    # module-vocabulary size: metadata-bounded driver scalar — the rank seed
+    # and teleport base must be the same exact integers on both engines
+    n = nodes.count()
+    base = (PR_SCALE * 15) // (100 * n)
+    ranks = nodes.select("node", F.lit(PR_SCALE // n).cast("bigint").alias("rank"))
+    srcs = edges.select(F.col("src").alias("node")).distinct()
+    for _ in range(n_iters):
+        ranks = _local_checkpoint_tracked(
+            _pagerank_step(edges, nodes, srcs, ranks, n, base)
+        )
+    return ranks.select("node", F.col("rank").alias("rank_ppm")).orderBy(
+        F.desc("rank_ppm"), "node"
+    )
+
+
+def _pagerank_graph(spark, sf_dir) -> tuple:
+    """Edge extraction for module_pagerank: per-doc layered import pairs
+    (prefix rank mod < pkg < lib — edges run down the layer order, so lib
+    leaves are dangling sinks), counted into a weighted edge list with
+    per-src out-weights attached, plus the node set. Both frames are
+    checkpointed: they are the module-vocabulary-sized graph every rank
+    iteration reuses, and the corpus scan must not re-enter those plans."""
+    d = _t(spark, sf_dir, "documents")
+    mods = F.regexp_extract_all(_import_header_col(), F.lit(IMPORT_RE), F.lit(1))
+
+    def _layer(c):
+        return F.when(c.startswith("mod"), 0).when(c.startswith("pkg"), 1).otherwise(2)
+
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                mods,
+                lambda a: F.transform(
+                    mods, lambda b: F.struct(a.alias("src"), b.alias("dst"))
+                ),
+            )
+        ),
+        lambda p: _layer(p["src"]) < _layer(p["dst"]),
+    )
+    edges = (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("out_w"))
+    edges = _local_checkpoint_tracked(edges.join(outw, "src"))
+    nodes = _local_checkpoint_tracked(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return edges, nodes
+
+
+def _pagerank_step(
+    edges: DataFrame,
+    nodes: DataFrame,
+    srcs: DataFrame,
+    ranks: DataFrame,
+    n: int,
+    base: int,
+) -> DataFrame:
+    """One exact-integer PageRank round: broadcast the (tiny) rank table
+    onto the edge list, hash-agg in-contributions per dst, fold in the
+    dangling mass (1-row broadcast scalar) and the teleport base. Kept
+    separate so the plan test can assert the broadcast on a LIVE step —
+    module_pagerank checkpoints each round, which truncates the joins out
+    of downstream plans (same pattern as the k-means assignment test)."""
+    contrib = (
+        edges.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .select("dst", F.expr("(rank * w) div out_w").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    dang = ranks.join(srcs, "node", "left_anti").agg(
+        F.coalesce(F.sum("rank"), F.lit(0)).cast("bigint").alias("dang")
+    )
+    return (
+        # contrib is bounded by |V| (one row per in-edged node): broadcast
+        # explicitly — agg outputs carry no stats, so the planner would
+        # otherwise sort-merge two vocabulary-sized frames
+        nodes.join(F.broadcast(contrib), nodes["node"] == contrib["dst"], "left")
+        .crossJoin(F.broadcast(dang))
+        .select(
+            "node",
+            (F.lit(base) + F.expr(f"(85 * (coalesce(c, 0) + dang div {n})) div 100"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    )
+
+
+def _module_pagerank_oracle(n_iters: int = PR_ITERS) -> str:
+    """Unrolled-iteration DuckDB replay of module_pagerank (same pattern as
+    _bpe_train_oracle): CTE chain r0 -> c1/d1/r1 -> ... -> r{n}."""
+    layer = "CASE WHEN {m} LIKE 'mod%' THEN 0 WHEN {m} LIKE 'pkg%' THEN 1 ELSE 2 END"
+    head = f"""
+WITH c0 AS (
+  SELECT doc_id,
+         CONCAT_WS(chr(10),
+           'import mod' || CAST(doc_id % 20 AS VARCHAR),
+           CASE WHEN doc_id % 3 = 0
+                THEN 'import pkg' || CAST(doc_id % 7 AS VARCHAR) END,
+           CASE WHEN doc_id % 4 = 0
+                THEN 'require lib' || CAST(doc_id % 11 AS VARCHAR) END,
+           text) AS content
+  FROM documents),
+m AS (
+  SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(content, '{IMPORT_RE}', 1)) AS module
+  FROM c0),
+edges AS (
+  SELECT a.module AS src, b.module AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM m a JOIN m b
+    ON a.doc_id = b.doc_id
+   AND ({layer.format(m="a.module")}) < ({layer.format(m="b.module")})
+  GROUP BY 1, 2),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT node, CAST({PR_SCALE} // n AS BIGINT) AS rank FROM nodes, nn)"""
+    parts = [head]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM((r.rank * e.w) // o.out_w) AS c
+  FROM edges e JOIN r{i - 1} r ON e.src = r.node JOIN outw o ON o.src = e.src
+  GROUP BY e.dst),
+d{i} AS (
+  SELECT COALESCE(SUM(r.rank), 0) AS dang
+  FROM r{i - 1} r LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+r{i} AS (
+  SELECT n.node,
+         ({PR_SCALE} * 15) // (100 * nn.n)
+           + (85 * (COALESCE(c.c, 0) + d.dang // nn.n)) // 100 AS rank
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node, d{i} d, nn)""")
+    parts.append(f"""
+SELECT node, CAST(rank AS BIGINT) AS rank_ppm
+FROM r{n_iters}
+ORDER BY rank_ppm DESC, node""")
+    return "".join(parts)
+
+
+ORACLE_MODULE_PAGERANK = _module_pagerank_oracle()
 
 
 # ============== normalized-form clone dedup (comment-stripped) =============

@@ -62,6 +62,48 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("user_id",),
+    gap: str = "4 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(keys, session) event counts via the native mergeable session
+    window (``F.session_window``): every event opens the interval
+    ``[ts, ts + gap)`` and strictly-overlapping intervals merge, so a
+    session ends ``gap`` after its LAST event and an exact-boundary event
+    starts a new session.
+
+    This is the third event-time window family next to ``windowed_counts``'s
+    tumbling/sliding shapes, and the bounded-state complement of the
+    ordering-at-rest ``sessionize`` query (which numbers sessions with a
+    per-key prefix-sum window — a per-key sort). Streaming: session state is
+    merged across micro-batches and finalized once the watermark passes a
+    session's end, so state stays bounded no matter how long the stream
+    runs (the reference's processing-status rollups never re-open closed
+    reporting windows either — svc-hl7-replay report family). Batch: the
+    same expression plans as an aggregation whose per-key session merge runs
+    inside the keyed exchange — no driver state, no unbounded buffering.
+    """
+    if df.isStreaming and watermark:
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("sess"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
 def streaming_exact_dedup(
     df: DataFrame,
     hash_col: str = "message_hash",

@@ -498,6 +498,9 @@ def test_lsh_queries_release_persisted_frames(spark):
         # same registry (localCheckpoint is invisible to DataFrame.unpersist,
         # so without id-tracking these linger until the async ContextCleaner)
         qt.dup_clusters,
+        # iterative rank loop: edges/nodes/per-round rank frames all ride
+        # the same checkpoint registry
+        qt.module_pagerank,
     ):
         qt.release_persisted_frames()
         spark.catalog.clearCache()
@@ -593,3 +596,71 @@ def test_late_r4_code_ops_scale_shapes(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert_no_python_udf(df)
+
+
+def test_session_snapshot_pagerank_shapes(spark):
+    """The three r4-tail additions keep their scale contracts.
+
+    session_window_counts: the native session agg plans as a keyed exchange
+    + session merge — no per-row Python and exactly one shuffle for the agg
+    (plus the presentation sort). snapshot_diff: the two snapshot reads
+    full-outer-join on the key — never a nested-loop. module_pagerank: the
+    corpus appears only under the edge agg; every rank iteration joins the
+    (checkpointed, tiny) rank table BROADCAST against the edge list, and
+    the dangling scalar rides a broadcast nested-loop of a 1-row frame —
+    the corpus itself never re-enters the plan (scan count == 0 because the
+    checkpoint cut the lineage)."""
+    from data_exchange_hl7_spark.plans import explain_str
+
+    df = q.session_window_counts(spark, SF)
+    plan = explain_str(df)
+    assert "SessionWindow" in plan or "session_window" in plan
+    assert_no_python_udf(df)
+
+    df = q.snapshot_diff(spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan
+    assert_no_python_udf(df)
+    # all four classifications are live at the oracle-gate SF (non-vacuous:
+    # 8 added / 50 changed / 9 removed / 62 unchanged at sf0.01; the tiny
+    # sf0.001 corpus only produces changed/unchanged)
+    gate = q.snapshot_diff(spark, "/root/testdata/sf0.01")
+    stats = {r["status"] for r in gate.select("status").distinct().collect()}
+    assert stats == {"added", "removed", "changed", "unchanged"}
+
+    try:
+        # module_pagerank checkpoints each round (lineage truncated out of
+        # downstream plans), so the broadcast contract is asserted on a LIVE
+        # iteration step — the exact plan every round executes (same pattern
+        # as the k-means assignment test)
+        edges, nodes = qt._pagerank_graph(spark, SF)
+        n = nodes.count()
+        base = (qt.PR_SCALE * 15) // (100 * n)
+        ranks = nodes.select(
+            "node", F.lit(qt.PR_SCALE // n).cast("bigint").alias("rank")
+        )
+        srcs = edges.select(F.col("src").alias("node")).distinct()
+        step = qt._pagerank_step(edges, nodes, srcs, ranks, n, base)
+        plan = explain_str(step)
+        assert "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+        assert_no_python_udf(step)
+        # lineage was cut at the checkpointed graph frames: the document
+        # corpus is NOT rescanned by any iteration
+        assert "Scan parquet" not in plan
+
+        df = qt.module_pagerank(spark, SF)
+        assert_no_python_udf(df)
+        # the layered digraph has real dangling sinks (lib* never has
+        # out-edges), so the redistributed mass is nonzero: every node,
+        # including the in-edge-less mod roots, sits strictly above the
+        # teleport-only floor
+        rows = {r["node"]: r["rank_ppm"] for r in df.collect()}
+        assert {k[:3] for k in rows} == {"mod", "pkg", "lib"}
+        assert min(rows.values()) > base
+        # and rank discriminates: hub packages outrank the uniform roots
+        mod_floor = max(v for k, v in rows.items() if k.startswith("mod"))
+        assert min(v for k, v in rows.items() if k.startswith("pkg")) > mod_floor
+    finally:
+        qt.release_persisted_frames()

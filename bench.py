@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     "bpe_tokenize_apply",
     "source_overlap_matrix",
     "neardup_editdist_verify",
+    "session_window_counts",
+    "snapshot_diff",
+    "module_pagerank",
+    "cms_heavy_hitters",
 ]
 
 

@@ -2298,6 +2298,97 @@ ORDER BY source
 """
 
 
+# ------------------ count-min-sketch heavy hitters -------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 8  # buckets per row — the synthetic vocab is only ~31 tokens, so w must
+# be well below it for collisions (and the overestimate invariant) to be REAL
+# at test SF; production w scales with memory and changes no invariant
+CMS_TOP = 20
+
+
+def _cms_bucket(tok, r: int, w: int) -> "F.Column":
+    """Salted md5 bucket id for CMS row ``r`` — exact bigint on the md5
+    family, so DuckDB replays every cell of the sketch bit-for-bit."""
+    h = F.md5(F.concat_ws(":", F.lit(str(r)), tok))
+    return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"), F.lit(w))
+
+
+def cms_heavy_hitters(
+    spark, sf_dir, d_rows: int = CMS_D, w: int = CMS_W, top_n: int = CMS_TOP
+):
+    """Count-min-sketch token frequencies judged against exact counts — the
+    heavy-hitter primitive for corpus monitoring (vocabulary drift, boiler-
+    plate detection) when the token vocabulary is too large to count
+    exactly. The sketch is d x w COUNTERS built by ONE narrow pass
+    (posexplode of the d salted bucket ids per occurrence) feeding a single
+    map-side-combinable (row, bucket) agg — the d*w grid is mergeable
+    across executors/epochs by cell-wise addition, which is the whole
+    point of CMS at 100 TB. Estimates are min over the d rows.
+
+    Like kmv_distinct_sketch and length_percentiles_sketch, the EXACT side
+    exists to judge the sketch: candidates are the exact top-N tokens
+    (TakeOrdered partial top-k — no global sort, no window), and the gate
+    certifies both the estimates and the CMS overestimate-only invariant
+    (over_by >= 0 always; collisions at w=8 over a ~31-token vocab make over_by > 0 for real —
+    asserted non-vacuous in tests). A production deployment keeps the
+    256-cell sketch and probes it directly; the exact join is the
+    test-scale baseline, exactly as ann_recall_at_k's brute force."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: F.length(t) > 0)).alias(
+            "tok"
+        )
+    )
+    buckets = F.array(*[_cms_bucket(F.col("tok"), r, w) for r in range(d_rows)])
+    sketch = (
+        toks.select(F.posexplode(buckets).alias("r", "b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    cand = exact.orderBy(F.desc("n_exact"), F.asc("tok")).limit(top_n)
+    probe = cand.select("tok", "n_exact", F.posexplode(buckets).alias("r", "b"))
+    return (
+        probe.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("c").cast("bigint").alias("n_est"))
+        .select(
+            "tok",
+            "n_exact",
+            "n_est",
+            (F.col("n_est") - F.col("n_exact")).cast("bigint").alias("over_by"),
+        )
+        .orderBy(F.desc("n_exact"), "tok")
+    )
+
+
+ORACLE_CMS = f"""
+WITH tok AS (
+  SELECT UNNEST(LIST_FILTER(STR_SPLIT(text, ' '), t -> LEN(t) > 0)) AS tok
+  FROM documents),
+buck AS (
+  SELECT tok, g.r,
+         CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(CAST(g.r AS VARCHAR), ':', tok)),
+                                     1, 15)) AS BIGINT) % {CMS_W} AS b
+  FROM tok, GENERATE_SERIES(0, {CMS_D - 1}) AS g(r)),
+sketch AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c FROM buck GROUP BY r, b),
+exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM tok GROUP BY tok),
+cand AS (SELECT tok, n_exact FROM exact ORDER BY n_exact DESC, tok LIMIT {CMS_TOP}),
+probe AS (
+  SELECT c.tok, c.n_exact, g.r,
+         CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(CAST(g.r AS VARCHAR), ':', c.tok)),
+                                     1, 15)) AS BIGINT) % {CMS_W} AS b
+  FROM cand c, GENERATE_SERIES(0, {CMS_D - 1}) AS g(r))
+SELECT p.tok, p.n_exact,
+       CAST(MIN(s.c) AS BIGINT) AS n_est,
+       CAST(MIN(s.c) - p.n_exact AS BIGINT) AS over_by
+FROM probe p JOIN sketch s ON s.r = p.r AND s.b = p.b
+GROUP BY p.tok, p.n_exact
+ORDER BY n_exact DESC, tok
+"""
+
+
 # ------------------------- domain mixing (token budget) --------------------
 
 MIX_BUDGET_TOKENS = 10_000  # global token budget the mix must fit (< corpus tokens at sf>=0.01, so sampling is non-vacuous)

@@ -664,3 +664,23 @@ def test_session_snapshot_pagerank_shapes(spark):
         assert min(v for k, v in rows.items() if k.startswith("pkg")) > mod_floor
     finally:
         qt.release_persisted_frames()
+
+
+def test_cms_sketch_shape_and_invariant(spark):
+    """cms_heavy_hitters' scale contract: candidates come from TakeOrdered
+    (partial top-k, never a global sort/window), the 256-cell sketch joins
+    BROADCAST onto the probe, and the whole pipeline stays JVM-side. The
+    CMS overestimate-only invariant holds on every row and is non-vacuous
+    (w=8 over a ~31-token vocab guarantees real collisions)."""
+    from data_exchange_hl7_spark.plans import explain_str
+
+    df = qt.cms_heavy_hitters(spark, SF)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert_broadcast_join(df, at_least=1)
+    assert_no_python_udf(df)
+    rows = df.collect()
+    assert len(rows) == qt.CMS_TOP
+    assert all(r["over_by"] >= 0 for r in rows), "CMS must never underestimate"
+    assert any(r["over_by"] > 0 for r in rows), "collision regime is vacuous"

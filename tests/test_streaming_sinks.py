@@ -321,3 +321,54 @@ def test_stream_apply_maintains_aggregate_view(spark, tmp_path):
         assert got[repo] == vals, repo
     for repo in set(got) - set(exp):
         assert got[repo] == (0, 0), repo
+
+
+def test_session_counts_stream_matches_batch(spark, tmp_path):
+    """Watermarked session windows over a file stream (the one window family
+    whose state MERGES across micro-batches): append-mode emits a session
+    only once the watermark passes its end, and after a drain with a
+    far-future row every original session must be finalized and equal the
+    batch sessionization of the same data."""
+    from data_exchange_hl7_spark.streaming.windowed import session_counts
+
+    src = str(tmp_path / "sess_src")
+    ev = change_events(spark, 2000).select("event_id", "ts", "op").persist()
+    ev.write.mode("overwrite").parquet(src)
+
+    batch = {
+        (r["session_start"], r["session_end"], r["op"]): r["n_events"]
+        for r in session_counts(
+            spark.read.parquet(src), ts_col="ts", keys=("op",), gap="2 minutes"
+        ).collect()
+    }
+    # non-vacuous: the 2-minute gap actually splits each op into sessions
+    assert len(batch) > 4
+
+    out = str(tmp_path / "sess_out")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    spark.createDataFrame(
+        [(10_000_000, max_ts + __import__("datetime").timedelta(hours=3), "INSERT")],
+        "event_id long, ts timestamp, op string",
+    ).write.mode("append").parquet(src)
+    q = (
+        session_counts(
+            spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+            ts_col="ts", keys=("op",), gap="2 minutes", watermark="30 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["session_start"], r["session_end"], r["op"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # the sentinel's own far-future session is not in `batch`; everything
+    # else must be finalized and exact
+    finalized = {k: v for k, v in got.items() if k in batch}
+    assert finalized == batch
+    ev.unpersist()

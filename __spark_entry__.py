@@ -42,15 +42,15 @@ queries_text.py after the r4 gate ran, so by the byte-unchanged rule all
 tail greens are stale; the change is plan-level only (no expression
 changed) and the full oracle-parity suite re-verified all queries at
 sf0.01 the same session, but r5 should still prefer rotating the heavy
-LSH family plus a sample of the spread-touched wrappers. The fifteen
+LSH family plus a sample of the spread-touched wrappers. The sixteen
 late-r4 queries (license_detect, import_graph, normalized_clone_dedup,
 repo_context_pack, repo_license_rollup, zorder_read,
 code_release_report, bpe_train_merges, bpe_tokenize_apply,
 source_overlap_matrix, neardup_editdist_verify, session_window_counts,
-snapshot_diff, module_pagerank, cms_heavy_hitters) sit inside the r4
-window; the window boundary now falls inside the r2 cohort
-(receiver_file_report onward displaced to 51+, still locally
-parity-tested every pytest run). NOTE: tests/test_oracle_parity.py replicates the gate
+snapshot_diff, module_pagerank, cms_heavy_hitters,
+content_defined_chunks) sit inside the r4 window; the window boundary
+now falls inside the r2 cohort (errors_by_category onward displaced to
+51+, still locally parity-tested every pytest run). NOTE: tests/test_oracle_parity.py replicates the gate
 for ALL queries at sf0.01 in every pytest run, so tail queries are never
 unchecked — only externally un-refreshed. COVERAGE.md carries the
 per-query last-green ledger (python ledger.py).
@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q.snapshot_diff,
         "module_pagerank": qt.module_pagerank,
         "cms_heavy_hitters": qt.cms_heavy_hitters,
+        "content_defined_chunks": qt.content_defined_chunks,
         # --- r3-touched modules (lake/table.py, engine.py, query wrappers)
         # whose only green rows predate the r3 code — re-certify ----------
         "hl7_debatch": q.hl7_debatch,
@@ -325,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": q.ORACLE_SNAPSHOT_DIFF,
         "module_pagerank": qt.ORACLE_MODULE_PAGERANK,
         "cms_heavy_hitters": qt.ORACLE_CMS,
+        "content_defined_chunks": qt.ORACLE_CD_CHUNKS,
         "purge_read": q.ORACLE_PURGE_READ,
         "json_lake_flat": q.ORACLE_JSON_LAKE_FLAT,
         "gold_wide_projection": q.ORACLE_GOLD_WIDE,

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "module_pagerank",
     "cms_heavy_hitters",
+    "content_defined_chunks",
 ]
 
 

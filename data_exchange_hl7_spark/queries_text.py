@@ -2298,6 +2298,113 @@ ORDER BY source
 """
 
 
+# ---------------- content-defined chunking dedup ---------------------------
+
+CDCHUNK_MOD = 8  # boundary when h(word) % MOD == 0 -> expected chunk ~8 words
+CDCHUNK_MIN_OCC = 2
+
+
+def content_defined_chunks(spark, sf_dir, mod: int = CDCHUNK_MOD):
+    """Content-defined chunking dedup (rolling-boundary chunks, the storage-
+    dedup / partial-overlap primitive): a chunk ends after every word whose
+    md5-derived hash is 0 mod ``mod``, so — unlike fixed_chunking's offset
+    windows, which ALL shift after one inserted word — chunk boundaries
+    re-synchronize within one chunk of an edit, and shared passages between
+    near-duplicate documents hash to identical chunks. Output is the
+    cross-document duplicate-chunk report (chunks occurring >= 2 times).
+
+    Scale shape: boundary detection, chunk assembly, and hashing are ALL
+    per-row array expressions (indexed transform -> filter -> posexplode ->
+    slice) evaluated at the scan — no window, no per-doc shuffle, nothing
+    keyed by position; the only exchange is the final mergeable hash agg on
+    chunk_hash. The oracle derives the same chunks independently via
+    gaps-and-islands over positional UNNEST — two formulations, one
+    semantics."""
+    per_chunk = _cd_chunks(_t(spark, sf_dir, "documents"), mod)
+    return (
+        per_chunk.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("chunk_len").cast("bigint").alias("chunk_len"),
+        )
+        .filter(F.col("n_occ") >= CDCHUNK_MIN_OCC)
+        .orderBy(F.desc("n_occ"), "chunk_hash")
+    )
+
+
+def _cd_chunks(d: DataFrame, mod: int = CDCHUNK_MOD) -> DataFrame:
+    """Per-chunk rows (doc_id, chunk_hash, chunk_len) for a (doc_id, text)
+    frame — the narrow chunk-assembly core of content_defined_chunks, kept
+    separate so the re-sync property (edit a doc, most chunks survive) is
+    testable on handcrafted variants."""
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n = F.size("toks")
+    # 1-based end offset of every chunk: after each boundary word, plus the
+    # unterminated tail chunk when the last word is not itself a boundary
+    bpos = F.filter(
+        F.transform(
+            "toks",
+            lambda w, i: F.when(
+                F.pmod(
+                    F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
+                    F.lit(mod),
+                )
+                == 0,
+                i + F.lit(1),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    ends = F.when((F.size(bpos) > 0) & (F.element_at(bpos, -1) == n), bpos).otherwise(
+        F.concat(bpos, F.array(n))
+    )
+    rows = base.select("doc_id", "toks", ends.alias("ends")).select(
+        "doc_id", "toks", "ends", F.posexplode("ends").alias("chunk_idx", "end1")
+    )
+    start = F.when(F.col("chunk_idx") == 0, F.lit(0)).otherwise(
+        F.element_at("ends", F.col("chunk_idx"))
+    )
+    chunk = F.slice("toks", start + 1, F.col("end1") - start)
+    return rows.select(
+        "doc_id",
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        F.size(chunk).cast("bigint").alias("chunk_len"),
+    )
+
+
+ORACLE_CD_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
+  FROM documents),
+w AS (
+  SELECT doc_id, UNNEST(l) AS w, GENERATE_SUBSCRIPTS(l, 1) AS pos FROM t),
+f AS (
+  SELECT doc_id, w, pos,
+         CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 15)) AS BIGINT)
+                   % {CDCHUNK_MOD} = 0 THEN 1 ELSE 0 END AS brk
+  FROM w),
+c AS (
+  SELECT doc_id, w, pos,
+         COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+  FROM f),
+ch AS (
+  SELECT doc_id, chunk_idx,
+         md5(STRING_AGG(w, ' ' ORDER BY pos)) AS chunk_hash,
+         COUNT(*) AS chunk_len
+  FROM c GROUP BY doc_id, chunk_idx)
+SELECT chunk_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(chunk_len) AS BIGINT) AS chunk_len
+FROM ch GROUP BY chunk_hash
+HAVING COUNT(*) >= {CDCHUNK_MIN_OCC}
+ORDER BY n_occ DESC, chunk_hash
+"""
+
+
 # ------------------ count-min-sketch heavy hitters -------------------------
 
 CMS_D = 4  # hash rows

@@ -684,3 +684,19 @@ def test_cms_sketch_shape_and_invariant(spark):
     assert len(rows) == qt.CMS_TOP
     assert all(r["over_by"] >= 0 for r in rows), "CMS must never underestimate"
     assert any(r["over_by"] > 0 for r in rows), "collision regime is vacuous"
+
+
+def test_content_defined_chunks_narrow_until_agg(spark):
+    """content_defined_chunks' scale contract: boundary detection + chunk
+    assembly are array expressions at the scan (NO window, NO join, nothing
+    keyed by position); the only exchanges are the final chunk_hash agg and
+    the presentation sort. Cross-document duplicate chunks exist for real."""
+    from data_exchange_hl7_spark.plans import explain_str
+
+    df = qt.content_defined_chunks(spark, SF)
+    plan = explain_str(df)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert_no_python_udf(df)
+    rows = df.collect()
+    assert rows and any(r["n_docs"] >= 2 for r in rows)

@@ -278,3 +278,41 @@ def test_license_precedence_is_total(spark):
         if r["via"] == "none":
             assert r["license"] == "NOASSERTION" and r["family"] == "unknown"
         assert (r["keep"] == 1) == (r["family"] == "permissive")
+
+
+def test_content_defined_chunks_resync_after_edit(spark):
+    """The defining CDC-chunking property: prepend one word to a document
+    and only the FIRST chunk can change — boundaries re-synchronize at the
+    first boundary word, so every later chunk hashes identically (fixed
+    offset windows would ALL shift). Checked per document on the sf0.001
+    corpus: |orig chunks ∩ edited chunks| >= |orig chunks| - 1."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from data_exchange_hl7_spark.queries_text import _cd_chunks
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    orig = _cd_chunks(docs).collect()
+    edited = _cd_chunks(
+        docs.withColumn("text", F.concat(F.lit("zEDITz "), F.col("text")))
+    ).collect()
+    by_doc_o, by_doc_e = {}, {}
+    for r in orig:
+        by_doc_o.setdefault(r["doc_id"], []).append(r["chunk_hash"])
+    for r in edited:
+        by_doc_e.setdefault(r["doc_id"], []).append(r["chunk_hash"])
+    assert set(by_doc_o) == set(by_doc_e)
+    multi = 0
+    for doc_id, o in by_doc_o.items():
+        e = Counter(by_doc_e[doc_id])
+        shared = sum(min(c, e[h]) for h, c in Counter(o).items())
+        assert shared >= len(o) - 1, f"doc {doc_id}: resync failed"
+        if len(o) >= 2:
+            multi += 1
+            assert shared >= 1
+    assert multi > 0, "corpus too short to exercise multi-chunk docs"

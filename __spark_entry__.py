@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "module_pagerank": qt.module_pagerank,
         "cms_heavy_hitters": qt.cms_heavy_hitters,
         "content_defined_chunks": qt.content_defined_chunks,
+        "bigram_lm_fluency": qt.bigram_lm_fluency,
         # --- r3-touched modules (lake/table.py, engine.py, query wrappers)
         # whose only green rows predate the r3 code — re-certify ----------
         "hl7_debatch": q.hl7_debatch,
@@ -327,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "module_pagerank": qt.ORACLE_MODULE_PAGERANK,
         "cms_heavy_hitters": qt.ORACLE_CMS,
         "content_defined_chunks": qt.ORACLE_CD_CHUNKS,
+        "bigram_lm_fluency": qt.ORACLE_BIGRAM_LM,
         "purge_read": q.ORACLE_PURGE_READ,
         "json_lake_flat": q.ORACLE_JSON_LAKE_FLAT,
         "gold_wide_projection": q.ORACLE_GOLD_WIDE,

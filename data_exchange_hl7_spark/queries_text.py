@@ -2298,6 +2298,96 @@ ORDER BY source
 """
 
 
+# ---------------- bigram-LM fluency filter (CCNet-style) -------------------
+
+BIGRAM_KEEP_PPM = 18_000  # keep docs whose mean transition prob >= 1.8%
+
+
+def bigram_lm_fluency(spark, sf_dir, keep_ppm: int = BIGRAM_KEEP_PPM):
+    """Language-model-based quality filtering, CCNet-style (Wenzek et al.
+    2020: score each document under an n-gram LM, drop the least fluent
+    tail): a Laplace-smoothed bigram transition model is TRAINED on the
+    corpus itself in one aggregation pass, then broadcast back to score
+    every document by its mean transition probability. To keep the gate
+    exact, probabilities live on an integer ppm grid — p_ppm(w1,w2) =
+    (c12 + 1) * 1e6 div (c1 + V) — and the document score is the bigint
+    mean of its transition ppms, so DuckDB replays training AND scoring
+    bit-for-bit (no ln/float anywhere; the mean-probability score is a
+    monotone fluency proxy for the perplexity CCNet thresholds).
+
+    Scale shape: the bigram stream is a narrow arrays_zip of the token
+    array with its own tail (pairs never materialize wider than the doc);
+    the MODEL is one map-side-combinable (w1, w2) count agg whose output is
+    vocabulary-bounded and broadcast — the corpus itself is never shuffled;
+    scoring is a second scan + broadcast join + one per-doc agg. Exactly
+    the DSIR shape: train small, broadcast, score wide."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    pairs_col = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    pairs = d.select("doc_id", F.explode(pairs_col).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    vocab = (
+        d.select(F.explode(toks).alias("w"))
+        .agg(F.countDistinct("w").cast("bigint").alias("v"))
+    )
+    model = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.expr("(c12 + 1) * 1000000 div (c1 + v)").cast("bigint").alias("p_ppm"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr("sum(p_ppm) div count(1)").cast("bigint").alias("fluency_ppm"),
+        )
+        .select(
+            "doc_id",
+            "n_pairs",
+            "fluency_ppm",
+            (F.col("fluency_ppm") >= keep_ppm).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BIGRAM_LM = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
+  FROM documents),
+pairs AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM t, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(l) - 1)) AS i) u
+  WHERE len(l) > 1),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM pairs GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+v AS (
+  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+  FROM (SELECT UNNEST(l) AS w FROM t)),
+model AS (
+  SELECT w1, w2, (c12 + 1) * 1000000 // (c1 + v.v) AS p_ppm
+  FROM c12 JOIN c1 USING (w1), v)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS fluency_ppm,
+       SUM(p_ppm) // COUNT(*) >= {BIGRAM_KEEP_PPM} AS keep
+FROM pairs JOIN model USING (w1, w2)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # ---------------- content-defined chunking dedup ---------------------------
 
 CDCHUNK_MOD = 8  # boundary when h(word) % MOD == 0 -> expected chunk ~8 words

@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": qt.cms_heavy_hitters,
         "content_defined_chunks": qt.content_defined_chunks,
         "bigram_lm_fluency": qt.bigram_lm_fluency,
+        "bloom_decontaminate": qt.bloom_decontaminate,
         # --- r3-touched modules (lake/table.py, engine.py, query wrappers)
         # whose only green rows predate the r3 code — re-certify ----------
         "hl7_debatch": q.hl7_debatch,
@@ -329,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": qt.ORACLE_CMS,
         "content_defined_chunks": qt.ORACLE_CD_CHUNKS,
         "bigram_lm_fluency": qt.ORACLE_BIGRAM_LM,
+        "bloom_decontaminate": qt.ORACLE_BLOOM_DECON,
         "purge_read": q.ORACLE_PURGE_READ,
         "json_lake_flat": q.ORACLE_JSON_LAKE_FLAT,
         "gold_wide_projection": q.ORACLE_GOLD_WIDE,

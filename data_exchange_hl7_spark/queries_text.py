@@ -1515,6 +1515,130 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------- Bloom-filter decontamination (scale path) ----------------
+
+# ``decontamination`` above is the exact baseline (broadcast the eval
+# shingle-hash SET).  At Dolma/CCNet scale the eval side is itself large
+# (every benchmark ever published, ~10^9 shingles), so production pipelines
+# broadcast a BLOOM FILTER instead: constant-size bits, one-sided error.
+# m = 2^16 bits / k = 3 probes here so false positives actually occur at
+# test scale and the FP accounting below is non-vacuous (fill ~9%,
+# fp ~ 0.09^3); at corpus scale m grows to a few GiB and the shape is
+# unchanged — the train side still never shuffles.
+BLOOM_M = 1 << 16
+BLOOM_K = 3
+
+
+def _bloom_positions(h):
+    """k=3 probe positions from disjoint 16-bit slices of a 60-bit hash
+    (m is a power of two, so // m == >> 16 on the nonnegative hash)."""
+    m = F.lit(BLOOM_M)
+    return [
+        F.pmod(h, m),
+        F.pmod(F.shiftright(h, 16), m),
+        F.pmod(F.shiftright(h, 32), m),
+    ]
+
+
+def bloom_decontaminate(spark, sf_dir, n: int = DECON_NGRAM, eval_mod: int = DECON_EVAL_MOD):
+    """Bloom-filter benchmark decontamination — the constant-memory scale
+    path for ``decontamination``: eval-set shingle hashes are folded into a
+    2^16-bit Bloom filter (k=3 probes from disjoint 16-bit slices of the
+    60-bit md5 hash, so both engines compute identical bit positions), the
+    filter is carried as ONE broadcast row of packed int64 words, and every
+    training shingle tests membership with pure bit arithmetic. Emits both
+    the bloom verdict (``n_flagged``, includes deterministic false
+    positives) and the exact verdict (``n_exact``) per doc so the one-sided
+    error is measured, not assumed: n_flagged >= n_exact always, and docs
+    with n_exact = 0 but n_flagged > 0 are the FP cost of constant memory.
+
+    Scale shape: the filter build aggregates eval bit positions map-side
+    into <= m/64 packed words (bit_or agg) and collapses to a single
+    map<word_idx, bits> row — size is O(m), independent of eval-set
+    cardinality; the training corpus streams through a broadcast of that
+    one row with three element_at probes per shingle — no shuffle of the
+    train side, no join at all on the bloom path (the exact column reuses
+    the broadcast set join of the baseline for the audit)."""
+    corpus = _with_synth_dups(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    is_eval = (F.col("doc_id") % eval_mod == 0) & (F.col("doc_id") < 1_000_000)
+    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint").alias("h")
+    eval_h = _word_ngrams(corpus.filter(is_eval), n).select(h).distinct()
+    # -- build: positions -> packed words -> one map row (bounded by m) ----
+    pos = eval_h.select(
+        F.explode(F.array(*_bloom_positions(F.col("h")))).alias("p")
+    ).distinct()
+    words = pos.groupBy(F.shiftright(F.col("p"), 6).alias("w")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+        ).alias("bits")
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bloom")
+    )
+    train = _word_ngrams(corpus.filter(~is_eval), n).select("doc_id", h)
+
+    def probe(name: str):
+        return F.expr(
+            f"(coalesce(element_at(bloom, shiftright({name}, 6)), CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({name} % 64 AS INT))) != 0"
+        )
+
+    p0, p1, p2 = _bloom_positions(F.col("h"))
+    flagged = (
+        train.crossJoin(F.broadcast(bloom))  # 1-row bloom: broadcast NL join
+        .withColumn("p0", p0)
+        .withColumn("p1", p1)
+        .withColumn("p2", p2)
+        .withColumn("hit", probe("p0") & probe("p1") & probe("p2"))
+        .join(F.broadcast(eval_h.withColumn("exact", F.lit(True))), "h", "left")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.col("hit").cast("bigint")).cast("bigint").alias("n_flagged"),
+            F.sum(F.coalesce(F.col("exact"), F.lit(False)).cast("bigint"))
+            .cast("bigint")
+            .alias("n_exact"),
+        )
+        .filter(F.col("n_flagged") > 0)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BLOOM_DECON = f"""
+WITH corpus AS ({_SYNTH_DUP_SQL}),
+sh AS ({_ngram_sql("corpus", DECON_NGRAM)}),
+hashed AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', SUBSTRING(MD5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh),
+ev AS (
+  SELECT DISTINCT h FROM hashed
+  WHERE doc_id % {DECON_EVAL_MOD} = 0 AND doc_id < 1000000),
+bits AS (
+  SELECT DISTINCT p FROM ev,
+  UNNEST([h % {BLOOM_M},
+          (h // {BLOOM_M}) % {BLOOM_M},
+          (h // {BLOOM_M * BLOOM_M}) % {BLOOM_M}]) AS u(p)),
+tr AS (
+  SELECT doc_id, h FROM hashed
+  WHERE NOT (doc_id % {DECON_EVAL_MOD} = 0 AND doc_id < 1000000))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN h % {BLOOM_M} IN (SELECT p FROM bits)
+                      AND (h // {BLOOM_M}) % {BLOOM_M} IN (SELECT p FROM bits)
+                      AND (h // {BLOOM_M * BLOOM_M}) % {BLOOM_M} IN (SELECT p FROM bits)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN h IN (SELECT h FROM ev) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact
+FROM tr
+GROUP BY doc_id
+HAVING n_flagged > 0
+ORDER BY doc_id
+"""
+
+
 # ============================== PII scrub =================================
 
 # The synthetic corpus carries no PII, so the harness injects a deterministic

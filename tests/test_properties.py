@@ -316,3 +316,25 @@ def test_content_defined_chunks_resync_after_edit(spark):
             multi += 1
             assert shared >= 1
     assert multi > 0, "corpus too short to exercise multi-chunk docs"
+
+
+def test_bloom_decontaminate_one_sided_error(spark):
+    """Bloom filters have ONE-sided error: every exactly-contaminated
+    shingle must be flagged (no false negatives — n_flagged >= n_exact per
+    doc, and every doc the exact path surfaces appears in the bloom path),
+    while false positives are allowed and should actually occur at the test
+    m/k so the accounting is exercised."""
+    from data_exchange_hl7_spark import queries_text as qt
+
+    sf = "/root/testdata/sf0.01"
+    bloom = {r["doc_id"]: r for r in qt.bloom_decontaminate(spark, sf).collect()}
+    exact = {r["doc_id"]: r["n_shared"] for r in qt.decontamination(spark, sf).collect()}
+    for doc_id, n_shared in exact.items():
+        assert doc_id in bloom, f"false negative: doc {doc_id} missing"
+        assert bloom[doc_id]["n_exact"] == n_shared
+    for r in bloom.values():
+        assert r["n_flagged"] >= r["n_exact"]
+        assert r["n_flagged"] <= r["n_grams"]
+    assert any(r["n_flagged"] > r["n_exact"] for r in bloom.values()), (
+        "no false positive at test m/k — FP accounting is vacuous"
+    )

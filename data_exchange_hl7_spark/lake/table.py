@@ -396,6 +396,71 @@ class LakeTable:
             return tags[ref]
         return ref
 
+    def rollback_to(self, ref: int | str) -> dict:
+        """Roll the table back to an earlier committed snapshot (the Iceberg
+        ``rollback_to_snapshot`` analogue; ``ref`` is a snapshot id or tag) —
+        the recovery primitive for a bad epoch: a poisoned upstream batch is
+        rolled off and the corrected batch re-applied, without replaying the
+        whole stream.
+
+        Semantics, all chosen to match Iceberg:
+
+        - History stays LINEAR: rollback is a NEW commit (``operation:
+          "rollback"``, parent = current) whose DATA state — base buckets,
+          delta layers, bucket count, and the exactly-once epoch ledger — is
+          copied from the target snapshot. No data file is read or written;
+          this is a metadata-only commit, so it composes with the sid =
+          parent + 1 / O_EXCL commit protocol unchanged (the reason mutable
+          branches were deferred does not apply here).
+        - SCHEMA metadata is NOT reverted (Iceberg rollback keeps current
+          table schema): the rollback snapshot carries the current
+          ``schemas`` map / ``schema_version`` / ``next_field_id``, and the
+          restored files — whose bucket entries keep their own (older)
+          schema_version — project through by field ID exactly like any
+          post-evolution read (columns added since the target read as null).
+        - The EPOCH LEDGER is restored from the target, so re-applying a
+          corrected batch under the SAME epoch id proceeds instead of being
+          skipped, and the replayed ledger behaves as if the bad commits
+          never happened. Epochs are LSN-monotone per the compaction
+          contract; rolling back and re-issuing the tail preserves that.
+        - Time travel still reads the rolled-off snapshots until
+          ``expire_snapshots`` drops them; the restored files themselves are
+          referenced by the (always-kept) current snapshot, so expiry never
+          reclaims them — liveness is per-file, not per-staging-root.
+        - The change-data-feed emits NO rows for a rollback commit
+          (``changes_between`` walks per-snapshot NEW delta layers; a
+          rollback has fewer layers than its parent). Incremental consumers
+          must treat a rollback like Iceberg's: re-sync from the restored
+          snapshot, not from the feed.
+        - Table-level only, same caveat as ``delete_where``: engine-
+          registered derived tables / aggregate views are not rewound — use
+          ``Engine.rebuild_derived`` after a base-table rollback.
+        """
+        cur = self.current_snapshot()
+        target = self._load_snapshot(self._resolve_ref(ref))
+        if target["snapshot_id"] == cur["snapshot_id"]:
+            return {"rolled_back": False, "snapshot_id": cur["snapshot_id"]}
+        snap = dict(cur)
+        props = json.loads(json.dumps(cur["properties"]))
+        props["epochs"] = json.loads(json.dumps(target["properties"]["epochs"]))
+        snap.update(
+            snapshot_id=cur["snapshot_id"] + 1,
+            parent=cur["snapshot_id"],
+            operation="rollback",
+            rollback_of=target["snapshot_id"],
+            buckets=json.loads(json.dumps(target["buckets"])),
+            deltas=json.loads(json.dumps(target.get("deltas", []))),
+            n_buckets=target["n_buckets"],
+            properties=props,
+            committed_at=time.time(),
+        )
+        self._write_snapshot(snap, expected_parent=cur["snapshot_id"])
+        return {
+            "rolled_back": True,
+            "snapshot_id": snap["snapshot_id"],
+            "restored_snapshot": target["snapshot_id"],
+        }
+
     # ------------------------------------------------ write-audit-publish
     def _commit_or_stage(self, snap: dict, publish: bool) -> str | None:
         """Commit the snapshot (move ``current``) or stage it for audit.

@@ -2439,6 +2439,81 @@ ORDER BY user_id
 """
 
 
+_ROLLBACK_DEMO_CACHE: dict[str, str] = {}
+
+
+def rollback_read(spark, sf_dir):
+    """Snapshot rollback under the oracle gate (`LakeTable.rollback_to`, the
+    Iceberg rollback_to_snapshot analogue — the bad-epoch recovery
+    primitive): apply the even-event epoch, tag it, apply a POISONED odd
+    epoch (every event_type overwritten with 'CORRUPT'), roll back to the
+    tag, then re-apply the CORRECTED odd epoch under the SAME epoch id —
+    possible only because rollback restores the exactly-once ledger. The
+    final read must equal plain latest-per-user over ALL events, i.e. the
+    bad batch leaves no trace in current state (it stays time-travel-
+    readable until expiry).
+
+    Scale shape: rollback is a metadata-only commit (no data file read or
+    written), so recovery cost is O(1) in table size — at 10^10 events the
+    alternative (full replay from the WAL) is hours; this is milliseconds
+    plus re-applying the corrected tail."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key
+
+    loc = _ROLLBACK_DEMO_CACHE.get(sf_dir)
+    if loc and LakeTable.exists(loc):
+        t = LakeTable(spark, loc)
+    else:
+        loc = tempfile.mkdtemp(prefix="dex_rollback_demo_")
+        t = LakeTable.create(
+            spark,
+            loc,
+            schema=[
+                ("user_id", "bigint"),
+                ("event_type", "string"),
+                ("event_id", "bigint"),
+            ],
+            key_cols=["user_id"],
+            n_buckets=8,
+            mode="mor",
+            order_col="event_id",
+        )
+        ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+        even = latest_by_key(
+            ev.filter(F.col("event_id") % 2 == 0), ["user_id"], ["event_id"]
+        ).withColumn("__op", F.lit("U"))
+        odd = latest_by_key(
+            ev.filter(F.col("event_id") % 2 == 1), ["user_id"], ["event_id"]
+        ).withColumn("__op", F.lit("U"))
+        t.merge(even, epoch=1)
+        t.create_tag("pre_bad")
+        t.merge(odd.withColumn("event_type", F.lit("CORRUPT")), epoch=2)
+        t.rollback_to("pre_bad")
+        t.merge(odd, epoch=2)  # corrected batch, same epoch id
+        _ROLLBACK_DEMO_CACHE[sf_dir] = loc
+    return (
+        t.snapshot()
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_ROLLBACK_READ = """
+SELECT user_id, event_type AS last_op, event_id AS last_event_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 def json_lake_flat(spark, sf_dir):
     """T1 profile-driven HL7->JSON, oracle-gated (lib-bumblebee
     HL7JsonTransformer.kt:30-146): runs the REAL to_json_lake — cardinality

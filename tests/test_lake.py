@@ -803,3 +803,104 @@ def test_lookup_point_read_prunes_and_stays_correct(spark, tmp_path):
     # time-travel lookup: before the tombstone epoch, r2/p2 was alive
     pre = t.lookup([("r2", "p2")], as_of=t.current_snapshot()["parent"])
     assert [r["v"] for r in pre.collect()] == ["v2"]
+
+
+# ---------------------------------------------------------------- rollback
+def test_rollback_restores_state_and_reopens_epoch(spark, tmp_path):
+    """rollback_to (Iceberg rollback_to_snapshot analogue): a bad epoch is
+    rolled off and the CORRECTED batch re-applied under the SAME epoch id —
+    the ledger restore is what makes the re-apply possible under the
+    exactly-once rule. Final state must equal a control table that never saw
+    the bad batch."""
+    t = _mk(spark, tmp_path, "roll", mode="mor")
+    good0 = [("a", "1", 1, 1, "U"), ("b", "2", 2, 2, "U")]
+    bad1 = [("a", "CORRUPT", -1, 3, "U"), ("c", "CORRUPT", -1, 4, "U")]
+    fix1 = [("a", "9", 9, 3, "U"), ("c", "3", 3, 4, "U")]
+
+    t.merge(_changes(spark, good0), epoch=0)
+    t.create_tag("pre_bad")
+    t.merge(_changes(spark, bad1), epoch=1)
+    assert {r["v"] for r in t.snapshot().collect()} == {"CORRUPT", "2"}
+
+    res = t.rollback_to("pre_bad")  # tag ref; int sid works via the same path
+    assert res["rolled_back"] and res["restored_snapshot"] == t.tags()["pre_bad"]
+    # state is back to epoch-0; history stays linear with a rollback commit
+    assert {r["v"] for r in t.snapshot().collect()} == {"1", "2"}
+    h = t.history()
+    assert h[0]["operation"] == "rollback"
+    assert h[0]["parent"] == h[1]["snapshot_id"]
+
+    # epoch ledger restored: epoch 0 still exactly-once, epoch 1 reopened
+    assert not t.merge(_changes(spark, [("a", "XX", 0, 99, "U")]), epoch=0)["applied"]
+    assert t.merge(_changes(spark, fix1), epoch=1)["applied"]
+
+    control = _mk(spark, tmp_path, "control", mode="mor")
+    control.merge(_changes(spark, good0), epoch=0)
+    control.merge(_changes(spark, fix1), epoch=1)
+    got = sorted(map(tuple, t.snapshot().select("k", "v", "n", "lsn").collect()))
+    want = sorted(map(tuple, control.snapshot().select("k", "v", "n", "lsn").collect()))
+    assert got == want
+
+    # rollback to current is a no-op commit-wise
+    cur = t.current_snapshot()["snapshot_id"]
+    assert t.rollback_to(cur) == {"rolled_back": False, "snapshot_id": cur}
+
+
+def test_rollback_time_travel_cdf_and_expiry(spark, tmp_path):
+    """The rolled-off snapshot stays time-travel-readable until expiry; the
+    rollback commit emits NO change-feed rows (Iceberg contract — consumers
+    re-sync from the restored snapshot); expire_snapshots never reclaims the
+    restored files because liveness is per-file from kept manifests."""
+    t = _mk(spark, tmp_path, "rollcdf", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    pre_sid = t.current_snapshot()["snapshot_id"]
+    t.merge(_changes(spark, [("a", "CORRUPT", -1, 2, "U")]), epoch=1)
+    bad_sid = t.current_snapshot()["snapshot_id"]
+
+    t.rollback_to(pre_sid)
+    roll_sid = t.current_snapshot()["snapshot_id"]
+    # time travel still shows the bad state
+    assert [r["v"] for r in t.snapshot(as_of=bad_sid).collect()] == ["CORRUPT"]
+    # no CDF rows for the rollback commit itself
+    assert t.changes_between(bad_sid, roll_sid).count() == 0
+    # corrected epoch's changes appear in the feed after the rollback
+    t.merge(_changes(spark, [("a", "9", 9, 2, "U")]), epoch=1)
+    feed = t.changes_between(roll_sid).collect()
+    assert [(r["k"], r["v"], r["_change_type"]) for r in feed] == [("a", "9", "U")]
+
+    # expiry drops the rolled-off snapshot but keeps every restored file
+    t.expire_snapshots(keep_last=1)
+    assert [r["v"] for r in t.snapshot().collect()] == ["9"]
+    with pytest.raises(ValueError):
+        t.snapshot(as_of=bad_sid).collect()
+
+
+def test_rollback_keeps_current_schema(spark, tmp_path):
+    """Iceberg rollback does not revert schema: after add_column + rollback
+    to a pre-evolution snapshot, the column survives (null-filled through
+    field-ID projection) and writes at the current schema proceed."""
+    t = _mk(spark, tmp_path, "rollschema", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    pre_sid = t.current_snapshot()["snapshot_id"]
+    t.add_column("extra", "string")
+    t.merge(
+        spark.createDataFrame(
+            [("b", "2", 2, 2, "x", "U")],
+            "k string, v string, n int, lsn long, extra string, __op string",
+        ),
+        epoch=1,
+    )
+    t.rollback_to(pre_sid)
+    row = t.snapshot().collect()
+    assert [(r["k"], r["extra"]) for r in row] == [("a", None)]
+    names = [f["name"] for f in t.schema_fields()]
+    assert "extra" in names
+    t.merge(
+        spark.createDataFrame(
+            [("c", "3", 3, 3, "y", "U")],
+            "k string, v string, n int, lsn long, extra string, __op string",
+        ),
+        epoch=2,
+    )
+    rows = {r["k"]: r["extra"] for r in t.snapshot().collect()}
+    assert rows == {"a": None, "c": "y"}

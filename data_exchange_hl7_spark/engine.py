@@ -485,6 +485,63 @@ class Engine:
             tgt.merge(dchanges, epoch=e, epoch_info={"replay": meta})
         return tgt
 
+    def rollback(self, table: LakeTable, ref: int | str) -> dict:
+        """Lineage-wide bad-epoch recovery: roll the MAIN table back to
+        ``ref`` (snapshot id or tag) AND every registered derived table /
+        aggregate view back to its own snapshot matching the restored epoch
+        ledger — the cascade a bare ``LakeTable.rollback_to`` cannot give
+        once deriveds exist (their rows from the rolled-off epochs would
+        silently survive, exactly the gap ``purge_where`` closes for
+        deletes).
+
+        Matching rule: derived tables commit under the SAME epoch ids as the
+        main (per-table epoch manifests, applied in the same monotone
+        order), so for each derived the newest snapshot whose ledger is a
+        SUBSET of the restored main ledger is precisely the state as of the
+        target — found by a metadata-only newest-first history walk, then
+        restored with the same linear metadata-only ``rollback_to`` commit.
+
+        Idempotent/resumable: a crash between the main rollback and a
+        derived rollback re-converges on re-run — the main side no-ops
+        (ledger already a subset match at current) and only the missing
+        derived rollbacks execute. Raises if a derived's matching snapshot
+        has been expired; rebuild it from the main's change feed with
+        ``rebuild_derived`` instead (stage-scoped replay).
+        """
+        target = table._load_snapshot(table._resolve_ref(ref))
+        target_epochs = set(target["properties"]["epochs"])
+        out: dict[str, dict] = {}
+        cur = table.current_snapshot()
+        if cur["snapshot_id"] == target["snapshot_id"] or (
+            # resume after a crash mid-cascade: the main rollback to THIS
+            # target already committed — don't stack another one
+            cur.get("operation") == "rollback"
+            and cur.get("rollback_of") == target["snapshot_id"]
+        ):
+            out[table_name(table)] = {
+                "rolled_back": False,
+                "snapshot_id": cur["snapshot_id"],
+            }
+        else:
+            out[table_name(table)] = table.rollback_to(target["snapshot_id"])
+        for dt, _fn, _kind in self._derived.get(table_name(table), []):
+            cand = None
+            for h in dt.history():  # newest first
+                if set(h["epochs"]) <= target_epochs:
+                    cand = h["snapshot_id"]
+                    break
+            if cand is None:
+                raise ValueError(
+                    f"derived table {table_name(dt)!r} has no retained "
+                    f"snapshot matching the restored ledger (expired); "
+                    "rebuild it with rebuild_derived instead"
+                )
+            if cand == dt.current_snapshot()["snapshot_id"]:
+                out[table_name(dt)] = {"rolled_back": False, "snapshot_id": cand}
+            else:
+                out[table_name(dt)] = dt.rollback_to(cand)
+        return out
+
     # ------------------------------------------------------------- apply
     def apply_epoch(
         self,

@@ -881,3 +881,56 @@ def test_rebuild_derived_stage_scoped_replay(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no derived table"):
         eng.rebuild_derived(table, "nope")
+
+
+def test_engine_rollback_cascades_lineage(spark, tmp_path):
+    """Engine.rollback rewinds the WHOLE lineage: main table, derived table,
+    and aggregate view all land on states matching the restored epoch
+    ledger; the corrected batch then re-applies under the SAME epoch id and
+    the final lineage equals a control engine that never saw the bad batch.
+    Re-invoking rollback after the cascade (crash-resume) is a pure no-op."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        REPO_STATS_SCHEMA,
+        Engine,
+        file_stats_derive,
+        repo_stats_delta,
+    )
+
+    def build(wh):
+        eng = Engine(spark, str(tmp_path / wh), n_buckets=8, mode="mor")
+        t = eng.snapshot_table("repo_files")
+        d = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+        a = eng.aggregate_table("repo_stats", REPO_STATS_SCHEMA, repo_stats_delta)
+        return eng, t, d, a
+
+    ev = change_events(spark, 3000).persist()
+    good2 = ev.filter(F.col("lsn") >= 2000)
+    bad2 = good2.withColumn("content", F.lit("POISONED"))
+
+    eng, t, d, a = build("wh")
+    MicroBatchRunner(eng, epoch_size=1000).run(ev.filter(F.col("lsn") < 2000), t)
+    pre_sid = t.current_snapshot()["snapshot_id"]
+    eng.apply_epoch(bad2, t, epoch=2, start_lsn=2000, end_lsn=2999)
+    assert t.snapshot().filter(F.col("content") == "POISONED").count() > 0
+
+    res = eng.rollback(t, pre_sid)
+    assert res["repo_files"]["rolled_back"]
+    assert res["file_stats"]["rolled_back"] and res["repo_stats"]["rolled_back"]
+    for tab in (t, d, a):
+        assert set(tab.committed_epochs()) == {"0", "1"}
+    assert t.snapshot().filter(F.col("content") == "POISONED").count() == 0
+
+    # crash-resume: a second invocation must not stack more rollback commits
+    res2 = eng.rollback(t, pre_sid)
+    assert not any(v["rolled_back"] for v in res2.values())
+
+    eng.apply_epoch(good2, t, epoch=2, start_lsn=2000, end_lsn=2999)
+
+    ctrl, ct, cd, ca = build("wh_ctrl")
+    MicroBatchRunner(ctrl, epoch_size=1000).run(ev, ct)
+    for mine, theirs in ((t, ct), (d, cd), (a, ca)):
+        got = sorted(map(tuple, mine.snapshot().collect()))
+        want = sorted(map(tuple, theirs.snapshot().collect()))
+        assert got == want
+    ev.unpersist()

@@ -338,3 +338,79 @@ def test_bloom_decontaminate_one_sided_error(spark):
     assert any(r["n_flagged"] > r["n_exact"] for r in bloom.values()), (
         "no false positive at test m/k — FP accounting is vacuous"
     )
+
+
+# --------------------------------------------------------------- rollback
+# Model-based test: arbitrary interleavings of MoR merges and rollbacks
+# must equal a pure-Python dict model replayed over the same ops. Catches
+# the classes of bug a scenario test cannot enumerate: rolling back TO a
+# rollback commit, consecutive rollbacks, merge-after-rollback lsn
+# interactions, and delete/upsert mixes across the restored boundary.
+_rollback_ops = st.lists(
+    st.one_of(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 5), st.booleans()),
+            min_size=1,
+            max_size=3,
+            unique_by=lambda r: r[0],
+        ).map(lambda rs: ("merge", rs)),
+        st.integers(0, 1000).map(lambda i: ("rollback", i)),
+    ),
+    min_size=3,
+    max_size=6,
+)
+
+
+@given(ops=_rollback_ops)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_rollback_model_equivalence(spark, ops):
+    import shutil
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    loc = tempfile.mkdtemp(prefix="dex_rollprop_")
+    try:
+        t = LakeTable.create(
+            spark,
+            loc,
+            [("k", "int"), ("v", "int"), ("lsn", "bigint")],
+            ["k"],
+            n_buckets=2,
+            mode="mor",
+            order_col="lsn",
+        )
+        model: dict[int, tuple[int, int]] = {}
+        hist = [(0, dict(model))]  # (snapshot_id, model state at that commit)
+        lsn = 0
+        epoch = 0
+        for kind, arg in ops:
+            if kind == "merge":
+                rows = []
+                for k, v, is_del in arg:
+                    lsn += 1
+                    rows.append((k, v, lsn, "D" if is_del else "U"))
+                    if is_del:
+                        model.pop(k, None)
+                    else:
+                        model[k] = (v, lsn)
+                epoch += 1
+                t.merge(
+                    spark.createDataFrame(
+                        rows, "k int, v int, lsn long, __op string"
+                    ),
+                    epoch=epoch,
+                )
+            else:
+                sid, past = hist[arg % len(hist)]
+                t.rollback_to(sid)
+                model = dict(past)
+            hist.append((t.current_snapshot()["snapshot_id"], dict(model)))
+        got = {r["k"]: (r["v"], r["lsn"]) for r in t.snapshot().collect()}
+        assert got == model
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)

@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "module_pagerank",
     "cms_heavy_hitters",
     "content_defined_chunks",
+    "bigram_lm_fluency",
+    "bloom_decontaminate",
 ]
 
 

@@ -351,29 +351,51 @@ class Engine:
         self._register(main, t, delta_fn, "aggregate")
         return t
 
+    def _epoch_commits(self, table: LakeTable) -> list[tuple[int, int, int]]:
+        """(epoch, committing snapshot id, parent id) for every LIVE epoch,
+        in epoch order — the walk behind stage-scoped replay and aggregate
+        resume.
+
+        Rollback-aware: a rollback commit restores the target's epoch
+        ledger, so epochs NOT in the restored ledger were rolled off — their
+        original committing snapshots are dead history and the same epoch id
+        may recommit later with DIFFERENT content (the corrected batch).
+        Without the reset, the oldest-first walk would credit a recommitted
+        epoch to its poisoned first commit and replay the bad changes."""
+        seen: set[str] = set()
+        commits: dict[str, tuple[int, int, int]] = {}
+        for h in reversed(table.history()):  # oldest -> newest
+            if h["operation"] == "rollback":
+                restored = set(h["epochs"])
+                seen &= restored
+                commits = {e: v for e, v in commits.items() if e in restored}
+                continue
+            for e in set(h["epochs"]) - seen:
+                commits[e] = (int(e), h["snapshot_id"], h["parent"])
+            seen |= set(h["epochs"])
+        return sorted(commits.values())
+
     def _pre_epoch_sid(self, table: LakeTable, epoch: int, merge_result: dict) -> int:
         """Snapshot id of the main table's state just BEFORE ``epoch``'s
         commit. Fresh commit: dense ids make it snapshot_id - 1. Resume
-        (merge no-oped): walk history for the snapshot where the epoch id
-        first appears."""
+        (merge no-oped): locate the epoch's LIVE committing snapshot via the
+        rollback-aware walk (a rolled-off-and-recommitted epoch must resolve
+        to the corrected commit, never the poisoned one)."""
         if merge_result.get("applied"):
             return merge_result["snapshot_id"] - 1
-        committing = None
-        for h in reversed(table.history()):  # oldest -> newest
-            if str(epoch) in h["epochs"]:
-                committing = h
-                break
-        if committing is None:
+        committing = {e: (sid, parent) for e, sid, parent in self._epoch_commits(table)}
+        if int(epoch) not in committing:
             raise ValueError(
                 f"cannot locate the committing snapshot for epoch {epoch} "
                 "(expired past the retention window?)"
             )
+        sid, parent = committing[int(epoch)]
         # confirm this snapshot INTRODUCED the epoch: epoch ids are inherited
         # by every later snapshot, so if the true committing snapshot has
         # been expired the walk would otherwise return a later parent and
         # silently compute deltas off the wrong pre-state
         parent_epochs = table.committed_epochs(
-            table._load_snapshot(committing["parent"])  # raises if expired
+            table._load_snapshot(parent)  # raises if expired
         )
         if str(epoch) in parent_epochs:
             raise ValueError(
@@ -381,7 +403,7 @@ class Engine:
                 "resume needs the epoch's commit parent within the retention "
                 "window (raise expire_keep_last)"
             )
-        return committing["parent"]
+        return parent
 
     def rebuild_derived(
         self,
@@ -443,15 +465,10 @@ class Engine:
                 order_col=ssnap["order_col"],
                 resolve=ssnap["resolve"],
             )
-        # committing snapshot per epoch: oldest-first walk — the first
-        # snapshot carrying an epoch id is the one that introduced it
-        seen: set[str] = set()
-        epoch_commits: list[tuple[int, int, int]] = []
-        for h in reversed(main.history()):  # oldest -> newest
-            for e in set(h["epochs"]) - seen:
-                epoch_commits.append((int(e), h["snapshot_id"], h["parent"]))
-            seen |= set(h["epochs"])
-        missing = set(main.committed_epochs()) - seen
+        epoch_commits = self._epoch_commits(main)
+        missing = set(main.committed_epochs()) - {
+            str(e) for e, _sid, _parent in epoch_commits
+        }
         if missing:
             raise ValueError(
                 f"epochs {sorted(missing)} predate the retention window; "

@@ -934,3 +934,44 @@ def test_engine_rollback_cascades_lineage(spark, tmp_path):
         want = sorted(map(tuple, theirs.snapshot().collect()))
         assert got == want
     ev.unpersist()
+
+
+def test_rebuild_derived_after_rollback_uses_corrected_epoch(spark, tmp_path):
+    """Rollback/replay interplay: after a poisoned epoch is rolled off and
+    the SAME epoch id recommitted with corrected data, the stage-scoped
+    rebuild must replay the CORRECTED commit — the rollback-aware epoch
+    walk; without it the oldest-first walk credits the epoch to its
+    poisoned first commit and the rebuilt derived table resurrects the bad
+    rows. Covers the aggregate pre-epoch path through the same walk."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        REPO_STATS_SCHEMA,
+        Engine,
+        file_stats_derive,
+        repo_stats_delta,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    agg_t = eng.aggregate_table("repo_stats", REPO_STATS_SCHEMA, repo_stats_delta)
+    events = change_events(spark, 2000).persist()
+    good1 = events.filter(F.col("lsn") >= 1000)
+
+    eng.apply_epoch(events.filter(F.col("lsn") < 1000), table, epoch=0)
+    pre_sid = table.current_snapshot()["snapshot_id"]
+    eng.apply_epoch(good1.withColumn("content", F.lit("POISONED")), table, epoch=1)
+    eng.rollback(table, pre_sid)
+    eng.apply_epoch(good1, table, epoch=1)
+
+    # the walk resolves epoch 1 to the corrected commit, not the poisoned one
+    commits = {e: sid for e, sid, _p in eng._epoch_commits(table)}
+    assert commits[1] == table.current_snapshot()["snapshot_id"]
+
+    rebuilt = eng.rebuild_derived(table, "file_stats")
+    assert rebuilt.snapshot().filter(F.col("content_sha256").isNull()).count() == 0
+    assert sorted(rebuilt.snapshot().collect()) == sorted(stats_t.snapshot().collect())
+
+    rebuilt_agg = eng.rebuild_derived(table, "repo_stats")
+    assert sorted(rebuilt_agg.snapshot().collect()) == sorted(agg_t.snapshot().collect())
+    events.unpersist()

@@ -12,6 +12,15 @@ item 1).
 Replay (svc-hl7-replay ReplayController.kt:100-139,225-253): re-run from
 epoch 0 against a fresh table, optionally filtered, with replay metadata
 attached to each epoch manifest entry.
+
+The three recovery primitives, cheapest first:
+  1. ``Engine.rollback`` / ``LakeTable.rollback_to`` — O(1) metadata: roll
+     a poisoned epoch off and re-apply the corrected batch under the same
+     epoch id (lake/table.py rollback_to);
+  2. ``Engine.rebuild_derived`` — stage-scoped: rebuild ONE derived table
+     from the main table's change feed, no WAL re-scan (engine.py);
+  3. ``replay`` here — start-at-ingestion: full WAL re-run, the only path
+     when the lake state itself is unrecoverable.
 """
 
 from __future__ import annotations

@@ -904,3 +904,27 @@ def test_rollback_keeps_current_schema(spark, tmp_path):
     )
     rows = {r["k"]: r["extra"] for r in t.snapshot().collect()}
     assert rows == {"a": None, "c": "y"}
+
+
+def test_rollback_across_rebucket_restores_layout(spark, tmp_path):
+    """Rollback must restore the PHYSICAL layout too: if the bucket count
+    evolved after the target snapshot, the restored state carries the
+    target's n_buckets and subsequent merges bucket against it — otherwise
+    the merge's key-hash routing would disagree with the restored files."""
+    t = _mk(spark, tmp_path, "rollbucket", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U"), ("b", "2", 2, 2, "U")]), epoch=0)
+    pre_sid = t.current_snapshot()["snapshot_id"]
+    assert t.current_snapshot()["n_buckets"] == 4
+    t.rebucket(8)
+    t.merge(_changes(spark, [("c", "3", 3, 3, "U")]), epoch=1)
+    assert t.current_snapshot()["n_buckets"] == 8
+
+    t.rollback_to(pre_sid)
+    assert t.current_snapshot()["n_buckets"] == 4
+    assert {r["k"] for r in t.snapshot().collect()} == {"a", "b"}
+    t.merge(_changes(spark, [("c", "9", 9, 3, "U"), ("a", "7", 7, 4, "U")]), epoch=1)
+    rows = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert rows == {"a": "7", "b": "2", "c": "9"}
+    # bucket-pruned point read still routes by the restored count
+    out = t.lookup([("a",)])
+    assert [r["v"] for r in out.collect()] == ["7"]

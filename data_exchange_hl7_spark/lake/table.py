@@ -323,6 +323,13 @@ class LakeTable:
           blocks the next commit; recovery is deleting that file — the
           pointer never moved, so no committed state references it.)
         """
+        # every commit path builds its snapshot as dict(parent) + updates, so
+        # operation-specific fields would otherwise leak onto every
+        # descendant (e.g. a merge after a rollback inheriting a stale
+        # rollback_of; inert — consumers also check operation — but a lie
+        # in the manifest)
+        if snap.get("operation") != "rollback":
+            snap.pop("rollback_of", None)
         with _commit_lock(self.meta_dir):
             cur_path = os.path.join(self.meta_dir, "current")
             if os.path.exists(cur_path):

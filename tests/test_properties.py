@@ -355,6 +355,10 @@ _rollback_ops = st.lists(
             unique_by=lambda r: r[0],
         ).map(lambda rs: ("merge", rs)),
         st.integers(0, 1000).map(lambda i: ("rollback", i)),
+        # compaction is state-preserving, so the model is unchanged — but a
+        # rollback TO a pre-compaction snapshot (and compacting again after)
+        # exercises the manifest paths the merge-only interleavings miss
+        st.just(("compact", None)),
     ),
     min_size=3,
     max_size=6,
@@ -405,10 +409,12 @@ def test_rollback_model_equivalence(spark, ops):
                     ),
                     epoch=epoch,
                 )
-            else:
+            elif kind == "rollback":
                 sid, past = hist[arg % len(hist)]
                 t.rollback_to(sid)
                 model = dict(past)
+            else:
+                t.compact()
             hist.append((t.current_snapshot()["snapshot_id"], dict(model)))
         got = {r["k"]: (r["v"], r["lsn"]) for r in t.snapshot().collect()}
         assert got == model

@@ -330,6 +330,13 @@ class LakeTable:
         # in the manifest)
         if snap.get("operation") != "rollback":
             snap.pop("rollback_of", None)
+        if snap.get("operation") != "fast_forward":
+            snap.pop("fast_forward_of", None)
+        if os.path.exists(os.path.join(self.meta_dir, "retired.json")):
+            raise ConcurrentCommitError(
+                "this branch was published via fast_forward and is retired; "
+                "fork a new branch from the target table to continue writing"
+            )
         with _commit_lock(self.meta_dir):
             cur_path = os.path.join(self.meta_dir, "current")
             if os.path.exists(cur_path):
@@ -466,6 +473,236 @@ class LakeTable:
             "rolled_back": True,
             "snapshot_id": snap["snapshot_id"],
             "restored_snapshot": target["snapshot_id"],
+        }
+
+    # ------------------------------------------------------------ branches
+    @staticmethod
+    def _remap_manifest_refs(snap: dict, src_data_dir: str, dst_data_dir: str) -> dict:
+        """Deep-copy a snapshot manifest remapping every data-file reference
+        (bucket files, delta files, and their stats keys) from being relative
+        to ``src_data_dir`` to being relative to ``dst_data_dir``. File
+        contents are never touched — this is the metadata half of a shallow
+        clone / fast-forward."""
+        src = os.path.abspath(src_data_dir)
+        dst = os.path.abspath(dst_data_dir)
+
+        def remap(rel: str) -> str:
+            return os.path.relpath(os.path.normpath(os.path.join(src, rel)), dst)
+
+        out = json.loads(json.dumps(snap))
+        for entry in out["buckets"].values():
+            entry["files"] = [remap(p) for p in entry["files"]]
+            if "stats" in entry:
+                entry["stats"] = {remap(p): s for p, s in entry["stats"].items()}
+        for d in out.get("deltas", []):
+            d["files"] = {b: [remap(p) for p in fs] for b, fs in d["files"].items()}
+            if "stats" in d:
+                d["stats"] = {remap(p): s for p, s in d["stats"].items()}
+        return out
+
+    def _manifest_refs(self, snap: dict) -> list[str]:
+        refs = [p for e in snap["buckets"].values() for p in e["files"]]
+        for d in snap.get("deltas", []):
+            refs += [p for fs in d["files"].values() for p in fs]
+        return refs
+
+    def branch(
+        self,
+        dest_location: str,
+        name: str | None = None,
+        at: int | str | None = None,
+    ) -> "LakeTable":
+        """Fork an isolated writable branch of this table (Iceberg branch /
+        Delta shallow-clone analogue) as its OWN table directory whose first
+        snapshot references this table's data files by metadata only — no
+        data is copied, and the commit protocol stays strictly linear per
+        table (the sid = parent + 1 / O_EXCL arbiter is untouched, which is
+        why r4 deferred in-table mutable branches: two children of one
+        parent would break that invariant; a branch-as-table has exactly one
+        lineage).
+
+        Mechanics:
+          - the base snapshot (``at`` = sid/tag, default current) is deep-
+            copied into the branch's v0 with every file reference rewritten
+            relative to the branch's data dir (``../``-style paths on a
+            filesystem; absolute URIs on an object store);
+          - the base snapshot is pinned on the parent with tag
+            ``__branch_<name>`` so parent ``expire_snapshots`` cannot delete
+            files the branch still references (dropping that tag manually
+            while the branch lives is the Delta ``VACUUM``-breaks-clones
+            footgun; ``fast_forward`` drops it for you);
+          - the epoch ledger is inherited, so exactly-once replay semantics
+            hold on the branch (re-applying a parent-committed epoch no-ops);
+          - the branch then evolves independently — merge / delete / compact
+            / schema evolution / rebucket all work, writing new files under
+            the branch's own data dir.
+
+        Publish back with ``parent.fast_forward(branch)``; audit-only
+        branches are simply ``drop()``-ed. Workflow parity: Iceberg
+        write-audit-publish on a branch + ``fast_forward_branch``."""
+        base = self._load_snapshot(
+            None if at is None else self._resolve_ref(at)
+        )
+        if name is None:
+            name = os.path.basename(os.path.normpath(dest_location))
+        if LakeTable.exists(dest_location):
+            raise ValueError(f"destination {dest_location!r} is already a table")
+        if f"__branch_{name}" in self.tags():
+            raise ValueError(
+                f"branch name {name!r} is already pinned on this table — "
+                "publish or drop the live branch first"
+            )
+        self.create_tag(f"__branch_{name}", base["snapshot_id"])
+        b = LakeTable(self.spark, dest_location)
+        os.makedirs(b.meta_dir, exist_ok=True)
+        os.makedirs(b.data_dir, exist_ok=True)
+        snap = self._remap_manifest_refs(base, self.data_dir, b.data_dir)
+        snap.update(
+            snapshot_id=0,
+            parent=None,
+            operation="branch",
+            branch_of={
+                "location": os.path.abspath(self.location),
+                "base_snapshot": base["snapshot_id"],
+                "name": name,
+            },
+            committed_at=time.time(),
+        )
+        b._write_snapshot(snap, expected_parent=None)
+        return b
+
+    def fast_forward(self, branch: "LakeTable") -> dict:
+        """Publish a branch's commits onto this table as ONE linear commit —
+        the Iceberg ``fast_forward`` analogue, and step 3 of branch-scoped
+        write-audit-publish.
+
+        Precondition (exactly Iceberg's): this table's head must still be
+        the branch's fork base. Any commit here since the fork raises
+        ConcurrentCommitError and nothing changes — rebase by forking a new
+        branch and re-applying (the epoch ledger makes that replay
+        idempotent).
+
+        Mechanics and guarantees:
+          - branch-local data files are hardlinked (copy fallback) into this
+            table's data dir — O(branch's net new files), never O(table); on
+            an object store this is the one physical copy a cross-table
+            publish costs. Inherited ``../`` references are rewritten back
+            to plain parent-relative paths. The branch's files stay intact,
+            so the branch remains readable history after publish;
+          - the commit itself rides ``_write_snapshot``'s CAS: a racing
+            writer (or a second branch's fast_forward) loses cleanly, and
+            the loser's linked files are removed on the spot (a crash in
+            the gap leaves orphans that ``expire_snapshots`` sweeps);
+          - the branch's epoch ledger, schema map, and bucket count are
+            adopted wholesale — valid because the precondition proves this
+            table did not move since the fork, so the branch state is a
+            strict descendant;
+          - the change-data-feed across the fast-forward commit emits
+            exactly the branch's delta layers (``changes_between`` diffs
+            layer counts and the parent's are unchanged since the fork) —
+            UNLESS the branch compacted, which folds layers; same re-sync
+            caveat as ``rollback_to``;
+          - after publish the branch is RETIRED (``_meta/retired.json``):
+            further branch commits raise, reads keep working until parent
+            expiry reclaims shared files, and the pin tag is dropped.
+        """
+        cur = self.current_snapshot()
+        bsnap = branch.current_snapshot()
+        bo = bsnap.get("branch_of")
+        if not bo or not os.path.samefile(bo["location"], self.location):
+            raise ValueError("fast_forward target is not a branch of this table")
+        if bo["base_snapshot"] != cur["snapshot_id"]:
+            raise ConcurrentCommitError(
+                f"cannot fast-forward: table moved to snapshot "
+                f"{cur['snapshot_id']} since the branch forked at "
+                f"{bo['base_snapshot']} — fork a new branch and re-apply"
+            )
+        if bsnap["snapshot_id"] == 0:
+            return {"fast_forwarded": False, "snapshot_id": cur["snapshot_id"]}
+
+        new_sid = cur["snapshot_id"] + 1
+        my_data = os.path.abspath(self.data_dir)
+        br_data = os.path.abspath(branch.data_dir)
+
+        def _is_branch_local(rel: str) -> bool:
+            src = os.path.normpath(os.path.join(br_data, rel))
+            return os.path.commonpath([src, br_data]) == br_data
+
+        linked: list[str] = []
+        try:
+            for rel in self._manifest_refs(bsnap):
+                if not _is_branch_local(rel):
+                    continue  # inherited (mine or an ancestor's): metadata-only
+                src = os.path.normpath(os.path.join(br_data, rel))
+                dst = os.path.normpath(os.path.join(my_data, rel))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+                linked.append(dst)
+            # branch-local refs keep their rel name (the file was just linked
+            # under this table's data dir at the same rel path); inherited
+            # refs are remapped to resolve from this table's data dir
+            snap = self._remap_manifest_refs(bsnap, branch.data_dir, self.data_dir)
+
+            def _final(rel_branch: str, rel_remapped: str) -> str:
+                return rel_branch if _is_branch_local(rel_branch) else rel_remapped
+
+            for name_, entry in snap["buckets"].items():
+                orig = bsnap["buckets"][name_]
+                entry["files"] = [
+                    _final(o, r) for o, r in zip(orig["files"], entry["files"])
+                ]
+                if "stats" in entry:
+                    entry["stats"] = {
+                        _final(o, r): s
+                        for (o, s0), (r, s) in zip(
+                            orig["stats"].items(), entry["stats"].items()
+                        )
+                    }
+            for d, od in zip(snap.get("deltas", []), bsnap.get("deltas", [])):
+                d["files"] = {
+                    b: [_final(o, r) for o, r in zip(od["files"][b], fs)]
+                    for b, fs in d["files"].items()
+                }
+                if "stats" in d:
+                    d["stats"] = {
+                        _final(o, r): s
+                        for (o, s0), (r, s) in zip(
+                            od["stats"].items(), d["stats"].items()
+                        )
+                    }
+            snap.pop("branch_of", None)
+            snap.update(
+                snapshot_id=new_sid,
+                parent=cur["snapshot_id"],
+                operation="fast_forward",
+                fast_forward_of={
+                    "branch": os.path.abspath(branch.location),
+                    "name": bo["name"],
+                    "base_snapshot": bo["base_snapshot"],
+                    "branch_head": bsnap["snapshot_id"],
+                },
+                committed_at=time.time(),
+            )
+            self._write_snapshot(snap, expected_parent=cur["snapshot_id"])
+        except BaseException:
+            for p in linked:  # loser/crash cleanup; leftovers are expiry-swept
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            raise
+        with open(os.path.join(branch.meta_dir, "retired.json"), "w") as f:
+            json.dump({"published_to": os.path.abspath(self.location),
+                       "snapshot_id": new_sid}, f)
+        self.drop_tag(f"__branch_{bo['name']}")
+        return {
+            "fast_forwarded": True,
+            "snapshot_id": new_sid,
+            "branch_head": bsnap["snapshot_id"],
+            "files_published": len(linked),
         }
 
     # ------------------------------------------------ write-audit-publish

@@ -2514,6 +2514,90 @@ ORDER BY user_id
 """
 
 
+_BRANCH_DEMO_CACHE: dict[str, str] = {}
+
+
+def branch_read(spark, sf_dir):
+    """Branch-scoped write-audit-publish under the oracle gate
+    (`LakeTable.branch` + `fast_forward` — the Iceberg branch /
+    fast_forward_branch analogue, built as a branch-as-table so the
+    sid = parent+1 / O_EXCL linear-commit arbiter is untouched): apply the
+    even-event epoch to the main table, fork an `audit` branch (metadata-only
+    — zero data files copied; the fork base is pinned on the parent against
+    expiry), apply the odd-event epoch ON THE BRANCH with delete tombstones
+    for 'error' events, verify the parent is untouched mid-audit, then
+    publish with fast_forward — one linear parent commit adopting the
+    branch's buckets/deltas/ledger, hardlinking only the branch's net-new
+    files. The final read must equal latest-per-user over ALL events minus
+    users whose globally-latest event is an odd-side 'error' (the branch's
+    tombstone semantics riding through the publish).
+
+    Scale shape: fork is O(1) metadata; publish is O(branch's new files)
+    metadata + link, never O(table) — at 10^10 events an audited epoch
+    costs the same as a direct one, plus one manifest rewrite."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key
+
+    loc = _BRANCH_DEMO_CACHE.get(sf_dir)
+    if loc and LakeTable.exists(loc):
+        t = LakeTable(spark, loc)
+    else:
+        loc = tempfile.mkdtemp(prefix="dex_branch_demo_")
+        t = LakeTable.create(
+            spark,
+            loc,
+            schema=[
+                ("user_id", "bigint"),
+                ("event_type", "string"),
+                ("event_id", "bigint"),
+            ],
+            key_cols=["user_id"],
+            n_buckets=8,
+            mode="mor",
+            order_col="event_id",
+        )
+        ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+        even = latest_by_key(
+            ev.filter(F.col("event_id") % 2 == 0), ["user_id"], ["event_id"]
+        ).withColumn("__op", F.lit("U"))
+        odd = latest_by_key(
+            ev.filter(F.col("event_id") % 2 == 1), ["user_id"], ["event_id"]
+        ).withColumn(
+            "__op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+        )
+        t.merge(even, epoch=1)
+        pre_publish = t.current_snapshot()["snapshot_id"]
+        b = t.branch(loc + "_audit", name="audit")
+        b.merge(odd, epoch=2)
+        # audit gate: the parent must be untouched while the branch holds
+        # the unpublished epoch (write-audit-publish isolation)
+        assert t.current_snapshot()["snapshot_id"] == pre_publish
+        t.fast_forward(b)
+        _BRANCH_DEMO_CACHE[sf_dir] = loc
+    return (
+        t.snapshot()
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_BRANCH_READ = """
+SELECT user_id, event_type AS last_op, event_id AS last_event_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1 AND NOT (event_type = 'error' AND event_id % 2 = 1)
+ORDER BY user_id
+"""
+
+
 def json_lake_flat(spark, sf_dir):
     """T1 profile-driven HL7->JSON, oracle-gated (lib-bumblebee
     HL7JsonTransformer.kt:30-146): runs the REAL to_json_lake — cardinality

@@ -928,3 +928,167 @@ def test_rollback_across_rebucket_restores_layout(spark, tmp_path):
     # bucket-pruned point read still routes by the restored count
     out = t.lookup([("a",)])
     assert [r["v"] for r in out.collect()] == ["7"]
+
+
+# ---------------------------------------------------------------- branches
+def test_branch_fork_isolated_then_fast_forward(spark, tmp_path):
+    """Write-audit-publish on a branch-as-table: the fork is metadata-only
+    (zero data copied), branch commits never touch the parent, and
+    fast_forward publishes the branch head as ONE linear parent commit whose
+    state equals the branch's. After publish the branch is retired (further
+    commits raise) but stays readable, and the pin tag is dropped."""
+    t = _mk(spark, tmp_path, "parent", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U"), ("b", "2", 2, 2, "U")]), epoch=0)
+
+    b = t.branch(str(tmp_path / "audit"))
+    # fork copied no data files: the branch data dir holds no parquet yet
+    import os
+    assert not any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(b.data_dir) for f in fs
+    )
+    # pin tag protects the fork base on the parent
+    assert t.tags()["__branch_audit"] == 1
+
+    # branch reads the fork state, then evolves independently
+    assert {r["k"]: r["v"] for r in b.snapshot().collect()} == {"a": "1", "b": "2"}
+    b.merge(_changes(spark, [("a", "9", 9, 3, "U"), ("c", "3", 3, 4, "U")]), epoch=1)
+    b.merge(_changes(spark, [("b", None, None, 5, "D")]), epoch=2)
+    assert {r["k"]: r["v"] for r in t.snapshot().collect()} == {"a": "1", "b": "2"}
+
+    res = t.fast_forward(b)
+    assert res["fast_forwarded"] and res["files_published"] > 0
+    assert {r["k"]: r["v"] for r in t.snapshot().collect()} == {"a": "9", "c": "3"}
+    h = t.history()
+    assert h[0]["operation"] == "fast_forward"
+    # published ledger adopted: branch epochs are exactly-once on the parent
+    assert not t.merge(_changes(spark, [("a", "XX", 0, 9, "U")]), epoch=2)["applied"]
+    assert "__branch_audit" not in t.tags()
+
+    # the branch is retired for WRITES but still readable
+    with pytest.raises(ConcurrentCommitError):
+        b.merge(_changes(spark, [("z", "z", 0, 99, "U")]), epoch=3)
+    assert {r["k"] for r in b.snapshot().collect()} == {"a", "c"}
+
+    # the parent keeps writing normally after the publish
+    t.merge(_changes(spark, [("d", "4", 4, 6, "U")]), epoch=3)
+    assert {r["k"] for r in t.snapshot().collect()} == {"a", "c", "d"}
+
+
+def test_branch_inherits_epoch_ledger(spark, tmp_path):
+    """Exactly-once holds across the fork: re-applying a parent-committed
+    epoch on the branch no-ops (the fork copies the ledger)."""
+    t = _mk(spark, tmp_path, "parent", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    b = t.branch(str(tmp_path / "br"))
+    assert not b.merge(_changes(spark, [("a", "XX", 0, 9, "U")]), epoch=0)["applied"]
+    assert b.merge(_changes(spark, [("b", "2", 2, 2, "U")]), epoch=1)["applied"]
+
+
+def test_fast_forward_rejects_diverged_parent(spark, tmp_path):
+    """Iceberg's fast-forward precondition: if the parent moved since the
+    fork, the publish raises and NOTHING changes on either table — the
+    recovery is a fresh fork + idempotent re-apply."""
+    t = _mk(spark, tmp_path, "parent", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    b = t.branch(str(tmp_path / "br"))
+    b.merge(_changes(spark, [("b", "2", 2, 2, "U")]), epoch=1)
+    t.merge(_changes(spark, [("c", "3", 3, 3, "U")]), epoch=1)  # parent moves
+
+    before = t.current_snapshot()["snapshot_id"]
+    with pytest.raises(ConcurrentCommitError):
+        t.fast_forward(b)
+    assert t.current_snapshot()["snapshot_id"] == before
+    assert {r["k"] for r in t.snapshot().collect()} == {"a", "c"}
+    # branch not retired by the failed publish
+    assert b.merge(_changes(spark, [("d", "4", 4, 4, "U")]), epoch=2)["applied"]
+
+    # not-a-branch and wrong-parent guards
+    other = _mk(spark, tmp_path, "other", mode="mor")
+    with pytest.raises(ValueError):
+        t.fast_forward(other)
+
+
+def test_branch_pinned_against_parent_expiry(spark, tmp_path):
+    """The fork base is tagged on the parent, so parent expire_snapshots
+    cannot reclaim files a live branch still references; branch expiry walks
+    only the branch's own data dir, so it can never delete parent files."""
+    t = _mk(spark, tmp_path, "parent", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    b = t.branch(str(tmp_path / "br"))
+    b.merge(_changes(spark, [("b", "2", 2, 2, "U")]), epoch=1)
+
+    # parent keeps evolving, compacts, expires aggressively
+    t.merge(_changes(spark, [("a", "5", 5, 2, "U")]), epoch=1)
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    # branch still reads its fork state + its own commits
+    assert {r["k"]: r["v"] for r in b.snapshot().collect()} == {"a": "1", "b": "2"}
+
+    # branch-side maintenance never reaches through ../ into the parent
+    b.compact()
+    b.expire_snapshots(keep_last=1)
+    assert {r["k"]: r["v"] for r in t.snapshot().collect()} == {"a": "5"}
+    assert {r["k"]: r["v"] for r in b.snapshot().collect()} == {"a": "1", "b": "2"}
+
+
+def test_fast_forward_adopts_schema_and_bucket_evolution(spark, tmp_path):
+    """A branch that evolved schema (add_column) and physical layout
+    (rebucket) publishes both: the parent's post-publish reads see the new
+    column and subsequent parent merges route by the branch's bucket count."""
+    t = _mk(spark, tmp_path, "parent", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    b = t.branch(str(tmp_path / "br"))
+    b.add_column("extra", "string")
+    b.merge(
+        spark.createDataFrame(
+            [("b", "2", 2, 2, "x", "U")],
+            "k string, v string, n int, lsn long, extra string, __op string",
+        ),
+        epoch=1,
+    )
+    b.rebucket(8)
+    t.fast_forward(b)
+    assert t.current_snapshot()["n_buckets"] == 8
+    rows = {r["k"]: r["extra"] for r in t.snapshot().collect()}
+    assert rows == {"a": None, "b": "x"}
+    t.merge(
+        spark.createDataFrame(
+            [("c", "3", 3, 3, "y", "U")],
+            "k string, v string, n int, lsn long, extra string, __op string",
+        ),
+        epoch=2,
+    )
+    assert t.lookup([("c",)]).collect()[0]["extra"] == "y"
+
+
+def test_fast_forward_cdf_and_empty_branch(spark, tmp_path):
+    """changes_between across the fast-forward commit emits exactly the
+    branch's merged rows (its delta layers); publishing a zero-commit branch
+    is a no-op."""
+    t = _mk(spark, tmp_path, "parent", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    pre = t.current_snapshot()["snapshot_id"]
+
+    empty = t.branch(str(tmp_path / "empty"))
+    assert not t.fast_forward(empty)["fast_forwarded"]
+
+    b = t.branch(str(tmp_path / "br"))
+    b.merge(_changes(spark, [("b", "2", 2, 2, "U"), ("a", None, None, 3, "D")]), epoch=1)
+    t.fast_forward(b)
+    feed = t.changes_between(pre)
+    got = {(r["k"], r["_change_type"]) for r in feed.collect()}
+    assert got == {("b", "U"), ("a", "D")}
+
+
+def test_branch_name_collision_and_duplicate_fork(spark, tmp_path):
+    """A live branch's name cannot be reused (the pin tag would be silently
+    clobbered — the VACUUM-breaks-clones footgun); an existing table cannot
+    be branch-targeted."""
+    t = _mk(spark, tmp_path, "parent", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    t.branch(str(tmp_path / "br"))
+    with pytest.raises(ValueError):
+        t.branch(str(tmp_path / "br2"), name="br")
+    with pytest.raises(ValueError):
+        t.branch(str(tmp_path / "br"))  # destination already a table

@@ -500,12 +500,6 @@ class LakeTable:
                 d["stats"] = {remap(p): s for p, s in d["stats"].items()}
         return out
 
-    def _manifest_refs(self, snap: dict) -> list[str]:
-        refs = [p for e in snap["buckets"].values() for p in e["files"]]
-        for d in snap.get("deltas", []):
-            refs += [p for fs in d["files"].values() for p in fs]
-        return refs
-
     def branch(
         self,
         dest_location: str,
@@ -589,10 +583,18 @@ class LakeTable:
             publish costs. Inherited ``../`` references are rewritten back
             to plain parent-relative paths. The branch's files stay intact,
             so the branch remains readable history after publish;
+          - linked files are STAGED under directories numbered with this
+            table's NEXT snapshot id (``[sd]{new_sid}-<hash>``), never under
+            the branch's own (smaller) snapshot ids. This honors the
+            ``expire_snapshots`` lock-free concurrent-writer contract — an
+            expire running during the link phase only considers directories
+            numbered <= the sid it read at entry, so in-flight published
+            files are never deletion candidates;
           - the commit itself rides ``_write_snapshot``'s CAS: a racing
             writer (or a second branch's fast_forward) loses cleanly, and
             the loser's linked files are removed on the spot (a crash in
-            the gap leaves orphans that ``expire_snapshots`` sweeps);
+            the gap leaves orphans that ``expire_snapshots`` sweeps once
+            the table commits at or past the staged sid);
           - the branch's epoch ledger, schema map, and bucket count are
             adopted wholesale — valid because the precondition proves this
             table did not move since the fork, so the branch state is a
@@ -628,51 +630,57 @@ class LakeTable:
             src = os.path.normpath(os.path.join(br_data, rel))
             return os.path.commonpath([src, br_data]) == br_data
 
+        # branch-local refs are published under this table's NEXT snapshot
+        # id's directory namespace (the expire_snapshots staging contract:
+        # in-flight files must live under dirs numbered > the expirer's
+        # entry sid); inherited refs resolve from this table's data dir
+        import hashlib
+        import re as _re
+
+        def _staged_dir(head: str) -> str:
+            m = _re.match(r"^([sd])\d{8}", head)
+            kind = m.group(1) if m else "d"
+            return f"{kind}{new_sid:08d}-{hashlib.sha1(head.encode()).hexdigest()[:8]}"
+
+        def _pub_rel(rel: str) -> str:
+            if not _is_branch_local(rel):
+                src = os.path.normpath(os.path.join(br_data, rel))
+                return os.path.relpath(src, my_data)
+            head, _, tail = os.path.normpath(rel).partition(os.sep)
+            if not tail:
+                head, tail = "__root__", head
+            return os.path.join(_staged_dir(head), tail)
+
         linked: list[str] = []
         try:
-            for rel in self._manifest_refs(bsnap):
-                if not _is_branch_local(rel):
-                    continue  # inherited (mine or an ancestor's): metadata-only
-                src = os.path.normpath(os.path.join(br_data, rel))
-                dst = os.path.normpath(os.path.join(my_data, rel))
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                try:
-                    os.link(src, dst)
-                except OSError:
-                    shutil.copy2(src, dst)
-                linked.append(dst)
-            # branch-local refs keep their rel name (the file was just linked
-            # under this table's data dir at the same rel path); inherited
-            # refs are remapped to resolve from this table's data dir
-            snap = self._remap_manifest_refs(bsnap, branch.data_dir, self.data_dir)
+            snap = json.loads(json.dumps(bsnap))
 
-            def _final(rel_branch: str, rel_remapped: str) -> str:
-                return rel_branch if _is_branch_local(rel_branch) else rel_remapped
+            def _publish(rel: str) -> str:
+                out = _pub_rel(rel)
+                if _is_branch_local(rel):
+                    src = os.path.normpath(os.path.join(br_data, rel))
+                    dst = os.path.join(my_data, out)
+                    if not os.path.exists(dst):
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        try:
+                            os.link(src, dst)
+                        except OSError:
+                            shutil.copy2(src, dst)
+                        linked.append(dst)
+                return out
 
-            for name_, entry in snap["buckets"].items():
-                orig = bsnap["buckets"][name_]
-                entry["files"] = [
-                    _final(o, r) for o, r in zip(orig["files"], entry["files"])
-                ]
+            for entry in snap["buckets"].values():
+                entry["files"] = [_publish(p) for p in entry["files"]]
                 if "stats" in entry:
                     entry["stats"] = {
-                        _final(o, r): s
-                        for (o, s0), (r, s) in zip(
-                            orig["stats"].items(), entry["stats"].items()
-                        )
+                        _pub_rel(p): s for p, s in entry["stats"].items()
                     }
-            for d, od in zip(snap.get("deltas", []), bsnap.get("deltas", [])):
+            for d in snap.get("deltas", []):
                 d["files"] = {
-                    b: [_final(o, r) for o, r in zip(od["files"][b], fs)]
-                    for b, fs in d["files"].items()
+                    b: [_publish(p) for p in fs] for b, fs in d["files"].items()
                 }
                 if "stats" in d:
-                    d["stats"] = {
-                        _final(o, r): s
-                        for (o, s0), (r, s) in zip(
-                            od["stats"].items(), d["stats"].items()
-                        )
-                    }
+                    d["stats"] = {_pub_rel(p): s for p, s in d["stats"].items()}
             snap.pop("branch_of", None)
             snap.update(
                 snapshot_id=new_sid,

@@ -1092,3 +1092,56 @@ def test_branch_name_collision_and_duplicate_fork(spark, tmp_path):
         t.branch(str(tmp_path / "br2"), name="br")
     with pytest.raises(ValueError):
         t.branch(str(tmp_path / "br"))  # destination already a table
+
+
+def test_fast_forward_stages_under_next_sid(spark, tmp_path):
+    """The expire_snapshots concurrent-writer contract: in-flight files must
+    live under directories numbered ABOVE the expirer's entry sid. So
+    fast_forward publishes branch-local files under the parent's NEXT
+    snapshot id's namespace, never under the branch's own small sids — and a
+    lock-free expire racing the link phase (emulated here by staging the
+    same way, then expiring at the pre-publish head) leaves them untouched."""
+    import json
+    import os
+    import re
+
+    t = _mk(spark, tmp_path, "parent", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    t.merge(_changes(spark, [("b", "2", 2, 2, "U")]), epoch=1)
+    pre_sid = t.current_snapshot()["snapshot_id"]
+
+    # emulate an in-flight fast_forward's staged link racing an expire:
+    # a file under the NEXT sid's namespace must not be a deletion candidate
+    staged = os.path.join(t.data_dir, f"d{pre_sid + 1:08d}-deadbeef")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-inflight.parquet"), "w") as f:
+        f.write("x")
+    t.expire_snapshots(keep_last=1)
+    assert os.path.exists(os.path.join(staged, "part-inflight.parquet"))
+    os.remove(os.path.join(staged, "part-inflight.parquet"))
+    os.rmdir(staged)
+
+    b = t.branch(str(tmp_path / "br"))
+    b.merge(_changes(spark, [("c", "3", 3, 3, "U")]), epoch=2)
+    b.merge(_changes(spark, [("d", "4", 4, 4, "U")]), epoch=3)
+    res = t.fast_forward(b)
+    new_sid = res["snapshot_id"]
+
+    with open(os.path.join(t.meta_dir, f"v{new_sid:08d}.json")) as f:
+        snap = json.load(f)
+    refs = [p for e in snap["buckets"].values() for p in e["files"]]
+    for d in snap.get("deltas", []):
+        refs += [p for fs in d["files"].values() for p in fs]
+    pat = re.compile(r"^[sd](\d{8})(?:-[0-9a-f]{8})?$")
+    for rel in refs:
+        head = os.path.normpath(rel).split(os.sep)[0]
+        m = pat.match(head)
+        assert m, f"published ref {rel!r} escapes the snapshot-dir namespace"
+        # inherited refs keep their (kept) old sids; everything the publish
+        # itself wrote sits at exactly the new sid
+        assert int(m.group(1)) <= pre_sid or int(m.group(1)) == new_sid, rel
+    assert any(int(pat.match(os.path.normpath(r).split(os.sep)[0]).group(1)) == new_sid for r in refs)
+
+    # and the published state reads correctly after an aggressive expire
+    t.expire_snapshots(keep_last=1)
+    assert {r["k"] for r in t.snapshot().collect()} == {"a", "b", "c", "d"}

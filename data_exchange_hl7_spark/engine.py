@@ -484,17 +484,46 @@ class Engine:
         }
         done = set(tgt.committed_epochs())
         key_cols = main.current_snapshot()["key_cols"]
+        from collections import Counter
+
+        per_commit = Counter(sid for _e, sid, _p in epoch_commits)
+        branch_commits: dict[str, tuple[LakeTable, dict[int, tuple[int, int]]]] = {}
         for e, sid, parent in sorted(epoch_commits):
             if str(e) in done:
                 continue
+            # epochs published via fast_forward share ONE main-table commit,
+            # whose combined delta must not be fed once per epoch (it would
+            # double-count aggregate deltas): recover the per-epoch frame
+            # from the published BRANCH's own delta layers instead
+            src_t, c_sid, c_parent = main, sid, parent
+            smeta = main._load_snapshot(sid)
+            if smeta.get("operation") == "fast_forward":
+                ff = smeta["fast_forward_of"]
+                if ff["branch"] not in branch_commits and LakeTable.exists(ff["branch"]):
+                    bt = LakeTable(self.spark, ff["branch"])
+                    branch_commits[ff["branch"]] = (
+                        bt,
+                        {be: (bs, bp) for be, bs, bp in self._epoch_commits(bt)},
+                    )
+                if ff["branch"] in branch_commits:
+                    src_t, bmap = branch_commits[ff["branch"]]
+                    c_sid, c_parent = bmap[int(e)]
+                elif per_commit[sid] > 1:
+                    raise ValueError(
+                        f"epoch {e} rode a multi-epoch fast_forward commit and "
+                        f"its branch {ff['branch']!r} is no longer readable; "
+                        "per-epoch stage replay is impossible — keep published "
+                        "branches until deriveds are rebuilt, or replay from "
+                        "the WAL instead"
+                    )
             changes = (
-                main.changes_between(parent, sid)
+                src_t.changes_between(c_parent, c_sid)
                 .withColumnRenamed("_change_type", "__op")
                 .drop("_commit_snapshot")
             )
             if kind == "aggregate":
-                old_rows = main.snapshot(
-                    as_of=parent, keys_in=changes.select(*key_cols)
+                old_rows = src_t.snapshot(
+                    as_of=c_parent, keys_in=changes.select(*key_cols)
                 )
                 dchanges = fn(changes, old_rows)
             else:
@@ -941,6 +970,89 @@ class Engine:
             return stats
         finally:
             old_rows.unpersist()
+
+    # ------------------------------------------------- branch publish
+    def publish(self, table: LakeTable, branch: LakeTable) -> dict:
+        """Branch publish across the WHOLE lineage: ``fast_forward`` the
+        branch onto the main table, then maintain every registered derived
+        table and aggregate view for each published epoch — the step a bare
+        ``LakeTable.fast_forward`` cannot give once deriveds exist (same gap
+        ``purge_where`` closes for deletes).
+
+        Per-epoch frames come from the BRANCH's own change feed: its MoR
+        delta layers ARE the exact per-epoch change frames, whereas the
+        single fast_forward commit on the parent folds them into one
+        combined delta — feeding that once per epoch would double-count
+        resolve='sum' aggregate deltas.
+
+        Exactly-once across tables via the same per-table epoch manifests as
+        ``apply_epoch``: a crash between the fast_forward commit and a
+        derived merge resumes cleanly — the main publish is skipped (the
+        branch's retired marker records where it landed) and only the
+        still-missing derived epochs apply, recomputed from the branch's
+        immutable delta layers, so the late merges are byte-identical.
+
+        Scale shape: the publish itself is O(branch's net-new files)
+        metadata + link; lineage maintenance is O(that epoch's changes) per
+        derived per epoch — identical to what apply_epoch would have paid
+        had the epochs landed directly.
+        """
+        import json
+
+        derived = self._derived.get(table_name(table), [])
+        # epochs the branch INTRODUCED (credited to branch sids >= 1 by the
+        # rollback-aware walk; sid 0 carries the inherited fork ledger)
+        introduced = [
+            (e, sid, parent)
+            for e, sid, parent in self._epoch_commits(branch)
+            if sid > 0
+        ]
+        retired_path = os.path.join(branch.meta_dir, "retired.json")
+        if os.path.exists(retired_path):
+            with open(retired_path) as f:
+                info = json.load(f)
+            if not os.path.samefile(info["published_to"], table.location):
+                raise ValueError(
+                    f"branch {table_name(branch)!r} was published to "
+                    f"{info['published_to']!r}, not to this table"
+                )
+            res = {
+                "fast_forwarded": False,
+                "resumed": True,
+                "snapshot_id": info["snapshot_id"],
+            }
+        else:
+            res = table.fast_forward(branch)
+        key_cols = table.current_snapshot()["key_cols"]
+        maintained: list[str] = []
+        for e, sid, parent in introduced:
+            pending = [
+                (t, fn, kind)
+                for t, fn, kind in derived
+                if str(e) not in t.committed_epochs()
+            ]
+            if not pending:
+                continue
+            changes = (
+                branch.changes_between(parent, sid)
+                .withColumnRenamed("_change_type", "__op")
+                .drop("_commit_snapshot")
+            )
+            old_rows = None
+            if any(kind == "aggregate" for _, _, kind in pending):
+                # pre-epoch state of the changed keys on the BRANCH (the
+                # fork base equals the parent's head at publish time, so the
+                # branch-side chain of pre-states is the true lineage)
+                old_rows = branch.snapshot(
+                    as_of=parent, keys_in=changes.select(*key_cols)
+                )
+            info_d = {"op": "publish", "branch": os.path.abspath(branch.location)}
+            for dt, fn, kind in pending:
+                dchanges = fn(changes, old_rows) if kind == "aggregate" else fn(changes)
+                dt.merge(dchanges, epoch=e, epoch_info=info_d)
+                maintained.append(f"{table_name(dt)}:{e}")
+        res["derived_applied"] = maintained
+        return res
 
     # ----------------------------------------------- stage facades (7.5)
     # Thin 1:1 surface over the operator library, mirroring the reference's

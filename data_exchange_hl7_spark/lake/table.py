@@ -607,6 +607,11 @@ class LakeTable:
           - after publish the branch is RETIRED (``_meta/retired.json``):
             further branch commits raise, reads keep working until parent
             expiry reclaims shared files, and the pin tag is dropped.
+
+        On a table with engine-registered derived tables or aggregate views,
+        use ``Engine.publish`` instead — it runs this publish AND maintains
+        the lineage per published epoch (a bare fast_forward leaves deriveds
+        silently stale, the same gap ``delete_where`` documents).
         """
         cur = self.current_snapshot()
         bsnap = branch.current_snapshot()

@@ -975,3 +975,152 @@ def test_rebuild_derived_after_rollback_uses_corrected_epoch(spark, tmp_path):
     rebuilt_agg = eng.rebuild_derived(table, "repo_stats")
     assert sorted(rebuilt_agg.snapshot().collect()) == sorted(agg_t.snapshot().collect())
     events.unpersist()
+
+
+# ---------------------------------------------------------- branch publish
+def test_publish_maintains_derived_and_aggregate(spark, tmp_path):
+    """Engine.publish = fast_forward + lineage maintenance: epochs applied
+    on an audit branch (where NO derived maintenance runs — the branch is a
+    different table name) land on the parent as one commit, and every
+    registered derived table / aggregate view is then maintained PER EPOCH
+    from the branch's own change feed. Invariants: derived == derive(final
+    main), aggregate == groupBy(final main), epoch sets all equal."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        REPO_STATS_SCHEMA,
+        file_stats_derive,
+        repo_stats_delta,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    agg_t = eng.aggregate_table("repo_stats", REPO_STATS_SCHEMA, repo_stats_delta)
+    events = change_events(spark, 4000).persist()
+    eng.apply_epoch(events.filter(F.col("lsn") < 1000), table, epoch=0)
+    eng.apply_epoch(
+        events.filter((F.col("lsn") >= 1000) & (F.col("lsn") < 2000)), table, epoch=1
+    )
+
+    b = table.branch(str(tmp_path / "audit"), name="audit")
+    eng.apply_epoch(
+        events.filter((F.col("lsn") >= 2000) & (F.col("lsn") < 3000)), b, epoch=2
+    )
+    eng.apply_epoch(events.filter(F.col("lsn") >= 3000), b, epoch=3)
+    # audit isolation: deriveds saw nothing from the branch epochs
+    assert set(stats_t.committed_epochs()) == {"0", "1"}
+
+    res = eng.publish(table, b)
+    assert res["fast_forwarded"]
+    assert sorted(res["derived_applied"]) == [
+        "file_stats:2", "file_stats:3", "repo_stats:2", "repo_stats:3",
+    ]
+    assert set(table.committed_epochs()) == {"0", "1", "2", "3"}
+    assert set(stats_t.committed_epochs()) == {"0", "1", "2", "3"}
+    assert set(agg_t.committed_epochs()) == {"0", "1", "2", "3"}
+
+    body = F.coalesce(F.col("content"), F.lit(""))
+    expected_stats = sorted(
+        table.snapshot()
+        .select(
+            "repo", "path", "lang",
+            F.size(F.split(body, "\n")).cast("int").alias("n_lines"),
+            F.size(F.filter(F.split(body, " "), lambda t: F.length(t) > 0))
+            .cast("int").alias("n_tokens"),
+            "content_sha256", "last_lsn",
+        )
+        .collect()
+    )
+    assert sorted(stats_t.snapshot().collect()) == expected_stats
+
+    got = {r["repo"]: (r["n_files"], r["total_bytes"])
+           for r in agg_t.snapshot().collect()}
+    expected = {r["repo"]: (r["n_files"], r["total_bytes"])
+                for r in _expected_repo_stats(table)}
+    for repo, vals in expected.items():
+        assert got[repo] == vals, repo
+    for repo in set(got) - set(expected):
+        assert got[repo] == (0, 0), repo
+    events.unpersist()
+
+
+def test_publish_resumes_after_partial_commit(spark, tmp_path):
+    """Crash between the fast_forward commit and a derived merge: re-running
+    publish skips the main publish (retired marker) and applies only the
+    missing derived epochs from the branch's immutable delta layers."""
+    from data_exchange_hl7_spark.engine import (
+        REPO_STATS_SCHEMA,
+        Engine,
+        repo_stats_delta,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    agg_t = eng.aggregate_table("repo_stats", REPO_STATS_SCHEMA, repo_stats_delta)
+    events = change_events(spark, 3000).persist()
+    eng.apply_epoch(events.filter(F.col("lsn") < 1500), table, epoch=0)
+
+    b = table.branch(str(tmp_path / "audit"), name="audit")
+    eng.apply_epoch(events.filter(F.col("lsn") >= 1500), b, epoch=1)
+
+    orig_merge = agg_t.merge
+    state = {"fail": True}
+
+    def flaky(*a, **k):
+        if state["fail"]:
+            state["fail"] = False
+            raise RuntimeError("simulated crash after fast_forward")
+        return orig_merge(*a, **k)
+
+    agg_t.merge = flaky
+    with pytest.raises(RuntimeError):
+        eng.publish(table, b)
+    # the fast_forward itself landed; the aggregate is behind
+    assert set(table.committed_epochs()) == {"0", "1"}
+    assert set(agg_t.committed_epochs()) == {"0"}
+
+    res = eng.publish(table, b)
+    assert res["resumed"] and not res["fast_forwarded"]
+    assert res["derived_applied"] == ["repo_stats:1"]
+    got = {r["repo"]: (r["n_files"], r["total_bytes"])
+           for r in agg_t.snapshot().collect()}
+    expected = {r["repo"]: (r["n_files"], r["total_bytes"])
+                for r in _expected_repo_stats(table)}
+    for repo, vals in expected.items():
+        assert got[repo] == vals, repo
+    events.unpersist()
+
+
+def test_rebuild_derived_after_multi_epoch_publish(spark, tmp_path):
+    """Stage-scoped replay across a fast_forward commit: two branch epochs
+    share ONE main-table commit, so rebuild_derived must recover each
+    epoch's frame from the branch's delta layers — feeding the combined
+    commit delta once per epoch would double-count the aggregate. With the
+    branch dropped, the multi-epoch rebuild must refuse loudly."""
+    from data_exchange_hl7_spark.engine import (
+        REPO_STATS_SCHEMA,
+        Engine,
+        repo_stats_delta,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    agg_t = eng.aggregate_table("repo_stats", REPO_STATS_SCHEMA, repo_stats_delta)
+    events = change_events(spark, 3000).persist()
+    eng.apply_epoch(events.filter(F.col("lsn") < 1000), table, epoch=0)
+
+    b = table.branch(str(tmp_path / "audit"), name="audit")
+    eng.apply_epoch(
+        events.filter((F.col("lsn") >= 1000) & (F.col("lsn") < 2000)), b, epoch=1
+    )
+    eng.apply_epoch(events.filter(F.col("lsn") >= 2000), b, epoch=2)
+    eng.publish(table, b)
+
+    rebuilt = eng.rebuild_derived(table, "repo_stats")
+    assert sorted(rebuilt.snapshot().collect()) == sorted(agg_t.snapshot().collect())
+
+    b.drop()
+    rebuilt.drop()
+    with pytest.raises(ValueError, match="fast_forward"):
+        eng.rebuild_derived(table, "repo_stats")
+    events.unpersist()

@@ -1124,3 +1124,53 @@ def test_rebuild_derived_after_multi_epoch_publish(spark, tmp_path):
     with pytest.raises(ValueError, match="fast_forward"):
         eng.rebuild_derived(table, "repo_stats")
     events.unpersist()
+
+
+def test_rollback_past_publish_then_republish(spark, tmp_path):
+    """Interplay of the two lineage recovery primitives: Engine.rollback
+    PAST a published fast_forward commit rolls the branch epochs off the
+    main ledger AND rewinds the aggregate view (ledger-subset cascade);
+    because the retired branch's epochs are no longer committed, a fresh
+    fork + re-apply + re-publish then converges to the same final state."""
+    from data_exchange_hl7_spark.engine import (
+        REPO_STATS_SCHEMA,
+        Engine,
+        repo_stats_delta,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    agg_t = eng.aggregate_table("repo_stats", REPO_STATS_SCHEMA, repo_stats_delta)
+    events = change_events(spark, 3000).persist()
+    eng.apply_epoch(events.filter(F.col("lsn") < 1000), table, epoch=0)
+    pre_sid = table.current_snapshot()["snapshot_id"]
+
+    slice1 = events.filter((F.col("lsn") >= 1000) & (F.col("lsn") < 2000))
+    slice2 = events.filter(F.col("lsn") >= 2000)
+    b1 = table.branch(str(tmp_path / "audit1"), name="audit1")
+    eng.apply_epoch(slice1, b1, epoch=1)
+    eng.apply_epoch(slice2, b1, epoch=2)
+    eng.publish(table, b1)
+    published = sorted(
+        (r["repo"], r["path"], r["content_sha256"])
+        for r in table.snapshot().collect()
+    )
+    agg_published = sorted(agg_t.snapshot().collect())
+
+    # the audit verdict arrives late: roll the published epochs back off
+    eng.rollback(table, pre_sid)
+    assert set(table.committed_epochs()) == {"0"}
+    assert set(agg_t.committed_epochs()) == {"0"}
+
+    # corrected audit: fresh fork, re-apply, re-publish — converges
+    b2 = table.branch(str(tmp_path / "audit2"), name="audit2")
+    eng.apply_epoch(slice1, b2, epoch=1)
+    eng.apply_epoch(slice2, b2, epoch=2)
+    eng.publish(table, b2)
+    got = sorted(
+        (r["repo"], r["path"], r["content_sha256"])
+        for r in table.snapshot().collect()
+    )
+    assert got == published
+    assert sorted(agg_t.snapshot().collect()) == agg_published
+    events.unpersist()

@@ -12,8 +12,11 @@ full default example budget.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+from data_exchange_hl7_spark.lake.table import ConcurrentCommitError
 
 from data_exchange_hl7_spark.operators.debatch import debatch
 from data_exchange_hl7_spark.operators.dedup import (
@@ -346,22 +349,32 @@ def test_bloom_decontaminate_one_sided_error(spark):
 # the classes of bug a scenario test cannot enumerate: rolling back TO a
 # rollback commit, consecutive rollbacks, merge-after-rollback lsn
 # interactions, and delete/upsert mixes across the restored boundary.
+_row_batch = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 5), st.booleans()),
+    min_size=1,
+    max_size=3,
+    unique_by=lambda r: r[0],
+)
 _rollback_ops = st.lists(
     st.one_of(
-        st.lists(
-            st.tuples(st.integers(0, 3), st.integers(0, 5), st.booleans()),
-            min_size=1,
-            max_size=3,
-            unique_by=lambda r: r[0],
-        ).map(lambda rs: ("merge", rs)),
+        _row_batch.map(lambda rs: ("merge", rs)),
         st.integers(0, 1000).map(lambda i: ("rollback", i)),
         # compaction is state-preserving, so the model is unchanged — but a
         # rollback TO a pre-compaction snapshot (and compacting again after)
         # exercises the manifest paths the merge-only interleavings miss
         st.just(("compact", None)),
+        # branch ops: a branch_merge forks once (lazily) and then commits on
+        # the fork's private model; publish fast-forwards ONLY if the parent
+        # head is still the fork base (otherwise the publish must raise and
+        # change NOTHING). Interleaved with parent merges and rollbacks this
+        # covers publish-after-parent-moved, publish-after-parent-ROLLBACK
+        # (same state, different sid — must still refuse), and
+        # rollback-past-a-publish.
+        _row_batch.map(lambda rs: ("branch_merge", rs)),
+        st.just(("publish", None)),
     ),
     min_size=3,
-    max_size=6,
+    max_size=7,
 )
 
 
@@ -392,16 +405,24 @@ def test_rollback_model_equivalence(spark, ops):
         hist = [(0, dict(model))]  # (snapshot_id, model state at that commit)
         lsn = 0
         epoch = 0
+        branch = None  # [branch_table, fork_base_sid, branch_model]
+        n_forks = 0
+
+        def _apply(rows_spec, m):
+            nonlocal lsn
+            rows = []
+            for k, v, is_del in rows_spec:
+                lsn += 1
+                rows.append((k, v, lsn, "D" if is_del else "U"))
+                if is_del:
+                    m.pop(k, None)
+                else:
+                    m[k] = (v, lsn)
+            return rows
+
         for kind, arg in ops:
             if kind == "merge":
-                rows = []
-                for k, v, is_del in arg:
-                    lsn += 1
-                    rows.append((k, v, lsn, "D" if is_del else "U"))
-                    if is_del:
-                        model.pop(k, None)
-                    else:
-                        model[k] = (v, lsn)
+                rows = _apply(arg, model)
                 epoch += 1
                 t.merge(
                     spark.createDataFrame(
@@ -413,6 +434,39 @@ def test_rollback_model_equivalence(spark, ops):
                 sid, past = hist[arg % len(hist)]
                 t.rollback_to(sid)
                 model = dict(past)
+            elif kind == "branch_merge":
+                if branch is None:
+                    n_forks += 1
+                    bt = t.branch(loc + f"_br{n_forks}", name=f"br{n_forks}")
+                    branch = [bt, t.current_snapshot()["snapshot_id"], dict(model)]
+                bt, _base, bmodel = branch
+                rows = _apply(arg, bmodel)
+                epoch += 1
+                bt.merge(
+                    spark.createDataFrame(
+                        rows, "k int, v int, lsn long, __op string"
+                    ),
+                    epoch=epoch,
+                )
+            elif kind == "publish":
+                if branch is None:
+                    continue
+                bt, base, bmodel = branch
+                if t.current_snapshot()["snapshot_id"] == base:
+                    res = t.fast_forward(bt)
+                    if res["fast_forwarded"]:
+                        model = dict(bmodel)
+                else:
+                    # parent moved (merge OR rollback — even to the same
+                    # state, the sid differs): publish must refuse and
+                    # change nothing on the parent
+                    before = t.current_snapshot()["snapshot_id"]
+                    with pytest.raises(ConcurrentCommitError):
+                        t.fast_forward(bt)
+                    assert t.current_snapshot()["snapshot_id"] == before
+                bt.drop()
+                t.drop_tag(f"__branch_br{n_forks}")
+                branch = None
             else:
                 t.compact()
             hist.append((t.current_snapshot()["snapshot_id"], dict(model)))

@@ -36,7 +36,18 @@ def stream_apply(
     processing_time: str | None = None,
 ):
     """Tail ``source_dir`` for new WAL parquet files and apply each
-    micro-batch exactly once. Returns the StreamingQuery."""
+    micro-batch exactly once. Returns the StreamingQuery.
+
+    Epoch ids are ``base + batch_id``. The base is fixed at the stream's
+    FIRST start as one past the table's highest committed epoch and persisted
+    in the checkpoint dir — it must be a constant of the stream identity, not
+    recomputed per start, or a re-delivered batch could renumber and break
+    exactly-once. For a table created empty the base is 0 (epoch ==
+    batch_id, the original contract); for a BRANCH fork the inherited ledger
+    is non-empty, and without the offset the stream's batches 0..k would
+    collide with the parent's committed epochs 0..k and no-op silently — the
+    WAL window would be lost on the audit branch. A pre-existing checkpoint
+    without a recorded base keeps base 0 (upgrade compatibility)."""
     reader = spark.readStream
     if schema:
         reader = reader.schema(schema)
@@ -46,8 +57,25 @@ def stream_apply(
         reader = reader.schema(static.schema)
     stream = reader.parquet(source_dir)
 
+    import json
+
+    base_path = os.path.join(checkpoint_dir, "epoch_base.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            epoch_base = json.load(f)["epoch_base"]
+    elif os.path.exists(os.path.join(checkpoint_dir, "offsets")):
+        epoch_base = 0  # checkpoint predates the base file: epoch == batch_id
+    else:
+        ledger = table.committed_epochs()
+        epoch_base = 1 + max((int(e) for e in ledger), default=-1)
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = f"{base_path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch_base": epoch_base}, f)
+        os.replace(tmp, base_path)
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        engine.apply_epoch(batch_df, table, epoch=batch_id)
+        engine.apply_epoch(batch_df, table, epoch=epoch_base + batch_id)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", os.path.join(checkpoint_dir)

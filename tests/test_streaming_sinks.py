@@ -372,3 +372,41 @@ def test_session_counts_stream_matches_batch(spark, tmp_path):
     finalized = {k: v for k, v in got.items() if k in batch}
     assert finalized == batch
     ev.unpersist()
+
+
+def test_stream_apply_into_branch_then_publish(spark, tmp_path):
+    """WAL-window audit on a fork: streaming into a BRANCH must offset its
+    epoch ids past the inherited ledger (batch 0 would otherwise collide
+    with the parent's committed epoch 0 and silently no-op — the regression
+    this test pins). Restarting the stream re-reads the persisted base, so
+    exactly-once holds across checkpoint resumes; Engine.publish then lands
+    the audited window on the parent, matching the all-events oracle."""
+    ev = change_events(spark, 3000).persist()
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=16, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    eng.apply_epoch(ev.filter(F.col("lsn") < 1500), table, epoch=0)
+
+    src = str(tmp_path / "wal_stream")
+    ev.filter(F.col("lsn") >= 1500).write.mode("overwrite").parquet(src)
+    b = table.branch(str(tmp_path / "audit"), name="audit")
+    ckpt = str(tmp_path / "ckpt")
+    stream_apply(spark, eng, src, b, ckpt).awaitTermination(120)
+
+    new_epochs = set(b.committed_epochs()) - set(table.committed_epochs())
+    assert new_epochs and all(int(e) >= 1 for e in new_epochs)
+    n_after_stream = b.snapshot().count()
+    assert n_after_stream > table.snapshot().count()
+
+    # restart with the same checkpoint: nothing new to read, nothing reapplied
+    stream_apply(spark, eng, src, b, ckpt).awaitTermination(120)
+    assert set(b.committed_epochs()) - set(table.committed_epochs()) == new_epochs
+    assert b.snapshot().count() == n_after_stream
+
+    eng.publish(table, b)
+    oracle = replay_oracle([r.asDict() for r in ev.collect()])
+    got = {(r["repo"], r["path"]): r["content_sha256"]
+           for r in table.snapshot().collect()}
+    assert set(got) == set(oracle.rows)
+    for k, orc in oracle.rows.items():
+        assert got[k] == orc["sha"], k
+    ev.unpersist()

@@ -2598,6 +2598,119 @@ ORDER BY user_id
 """
 
 
+def publish_read(spark, sf_dir):
+    """Lineage-aware branch publish under the oracle gate (Engine.publish =
+    LakeTable.fast_forward + per-epoch derived/aggregate maintenance from
+    the branch's own change feed): epoch 0 INSERTs a 50-char preview of
+    every doc directly on the main table (aggregate view registered), then
+    an audit branch applies epoch 1 (UPDATE every surviving doc to its full
+    text) and epoch 2 (DELETE every 7th doc) and Engine.publish lands both
+    as ONE fast-forward commit. The aggregate view must equal DuckDB's plain
+    GROUP BY over the surviving documents — which certifies the two failure
+    modes a bare fast_forward or a naive per-epoch replay would hit: skipped
+    maintenance (totals stay preview-sized) and double-counted deltas (the
+    folded two-epoch commit fed once per epoch doubles the update+delete
+    deltas).
+
+    Scale shape: fork O(1) metadata, publish O(net-new files) + one manifest
+    commit; maintenance reads each branch epoch's delta layers (O(changes))
+    with the pre-state key-semi-joined — identical cost to direct apply
+    (BENCH.md: 0.92x at 1M events)."""
+    import tempfile
+
+    from data_exchange_hl7_spark.engine import (
+        REPO_STATS_SCHEMA,
+        Engine,
+        repo_stats_delta,
+    )
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    key = f"{sf_dir}::publish"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(os.path.join(loc, "repo_stats"))):
+        loc = tempfile.mkdtemp(prefix="dex_engine_pub_")
+        eng = Engine(spark, loc, n_buckets=8, mode="mor")
+        table = eng.snapshot_table("repo_files")
+        eng.aggregate_table("repo_stats", REPO_STATS_SCHEMA, repo_stats_delta)
+        docs = _t(spark, sf_dir, "documents")
+        base = docs.select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            "doc_id",
+            "lang",
+            "text",
+        )
+
+        def _wal(df):
+            return (
+                df.withColumn("ts", F.timestamp_seconds(F.lit(1704067200) + F.col("lsn")))
+                .withColumn("new_path", F.lit(None).cast("string"))
+                .withColumn("commit", F.sha2(F.col("path"), 256).substr(1, 40))
+                .withColumn("schema_field", F.lit(None).cast("string"))
+                .withColumn(
+                    "supporting_metadata", F.create_map().cast("map<string,string>")
+                )
+                .withColumn(
+                    "event_id",
+                    F.sha2(
+                        F.concat_ws("|", "repo", "path", F.col("lsn").cast("string")), 256
+                    ),
+                )
+            )
+
+        v0 = _wal(
+            base.select(
+                F.lit("INSERT").alias("op"),
+                (F.col("doc_id") * 3).alias("lsn"),
+                "repo", "path", "lang",
+                F.substring("text", 1, 50).alias("content"),
+            )
+        )
+        v1 = _wal(
+            base.filter(F.col("doc_id") % 7 != 0).select(
+                F.lit("UPDATE").alias("op"),
+                (F.col("doc_id") * 3 + 1).alias("lsn"),
+                "repo", "path", "lang",
+                F.col("text").alias("content"),
+            )
+        )
+        v2 = _wal(
+            base.filter(F.col("doc_id") % 7 == 0).select(
+                F.lit("DELETE").alias("op"),
+                (F.col("doc_id") * 3 + 2).alias("lsn"),
+                "repo", "path", "lang",
+                F.lit(None).cast("string").alias("content"),
+            )
+        )
+        eng.apply_epoch(v0, table, epoch=0, collect_metrics=False)
+        b = table.branch(loc + "/repo_files_audit", name="audit")
+        eng.apply_epoch(v1, b, epoch=1, collect_metrics=False)
+        eng.apply_epoch(v2, b, epoch=2, collect_metrics=False)
+        eng.publish(table, b)
+        _LAKE_DEMO_CACHE[key] = loc
+    agg_t = LakeTable(spark, os.path.join(loc, "repo_stats"))
+    return (
+        agg_t.snapshot()
+        .filter(F.col("n_files") > 0)
+        .select("repo", "n_files", "total_bytes")
+        .orderBy("repo")
+    )
+
+
+ORACLE_PUBLISH_READ = """
+WITH body AS (
+  SELECT *, TRIM(text, chr(65279) || ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS b
+  FROM documents)
+SELECT source AS repo,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(len(b)) AS BIGINT) AS total_bytes
+FROM body
+WHERE doc_id % 7 <> 0 AND len(b) > 0
+GROUP BY source
+ORDER BY repo
+"""
+
+
 def json_lake_flat(spark, sf_dir):
     """T1 profile-driven HL7->JSON, oracle-gated (lib-bumblebee
     HL7JsonTransformer.kt:30-146): runs the REAL to_json_lake — cardinality

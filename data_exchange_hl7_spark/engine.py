@@ -1023,6 +1023,25 @@ class Engine:
             }
         else:
             res = table.fast_forward(branch)
+        # adopt the branch's report sidecars: apply_epoch wrote metrics /
+        # per-partition lineage / dead-letter rejects under the BRANCH's
+        # table name, so without this the parent's metrics() report and
+        # reprocess_rejects would have holes for the published epochs.
+        # Copy, not move — the branch stays readable history; idempotent
+        # (existing parent dirs kept) so crash-resume re-runs are safe.
+        import shutil
+
+        for kind in ("_metrics", "_lineage", "_rejects"):
+            for e, _sid, _parent in introduced:
+                src = os.path.join(
+                    self.warehouse, kind, table_name(branch), f"epoch={e}"
+                )
+                dst = os.path.join(
+                    self.warehouse, kind, table_name(table), f"epoch={e}"
+                )
+                if os.path.isdir(src) and not os.path.exists(dst):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.copytree(src, dst)
         key_cols = table.current_snapshot()["key_cols"]
         maintained: list[str] = []
         for e, sid, parent in introduced:

@@ -1041,6 +1041,13 @@ def test_publish_maintains_derived_and_aggregate(spark, tmp_path):
         assert got[repo] == vals, repo
     for repo in set(got) - set(expected):
         assert got[repo] == (0, 0), repo
+
+    # report sidecar continuity: the branch epochs' metrics and lineage rows
+    # (written under the branch's name during the audit) now answer under
+    # the PARENT's name — no holes in the per-epoch report after publish
+    assert {r["epoch"] for r in eng.metrics("repo_files").collect()} == {0, 1, 2, 3}
+    lineage_epochs = {r["epoch"] for r in eng.lineage("repo_files").collect()}
+    assert lineage_epochs == {0, 1, 2, 3}
     events.unpersist()
 
 

@@ -50,7 +50,15 @@ source_overlap_matrix, neardup_editdist_verify, session_window_counts,
 snapshot_diff, module_pagerank, cms_heavy_hitters,
 content_defined_chunks) sit inside the r4 window; the window boundary
 now falls inside the r2 cohort (errors_by_category onward displaced to
-51+, still locally parity-tested every pytest run). NOTE: tests/test_oracle_parity.py replicates the gate
+51+, still locally parity-tested every pytest run). FINAL r4 additions:
+branch_read (LakeTable.branch + fast_forward write-audit-publish) and
+publish_read (Engine.publish lineage maintenance incl. the multi-epoch
+folded-commit double-count gate), both in-window; the branch work also
+touched lake/table.py, engine.py (publish, rebuild_derived FF recovery,
+sidecar adoption), and streaming/stream_ingest.py (epoch-base offset) —
+the queries riding those modules are already inside this round's window,
+so the r4 gate certifies the post-change code. NOTE:
+tests/test_oracle_parity.py replicates the gate
 for ALL queries at sf0.01 in every pytest run, so tail queries are never
 unchecked — only externally un-refreshed. COVERAGE.md carries the
 per-query last-green ledger (python ledger.py).

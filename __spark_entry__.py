@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollback_read": q.rollback_read,
         "branch_read": q.branch_read,
         "publish_read": q.publish_read,
+        "redrive_read": q.redrive_read,
         # --- r3-touched modules (lake/table.py, engine.py, query wrappers)
         # whose only green rows predate the r3 code — re-certify ----------
         "hl7_debatch": q.hl7_debatch,
@@ -346,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "rollback_read": q.ORACLE_ROLLBACK_READ,
         "branch_read": q.ORACLE_BRANCH_READ,
         "publish_read": q.ORACLE_PUBLISH_READ,
+        "redrive_read": q.ORACLE_REDRIVE_READ,
         "json_lake_flat": q.ORACLE_JSON_LAKE_FLAT,
         "gold_wide_projection": q.ORACLE_GOLD_WIDE,
         "hard_negatives_ivf": qt.ORACLE_HN_IVF,

@@ -2711,6 +2711,108 @@ ORDER BY repo
 """
 
 
+def redrive_read(spark, sf_dir):
+    """Dead-letter re-drive under the oracle gate (Engine.reprocess_rejects
+    — the reference's failure-replay path, svc-hl7-replay
+    ReplayController.kt:100-139 applied to the reject stream): epoch 0
+    INSERTs every doc but POISONS the required 'commit' metadata on every
+    5th one, so the structure validator dead-letters those rows (full
+    envelope, V1-V3 + K2 semantics); reprocess_rejects then backfills the
+    metadata and re-applies them exactly-once under a new epoch. The final
+    snapshot must contain EVERY non-empty doc, and the ``redriven`` flag —
+    computed from the reject sidecar, not from the synthesis rule — must
+    mark exactly the poisoned keys. Discriminating both ways: if validation
+    never rejected, redriven is all-zero; if the re-drive didn't land, the
+    poisoned keys are missing rows.
+
+    Scale shape: rejects are ~1/5 here but ~1% in production — the re-drive
+    is one ordinary O(changes) epoch over the reject table, never a WAL
+    re-scan; the lsn guard (CoW) / read-time window (MoR) makes stale
+    re-drives unable to clobber newer live rows."""
+    import tempfile
+
+    from data_exchange_hl7_spark.engine import Engine
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    key = f"{sf_dir}::redrive"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(os.path.join(loc, "repo_files"))):
+        loc = tempfile.mkdtemp(prefix="dex_engine_redrive_")
+        eng = Engine(spark, loc, n_buckets=8, mode="mor")
+        table = eng.snapshot_table("repo_files")
+        docs = _t(spark, sf_dir, "documents")
+        wal = (
+            docs.select(
+                F.lit("INSERT").alias("op"),
+                (F.col("doc_id") * 2).alias("lsn"),
+                F.col("source").alias("repo"),
+                F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+                "doc_id",
+                "lang",
+                F.col("text").alias("content"),
+            )
+            .withColumn("ts", F.timestamp_seconds(F.lit(1704067200) + F.col("lsn")))
+            .withColumn("new_path", F.lit(None).cast("string"))
+            .withColumn(
+                "commit",
+                # the poison: required provenance missing on every 5th doc
+                F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+                    F.sha2(F.col("path"), 256).substr(1, 40)
+                ),
+            )
+            .withColumn("schema_field", F.lit(None).cast("string"))
+            .withColumn(
+                "supporting_metadata", F.create_map().cast("map<string,string>")
+            )
+            .withColumn(
+                "event_id",
+                F.sha2(
+                    F.concat_ws("|", "repo", "path", F.col("lsn").cast("string")), 256
+                ),
+            )
+            .drop("doc_id")
+        )
+        eng.apply_epoch(wal, table, epoch=0)
+        assert eng.rejects("repo_files").count() > 0, "poison produced no rejects"
+
+        def fix(ev):
+            return ev.withColumn("commit", F.sha2(F.col("path"), 256).substr(1, 40))
+
+        eng.reprocess_rejects(table, epoch=1000, fix=fix)
+        _LAKE_DEMO_CACHE[key] = loc
+    eng = Engine(spark, loc, n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    redriven = (
+        eng.rejects("repo_files")
+        .filter(F.col("epoch") == 0)
+        .select("repo", "path")
+        .distinct()
+        .withColumn("redriven", F.lit(1))
+    )
+    return (
+        table.snapshot()
+        .join(redriven, ["repo", "path"], "left")
+        .fillna(0, ["redriven"])
+        .select("repo", "path", "size_bytes", "last_lsn", "redriven")
+        .orderBy("repo", "path")
+    )
+
+
+ORACLE_REDRIVE_READ = """
+WITH body AS (
+  SELECT *, TRIM(text, chr(65279) || ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS b
+  FROM documents)
+SELECT source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) AS path,
+       CAST(len(b) AS INT) AS size_bytes,
+       CAST(doc_id * 2 AS BIGINT) AS last_lsn,
+       CAST(doc_id % 5 = 0 AS INT) AS redriven
+FROM body
+WHERE len(b) > 0
+ORDER BY repo, path
+"""
+
+
 def json_lake_flat(spark, sf_dir):
     """T1 profile-driven HL7->JSON, oracle-gated (lib-bumblebee
     HL7JsonTransformer.kt:30-146): runs the REAL to_json_lake — cardinality

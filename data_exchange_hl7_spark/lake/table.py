@@ -619,6 +619,42 @@ class LakeTable:
         if not bo or not os.path.samefile(bo["location"], self.location):
             raise ValueError("fast_forward target is not a branch of this table")
         if bo["base_snapshot"] != cur["snapshot_id"]:
+            # crash-resume self-heal: the publish commit may have LANDED but
+            # the process died before the retire-marker write — walk back to
+            # the fork base looking for this branch's own fast-forward
+            # commit (only the FF commit carries fast_forward_of; descendants
+            # strip it), and if found finish the bookkeeping instead of
+            # refusing. A genuinely-moved parent still raises below.
+            try:
+                s = cur
+                while s["snapshot_id"] > bo["base_snapshot"]:
+                    ffo = s.get("fast_forward_of")
+                    if (
+                        ffo
+                        and ffo["branch"] == os.path.abspath(branch.location)
+                        and ffo["branch_head"] == bsnap["snapshot_id"]
+                    ):
+                        with open(
+                            os.path.join(branch.meta_dir, "retired.json"), "w"
+                        ) as f:
+                            json.dump(
+                                {
+                                    "published_to": os.path.abspath(self.location),
+                                    "snapshot_id": s["snapshot_id"],
+                                },
+                                f,
+                            )
+                        self.drop_tag(f"__branch_{bo['name']}")
+                        return {
+                            "fast_forwarded": False,
+                            "already_published": True,
+                            "snapshot_id": s["snapshot_id"],
+                        }
+                    if s["parent"] is None:
+                        break
+                    s = self._load_snapshot(s["parent"])
+            except FileNotFoundError:
+                pass  # walk hit the retention horizon: treat as moved
             raise ConcurrentCommitError(
                 f"cannot fast-forward: table moved to snapshot "
                 f"{cur['snapshot_id']} since the branch forked at "

@@ -1145,3 +1145,41 @@ def test_fast_forward_stages_under_next_sid(spark, tmp_path):
     # and the published state reads correctly after an aggressive expire
     t.expire_snapshots(keep_last=1)
     assert {r["k"] for r in t.snapshot().collect()} == {"a", "b", "c", "d"}
+
+
+def test_fast_forward_self_heals_lost_retire_marker(spark, tmp_path):
+    """Crash window between the publish commit and the branch's retire
+    marker: re-running fast_forward finds its own fast-forward commit on
+    the walk back to the fork base and finishes the bookkeeping (retire +
+    tag drop) instead of refusing as 'parent moved' — so Engine.publish
+    resumes converge. A genuinely moved parent still refuses."""
+    import json
+    import os
+
+    t = _mk(spark, tmp_path, "parent", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    b = t.branch(str(tmp_path / "br"), name="audit")
+    b.merge(_changes(spark, [("b", "2", 2, 2, "U")]), epoch=1)
+    res = t.fast_forward(b)
+    sid = res["snapshot_id"]
+
+    # reconstruct the crash state: commit landed, bookkeeping lost
+    os.remove(os.path.join(b.meta_dir, "retired.json"))
+    t.create_tag("__branch_audit", 1)
+
+    # parent even keeps committing after the crash — the walk still finds it
+    t.merge(_changes(spark, [("c", "3", 3, 3, "U")]), epoch=2)
+
+    res2 = t.fast_forward(b)
+    assert res2["already_published"] and res2["snapshot_id"] == sid
+    assert os.path.exists(os.path.join(b.meta_dir, "retired.json"))
+    assert "__branch_audit" not in t.tags()
+    with open(os.path.join(b.meta_dir, "retired.json")) as f:
+        assert json.load(f)["snapshot_id"] == sid
+
+    # a different branch whose publish never landed still refuses
+    b2 = t.branch(str(tmp_path / "br2"), name="audit2")
+    b2.merge(_changes(spark, [("d", "4", 4, 4, "U")]), epoch=3)
+    t.merge(_changes(spark, [("e", "5", 5, 5, "U")]), epoch=4)
+    with pytest.raises(ConcurrentCommitError):
+        t.fast_forward(b2)

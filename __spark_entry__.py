@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "branch_read": q.branch_read,
         "publish_read": q.publish_read,
         "redrive_read": q.redrive_read,
+        "stream_ingest_read": q.stream_ingest_read,
         # --- r3-touched modules (lake/table.py, engine.py, query wrappers)
         # whose only green rows predate the r3 code — re-certify ----------
         "hl7_debatch": q.hl7_debatch,
@@ -348,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "branch_read": q.ORACLE_BRANCH_READ,
         "publish_read": q.ORACLE_PUBLISH_READ,
         "redrive_read": q.ORACLE_REDRIVE_READ,
+        "stream_ingest_read": q.ORACLE_STREAM_INGEST_READ,
         "json_lake_flat": q.ORACLE_JSON_LAKE_FLAT,
         "gold_wide_projection": q.ORACLE_GOLD_WIDE,
         "hard_negatives_ivf": qt.ORACLE_HN_IVF,

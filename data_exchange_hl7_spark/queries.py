@@ -2813,6 +2813,115 @@ ORDER BY repo, path
 """
 
 
+def stream_ingest_read(spark, sf_dir):
+    """S1 streaming ingest itself under the oracle gate (directory-tail →
+    foreachBatch exactly-once; reference fn-receiver-debatcher
+    Function.kt:46-54, Spark POC fn_load_hl7.scala:37-43): a two-version
+    WAL (INSERT preview, then UPDATE-to-full-text / DELETE every 7th doc)
+    is written as MANY parquet files and drained by ``stream_apply`` with a
+    maxFilesPerTrigger rate limit, so availableNow splits the backlog into
+    several exactly-once micro-batches (asserted >= 3 epochs — the
+    multi-batch path, not one giant batch). The final snapshot must equal
+    the per-key latest-lsn resolution DuckDB computes — whatever file/batch
+    interleaving the source picked, which is precisely the property that
+    lets a 10^10-event backlog drain under any epoch sizing.
+
+    Scale shape: each micro-batch is one ordinary O(changes) epoch (same
+    plan as apply_epoch); the checkpoint + epoch manifest pair closes the
+    foreachBatch at-least-once hole."""
+    import tempfile
+
+    from data_exchange_hl7_spark.engine import Engine
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.streaming.stream_ingest import stream_apply
+
+    key = f"{sf_dir}::stream_ingest"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(os.path.join(loc, "repo_files"))):
+        loc = tempfile.mkdtemp(prefix="dex_engine_stream_")
+        eng = Engine(spark, loc, n_buckets=8, mode="mor")
+        table = eng.snapshot_table("repo_files")
+        docs = _t(spark, sf_dir, "documents")
+        base = docs.select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            "doc_id",
+            "lang",
+            "text",
+        )
+
+        def _wal(df):
+            return (
+                df.withColumn("ts", F.timestamp_seconds(F.lit(1704067200) + F.col("lsn")))
+                .withColumn("new_path", F.lit(None).cast("string"))
+                .withColumn("commit", F.sha2(F.col("path"), 256).substr(1, 40))
+                .withColumn("schema_field", F.lit(None).cast("string"))
+                .withColumn(
+                    "supporting_metadata", F.create_map().cast("map<string,string>")
+                )
+                .withColumn(
+                    "event_id",
+                    F.sha2(
+                        F.concat_ws("|", "repo", "path", F.col("lsn").cast("string")), 256
+                    ),
+                )
+                .drop("doc_id")
+            )
+
+        v1 = _wal(
+            base.select(
+                F.lit("INSERT").alias("op"),
+                (F.col("doc_id") * 2).alias("lsn"),
+                "repo", "path", "doc_id", "lang",
+                F.substring("text", 1, 50).alias("content"),
+            )
+        )
+        v2 = _wal(
+            base.select(
+                F.when(F.col("doc_id") % 7 == 0, F.lit("DELETE"))
+                .otherwise(F.lit("UPDATE"))
+                .alias("op"),
+                (F.col("doc_id") * 2 + 1).alias("lsn"),
+                "repo", "path", "doc_id", "lang",
+                F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+                .otherwise(F.col("text"))
+                .alias("content"),
+            )
+        )
+        src = os.path.join(loc, "wal_stream")
+        v1.repartition(4).write.mode("overwrite").parquet(src)
+        v2.repartition(4).write.mode("append").parquet(src)
+        q = stream_apply(
+            spark, eng, src, table, os.path.join(loc, "ckpt"),
+            max_files_per_trigger=3,
+        )
+        q.awaitTermination(300)
+        # the rate limit must have split the drain into several exactly-once
+        # micro-batches — the property under test (not one giant batch)
+        assert len(table.committed_epochs()) >= 3, table.committed_epochs()
+        _LAKE_DEMO_CACHE[key] = loc
+    table = LakeTable(spark, os.path.join(loc, "repo_files"))
+    return (
+        table.snapshot()
+        .select("repo", "path", "size_bytes", "last_lsn")
+        .orderBy("repo", "path")
+    )
+
+
+ORACLE_STREAM_INGEST_READ = """
+WITH body AS (
+  SELECT *, TRIM(text, chr(65279) || ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS b
+  FROM documents)
+SELECT source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) AS path,
+       CAST(len(b) AS INT) AS size_bytes,
+       CAST(doc_id * 2 + 1 AS BIGINT) AS last_lsn
+FROM body
+WHERE doc_id % 7 <> 0 AND len(b) > 0
+ORDER BY repo, path
+"""
+
+
 def json_lake_flat(spark, sf_dir):
     """T1 profile-driven HL7->JSON, oracle-gated (lib-bumblebee
     HL7JsonTransformer.kt:30-146): runs the REAL to_json_lake — cardinality

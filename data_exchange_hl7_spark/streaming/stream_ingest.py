@@ -34,6 +34,7 @@ def stream_apply(
     schema: str | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Tail ``source_dir`` for new WAL parquet files and apply each
     micro-batch exactly once. Returns the StreamingQuery.
@@ -55,6 +56,11 @@ def stream_apply(
         # parquet streams need an explicit schema; infer from existing files
         static = spark.read.parquet(source_dir)
         reader = reader.schema(static.schema)
+    if max_files_per_trigger:
+        # source rate limit: availableNow drains the backlog in MULTIPLE
+        # micro-batches of <= N files each (epoch sizing for a large
+        # catch-up, instead of one giant batch)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
 
     import json

@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "publish_read": q.publish_read,
         "redrive_read": q.redrive_read,
         "stream_ingest_read": q.stream_ingest_read,
+        "replay_read": q.replay_read,
         # --- r3-touched modules (lake/table.py, engine.py, query wrappers)
         # whose only green rows predate the r3 code — re-certify ----------
         "hl7_debatch": q.hl7_debatch,
@@ -350,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "publish_read": q.ORACLE_PUBLISH_READ,
         "redrive_read": q.ORACLE_REDRIVE_READ,
         "stream_ingest_read": q.ORACLE_STREAM_INGEST_READ,
+        "replay_read": q.ORACLE_REPLAY_READ,
         "json_lake_flat": q.ORACLE_JSON_LAKE_FLAT,
         "gold_wide_projection": q.ORACLE_GOLD_WIDE,
         "hard_negatives_ivf": qt.ORACLE_HN_IVF,

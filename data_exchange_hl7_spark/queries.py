@@ -2922,6 +2922,115 @@ ORDER BY repo, path
 """
 
 
+def replay_read(spark, sf_dir):
+    """Selective replay under the oracle gate (streaming/runner.replay —
+    the reference's replay entry points: by source unit + log range,
+    svc-hl7-replay ReplayController.kt:100-139/225-253): the two-version
+    documents WAL is replayed into a FRESH table with a composed filter —
+    repo == 'src3' AND lsn in [0, 2K+1] where K = max(doc_id)//2 — through
+    the normal micro-batch apply (epoch manifests, ReplayMD provenance on
+    every epoch). The replayed table must equal DuckDB's direct computation
+    of that slice's final state: only src3 docs with doc_id <= K, at full
+    text, minus the %7 deletes. Both filter dimensions are discriminating —
+    dropping either admits extra rows.
+
+    Scale shape: the filters are narrow predicates pushed to the WAL scan
+    (a selective replay reads O(matching events), the property that makes
+    replaying one jurisdiction out of 10^10 events affordable), and the
+    apply is the ordinary O(changes) epoch path."""
+    import tempfile
+
+    from data_exchange_hl7_spark.engine import Engine
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.streaming.runner import replay
+
+    key = f"{sf_dir}::replay"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(os.path.join(loc, "repo_files_replay"))):
+        loc = tempfile.mkdtemp(prefix="dex_engine_replay_")
+        eng = Engine(spark, loc, n_buckets=8, mode="mor")
+        docs = _t(spark, sf_dir, "documents")
+        k = docs.agg(F.max("doc_id")).collect()[0][0] // 2  # scalar, metadata-sized
+        base = docs.select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            "doc_id",
+            "lang",
+            "text",
+        )
+
+        def _wal(df):
+            return (
+                df.withColumn("ts", F.timestamp_seconds(F.lit(1704067200) + F.col("lsn")))
+                .withColumn("new_path", F.lit(None).cast("string"))
+                .withColumn("commit", F.sha2(F.col("path"), 256).substr(1, 40))
+                .withColumn("schema_field", F.lit(None).cast("string"))
+                .withColumn(
+                    "supporting_metadata", F.create_map().cast("map<string,string>")
+                )
+                .withColumn(
+                    "event_id",
+                    F.sha2(
+                        F.concat_ws("|", "repo", "path", F.col("lsn").cast("string")), 256
+                    ),
+                )
+                .drop("doc_id")
+            )
+
+        v1 = _wal(
+            base.select(
+                F.lit("INSERT").alias("op"),
+                (F.col("doc_id") * 2).alias("lsn"),
+                "repo", "path", "doc_id", "lang",
+                F.substring("text", 1, 50).alias("content"),
+            )
+        )
+        v2 = _wal(
+            base.select(
+                F.when(F.col("doc_id") % 7 == 0, F.lit("DELETE"))
+                .otherwise(F.lit("UPDATE"))
+                .alias("op"),
+                (F.col("doc_id") * 2 + 1).alias("lsn"),
+                "repo", "path", "doc_id", "lang",
+                F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+                .otherwise(F.col("text"))
+                .alias("content"),
+            )
+        )
+        replay(
+            eng,
+            v1.unionByName(v2),
+            table_name="repo_files_replay",
+            epoch_size=512,
+            repo="src3",
+            lsn_range=(0, 2 * k + 1),
+            reason="oracle-gated selective replay",
+        )
+        _LAKE_DEMO_CACHE[key] = loc
+    table = LakeTable(spark, os.path.join(loc, "repo_files_replay"))
+    return (
+        table.snapshot()
+        .select("repo", "path", "size_bytes", "last_lsn")
+        .orderBy("repo", "path")
+    )
+
+
+ORACLE_REPLAY_READ = """
+WITH body AS (
+  SELECT *, TRIM(text, chr(65279) || ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS b
+  FROM documents)
+SELECT source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) AS path,
+       CAST(len(b) AS INT) AS size_bytes,
+       CAST(doc_id * 2 + 1 AS BIGINT) AS last_lsn
+FROM body
+WHERE source = 'src3'
+  AND doc_id <= (SELECT MAX(doc_id) FROM documents) // 2
+  AND doc_id % 7 <> 0 AND len(b) > 0
+ORDER BY repo, path
+"""
+
+
 def json_lake_flat(spark, sf_dir):
     """T1 profile-driven HL7->JSON, oracle-gated (lib-bumblebee
     HL7JsonTransformer.kt:30-146): runs the REAL to_json_lake — cardinality

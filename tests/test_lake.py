@@ -1183,3 +1183,59 @@ def test_fast_forward_self_heals_lost_retire_marker(spark, tmp_path):
     t.merge(_changes(spark, [("e", "5", 5, 5, "U")]), epoch=4)
     with pytest.raises(ConcurrentCommitError):
         t.fast_forward(b2)
+
+
+def test_concurrent_fast_forwards_exactly_one_wins(spark, tmp_path):
+    """The publish CAS under real thread concurrency: four branches forked
+    off the same base, each with its own audit epoch, race fast_forward.
+    Exactly one publishes (the others raise ConcurrentCommitError and leave
+    the parent untouched by their linked files — losers clean up on the
+    spot); the parent state is base + exactly the winner's rows; the losers
+    then converge by the documented protocol (fresh fork off the new head,
+    idempotent re-apply, publish)."""
+    import threading
+
+    t = _mk(spark, tmp_path, "parent", mode="mor")
+    t.merge(_changes(spark, [("base", "0", 0, 1, "U")]), epoch=0)
+
+    branches = []
+    for i in range(4):
+        b = t.branch(str(tmp_path / f"br{i}"), name=f"br{i}")
+        b.merge(_changes(spark, [(f"k{i}", str(i), i, 10 + i, "U")]), epoch=10 + i)
+        branches.append(b)
+
+    wins, losses = [], []
+    barrier = threading.Barrier(4)
+
+    def publisher(i):
+        barrier.wait()
+        try:
+            res = t.fast_forward(branches[i])
+            wins.append((i, res))
+        except ConcurrentCommitError:
+            losses.append(i)
+
+    threads = [threading.Thread(target=publisher, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert len(wins) == 1 and len(losses) == 3, (wins, losses)
+    wi, wres = wins[0]
+    assert wres["fast_forwarded"]
+    keys = {r["k"] for r in t.snapshot().collect()}
+    assert keys == {"base", f"k{wi}"}, keys
+    # losers' staged hardlinks were removed on the failed CAS: every file on
+    # disk under the parent's data dir is referenced by some live snapshot
+    assert t.orphan_files().count() == 0
+
+    # documented recovery: losers re-fork off the new head and re-apply
+    for i in sorted(losses):
+        b2 = t.branch(str(tmp_path / f"br{i}_retry"), name=f"br{i}_retry")
+        b2.merge(_changes(spark, [(f"k{i}", str(i), i, 10 + i, "U")]), epoch=10 + i)
+        t.fast_forward(b2)
+    keys = {r["k"] for r in t.snapshot().collect()}
+    assert keys == {"base", "k0", "k1", "k2", "k3"}
+    # exactly-once held throughout: each epoch committed once on the parent
+    assert sorted(t.committed_epochs()) == ["0", "10", "11", "12", "13"]

@@ -1873,6 +1873,26 @@ class LakeTable:
 
         self._evolve(mutate)
 
+    def drop_column(self, name: str) -> None:
+        """Drop a column — Iceberg semantics: metadata-only (data files keep
+        the bytes; the field-ID projection simply stops selecting them, and
+        the next compaction rewrites files without the column). Re-adding
+        the same NAME later allocates a NEW field id, so previously-written
+        values can never resurface under the re-added column — the classic
+        drop/re-add corruption a name-based mapping would hit. Key columns
+        and the MoR order column are load-bearing and cannot be dropped."""
+        snap = self.current_snapshot()
+        protected = set(snap["key_cols"]) | {snap.get("order_col")}
+        if name in protected:
+            raise ValueError(f"cannot drop key/order column {name!r}")
+        if not any(f["name"] == name for f in self.schema_fields(snap)):
+            raise ValueError(f"no column {name!r} in the current schema")
+
+        def mutate(fields, next_id):
+            return [f for f in fields if f["name"] != name], next_id
+
+        self._evolve(mutate)
+
     # ------------------------------------------------- maintenance
     def orphan_files(self) -> DataFrame:
         """Disk-vs-manifest reconciliation, DRY-RUN (the report half of

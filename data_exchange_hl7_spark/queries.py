@@ -1471,12 +1471,17 @@ ORDER BY user_id
 def schema_evolution_read(spark, sf_dir):
     """Full schema-evolution cycle under the oracle gate (north-rule
     add/rename/type-widen mapped to Iceberg-style field-ID schema updates):
-    epoch 1 lands even event_ids under schema v0 (event_id:int), then the
-    schema evolves (widen event_id int->bigint, rename event_type->op_type,
-    add value_cents:bigint), epoch 2 lands odd event_ids under v1. The final
-    read must project v0 files through the field-ID mapping: renamed column
-    resolves by id, widened ints upcast, added column is NULL for rows whose
-    latest version predates it."""
+    epoch 1 lands even event_ids under schema v0 (event_id:int,
+    session_hint:string populated), then the schema evolves (DROP
+    session_hint, widen event_id int->bigint, rename event_type->op_type,
+    add value_cents:bigint, RE-ADD session_hint under a new field id),
+    epoch 2 lands odd event_ids under the evolved schema. The final read
+    must project v0 files through the field-ID mapping: renamed column
+    resolves by id, widened ints upcast, added column is NULL for rows
+    whose latest version predates it — and the dropped-then-re-added
+    session_hint must be NULL for every epoch-1 row even though those
+    files still hold its old bytes (new field id, no resurrection — the
+    drop/re-add corruption a name-based mapping would hit)."""
     import tempfile
 
     from data_exchange_hl7_spark.lake.table import LakeTable
@@ -1489,7 +1494,12 @@ def schema_evolution_read(spark, sf_dir):
         t = LakeTable.create(
             spark,
             loc,
-            schema=[("user_id", "bigint"), ("event_type", "string"), ("event_id", "int")],
+            schema=[
+                ("user_id", "bigint"),
+                ("event_type", "string"),
+                ("event_id", "int"),
+                ("session_hint", "string"),
+            ],
             key_cols=["user_id"],
             n_buckets=8,
             mode="mor",
@@ -1497,20 +1507,26 @@ def schema_evolution_read(spark, sf_dir):
         )
         ev = _t(spark, sf_dir, "events")
         e1 = ev.filter(F.col("event_id") % 2 == 0).select(
-            "user_id", "event_type", F.col("event_id").cast("int").alias("event_id")
+            "user_id",
+            "event_type",
+            F.col("event_id").cast("int").alias("event_id"),
+            F.concat(F.lit("h"), F.col("user_id")).alias("session_hint"),
         )
         c1 = latest_by_key(e1, ["user_id"], ["event_id"]).withColumn(
             "__op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
         )
         t.merge(c1, epoch=1)
+        t.drop_column("session_hint")
         t.widen_column("event_id", "bigint")
         t.rename_column("event_type", "op_type")
         t.add_column("value_cents", "bigint")
+        t.add_column("session_hint", "string")  # re-add: NEW field id
         e2 = ev.filter(F.col("event_id") % 2 == 1).select(
             "user_id",
             F.col("event_type").alias("op_type"),
             "event_id",
             F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+            F.concat(F.lit("H"), F.col("event_id")).alias("session_hint"),
         )
         c2 = latest_by_key(e2, ["user_id"], ["event_id"]).withColumn(
             "__op", F.when(F.col("op_type") == "error", F.lit("D")).otherwise(F.lit("U"))
@@ -1521,7 +1537,7 @@ def schema_evolution_read(spark, sf_dir):
         t = LakeTable(spark, loc)
     return (
         t.snapshot()
-        .select("user_id", "op_type", "event_id", "value_cents")
+        .select("user_id", "op_type", "event_id", "value_cents", "session_hint")
         .orderBy("user_id")
     )
 
@@ -1531,7 +1547,9 @@ SELECT user_id,
        event_type AS op_type,
        event_id,
        CASE WHEN event_id % 2 = 1
-            THEN CAST(FLOOR(value * 100) AS BIGINT) END AS value_cents
+            THEN CAST(FLOOR(value * 100) AS BIGINT) END AS value_cents,
+       CASE WHEN event_id % 2 = 1
+            THEN 'H' || CAST(event_id AS VARCHAR) END AS session_hint
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
   FROM events)

@@ -1239,3 +1239,57 @@ def test_concurrent_fast_forwards_exactly_one_wins(spark, tmp_path):
     assert keys == {"base", "k0", "k1", "k2", "k3"}
     # exactly-once held throughout: each epoch committed once on the parent
     assert sorted(t.committed_epochs()) == ["0", "10", "11", "12", "13"]
+
+
+def test_drop_column_and_no_resurrection_on_readd(spark, tmp_path):
+    """Iceberg drop-column semantics: the drop is metadata-only (reads stop
+    projecting, compaction rewrites without the column), and RE-ADDING the
+    same name allocates a fresh field id — previously-written values must
+    never resurface under the re-added column (the drop/re-add corruption a
+    name-based file mapping would hit). Key/order columns refuse to drop."""
+    t = _mk(spark, tmp_path, "t", mode="mor")
+    t.add_column("extra", "string")
+    t.merge(
+        spark.createDataFrame(
+            [("a", "1", 1, 1, "x", "U"), ("b", "2", 2, 2, "y", "U")],
+            "k string, v string, n int, lsn long, extra string, __op string",
+        ),
+        epoch=0,
+    )
+    assert {r["k"]: r["extra"] for r in t.snapshot().collect()} == {"a": "x", "b": "y"}
+
+    t.drop_column("extra")
+    assert "extra" not in t.snapshot().columns
+    # merges against the narrowed schema keep working
+    t.merge(_changes(spark, [("c", "3", 3, 3, "U")]), epoch=1)
+    assert {r["k"] for r in t.snapshot().collect()} == {"a", "b", "c"}
+
+    # re-add: new field id -> old 'x'/'y' values must NOT come back
+    t.add_column("extra", "string")
+    vals = {r["k"]: r["extra"] for r in t.snapshot().collect()}
+    assert vals == {"a": None, "b": None, "c": None}, vals
+    # and new writes to the re-added column land normally
+    t.merge(
+        spark.createDataFrame(
+            [("d", "4", 4, 4, "z", "U")],
+            "k string, v string, n int, lsn long, extra string, __op string",
+        ),
+        epoch=2,
+    )
+    assert {r["k"]: r["extra"] for r in t.snapshot().collect()} == {
+        "a": None, "b": None, "c": None, "d": "z",
+    }
+
+    # compaction folds the history through the drop/re-add boundary intact
+    t.compact()
+    assert {r["k"]: r["extra"] for r in t.snapshot().collect()} == {
+        "a": None, "b": None, "c": None, "d": "z",
+    }
+
+    # load-bearing columns refuse
+    with pytest.raises(ValueError):
+        t.drop_column("k")
+    with pytest.raises(ValueError):
+        t.drop_column("lsn")
+    with pytest.raises(ValueError):
+        t.drop_column("never_existed")

@@ -1620,7 +1620,10 @@ class LakeTable:
         an upsert older than an applied delete can never arrive in a later
         epoch (same contract as Iceberg MoR compaction dropping equality
         deletes). Feeding out-of-LSN-order batches after a compaction would
-        resurrect deleted keys.
+        resurrect deleted keys — sources without the ordering guarantee
+        (e.g. a file-order directory stream) must use
+        ``consolidate_deltas`` instead, which folds layers but RETAINS
+        tombstones.
 
         ``sort_cols`` + ``files_per_bucket``: Iceberg sort-order analogue.
         Rewritten buckets are range-split into ~``files_per_bucket`` files
@@ -1725,6 +1728,142 @@ class LakeTable:
             "compacted": True,
             "snapshot_id": new_sid,
             "n_buckets": len(buckets),
+            "dirty_buckets": len(dirty),
+            "remaining_delta_layers": len(new_deltas),
+        }
+
+    def consolidate_deltas(self, max_delta_depth: int | None = None) -> dict:
+        """MINOR compaction (LSM-style): fold each dirty bucket's whole
+        delta stack into ONE resolved delta layer that RETAINS delete
+        tombstones — bounding read amplification without ``compact``'s
+        LSN-monotone precondition.
+
+        ``compact`` folds into the base and drops tombstones, sound only
+        when no later batch can carry an older lsn (the micro-batch
+        runner's lsn-sliced epochs). A file-order directory stream has no
+        such guarantee: dropping a delete's lsn memory lets a
+        late-arriving older upsert resurrect the deleted key. Here the
+        per-key winner (latest order_col, layer index as tiebreaker —
+        exactly ``snapshot()``'s resolution order) is kept INCLUDING
+        final-state deletes, so resolution is unchanged under ANY future
+        arrival order; future merges still win order_col ties via their
+        higher layer index. resolve='sum' tables fold additively (one
+        summed row per key — order-free by algebra).
+
+        ``max_delta_depth``: only buckets with more than this many layers
+        are folded (default 1 — any stacked bucket). Base files are never
+        touched; cost is O(dirty buckets' delta rows). The folded layers'
+        old files become unreferenced and are swept by
+        ``expire_snapshots``. Same change-data-feed caveat as ``compact``:
+        the layer re-fold makes ``changes_between`` windows that CROSS
+        this commit unreadable (re-sync incremental consumers from the
+        consolidated snapshot)."""
+        snap = self.current_snapshot()
+        deltas = snap.get("deltas", [])
+        if not deltas:
+            return {"consolidated": False, "snapshot_id": snap["snapshot_id"]}
+        depth: dict[int, int] = {}
+        for d in deltas:
+            for b in d["files"]:
+                depth[int(b)] = depth.get(int(b), 0) + 1
+        thr = 1 if max_delta_depth is None else max_delta_depth
+        dirty = sorted(b for b, n in depth.items() if n > thr)
+        if not dirty:
+            return {
+                "consolidated": False,
+                "snapshot_id": snap["snapshot_id"],
+                "dirty_buckets": 0,
+            }
+        dirty_set = set(dirty)
+        fields = self.schema_fields(snap)
+        names = [f["name"] for f in fields]
+        keys = snap["key_cols"]
+        parts = []
+        for seq, d in enumerate(deltas):
+            files = [
+                p
+                for b, fs in d["files"].items()
+                if int(b) in dirty_set
+                for p in fs
+            ]
+            if files:
+                parts.append(
+                    self._read_files(files, d["schema_version"], snap, extra_cols=["__op"])
+                    .withColumn("__seq", F.lit(seq))
+                )
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        if snap.get("resolve") == "sum":
+            aggs = [
+                F.sum(f["name"]).cast(_spark_type(f["type"])).alias(f["name"])
+                for f in fields
+                if f["name"] not in keys
+            ]
+            resolved = (
+                allp.groupBy(*keys)
+                .agg(*aggs)
+                .withColumn("__op", F.lit("U"))
+                .select(*names, "__op")
+            )
+        else:
+            oc = snap["order_col"]
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(oc).desc_nulls_last(), F.col("__seq").desc()
+            )
+            resolved = (
+                allp.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)  # keep D rows: the tombstones
+                .select(*names, "__op")
+            )
+        new_sid = snap["snapshot_id"] + 1
+        out_rel = self._staging_rel("d", new_sid)
+        out_abs = os.path.join(self.data_dir, out_rel)
+        to_write = resolved.withColumn("__bucket", self._bucket_expr(snap)).repartition(
+            max(len(dirty), 1), "__bucket"
+        )
+        self._bucketed_writer(to_write, snap).parquet(out_abs)
+        files: dict[str, list[str]] = {}
+        for d in os.listdir(out_abs):
+            if not d.startswith("__bucket="):
+                continue
+            b = d.split("=")[1]
+            files[b] = [
+                os.path.join(out_rel, d, f)
+                for f in os.listdir(os.path.join(out_abs, d))
+                if f.endswith(".parquet")
+            ]
+        all_files = [p for fs in files.values() for p in fs]
+        # the consolidated layer sits at index 0: its buckets exist in NO
+        # other layer (their entries are dropped below), so relative layer
+        # order between it and the survivors can never decide a tie
+        new_deltas = [
+            {
+                "files": files,
+                "schema_version": snap["schema_version"],
+                "stats": self._collect_stats(all_files, snap),
+            }
+        ]
+        for d in deltas:
+            kept = {b: fs for b, fs in d["files"].items() if int(b) not in dirty_set}
+            if kept:
+                nd = {"files": kept, "schema_version": d["schema_version"]}
+                if "stats" in d:
+                    kept_paths = {p for fs in kept.values() for p in fs}
+                    nd["stats"] = {
+                        p: s for p, s in d["stats"].items() if p in kept_paths
+                    }
+                new_deltas.append(nd)
+        new_snap = dict(snap)
+        new_snap["snapshot_id"] = new_sid
+        new_snap["parent"] = snap["snapshot_id"]
+        new_snap["operation"] = "consolidate"
+        new_snap["deltas"] = new_deltas
+        new_snap["committed_at"] = time.time()
+        self._write_snapshot(new_snap, expected_parent=snap["snapshot_id"])
+        return {
+            "consolidated": True,
+            "snapshot_id": new_sid,
             "dirty_buckets": len(dirty),
             "remaining_delta_layers": len(new_deltas),
         }

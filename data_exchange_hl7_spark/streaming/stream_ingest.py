@@ -35,6 +35,9 @@ def stream_apply(
     available_now: bool = True,
     processing_time: str | None = None,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
+    expire_keep_last: int | None = None,
+    compact_opts: dict | None = None,
 ):
     """Tail ``source_dir`` for new WAL parquet files and apply each
     micro-batch exactly once. Returns the StreamingQuery.
@@ -82,6 +85,26 @@ def stream_apply(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         engine.apply_epoch(batch_df, table, epoch=epoch_base + batch_id)
+        # maintenance cadence (MicroBatchRunner.compact_every analogue): a
+        # long-lived stream otherwise accretes one delta layer per batch
+        # without bound. MUST be consolidate_deltas, not compact: file
+        # delivery order is not lsn order, so a later batch can carry an
+        # OLDER event — full compaction drops delete tombstones and such an
+        # event would resurrect the deleted key (measured, see
+        # test_stream_apply_maintenance_cadence); consolidation folds the
+        # layers but keeps the tombstones, correct under any arrival order.
+        # Keyed on batch_id, so a crash-redelivered batch re-runs the same
+        # (state-preserving, idempotent) maintenance.
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            from data_exchange_hl7_spark.engine import table_name
+
+            tables = [table] + [
+                dt for dt, *_ in engine._derived.get(table_name(table), [])
+            ]
+            for t in tables:
+                t.consolidate_deltas(**(compact_opts or {}))
+                if expire_keep_last:
+                    t.expire_snapshots(expire_keep_last)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", os.path.join(checkpoint_dir)

@@ -1293,3 +1293,72 @@ def test_drop_column_and_no_resurrection_on_readd(spark, tmp_path):
         t.drop_column("lsn")
     with pytest.raises(ValueError):
         t.drop_column("never_existed")
+
+
+def test_consolidate_deltas_keeps_tombstones_out_of_order(spark, tmp_path):
+    """Minor compaction retains delete tombstones, so a LATE-arriving batch
+    carrying an OLDER event cannot resurrect a deleted key — the property
+    full compact() cannot give (its resolved rewrite drops tombstones under
+    the documented lsn-monotone contract, pinned here as the contrast)."""
+    t = _mk(spark, tmp_path, "minor", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U"), ("b", "2", 2, 2, "U")]), epoch=0)
+    t.merge(_changes(spark, [("a", None, None, 10, "D")]), epoch=1)
+
+    res = t.consolidate_deltas()
+    # only 'a's bucket is stacked (depth 2); 'b's single-layer bucket is
+    # rightly left alone, surviving as its own layer
+    assert res["consolidated"] and res["dirty_buckets"] == 1
+    assert {r["k"] for r in t.snapshot().collect()} == {"b"}
+
+    # the out-of-order batch: an upsert for 'a' OLDER than its delete
+    t.merge(_changes(spark, [("a", "OLD", 0, 5, "U")]), epoch=2)
+    assert {r["k"] for r in t.snapshot().collect()} == {"b"}, (
+        "tombstone lost: older upsert resurrected the deleted key"
+    )
+    # and consolidating again still holds the line
+    t.consolidate_deltas()
+    assert {r["k"] for r in t.snapshot().collect()} == {"b"}
+
+    # contrast pin: full compact() under the same out-of-order feed DOES
+    # resurrect — the documented lsn-monotone contract, why streams must
+    # use consolidate_deltas
+    t2 = _mk(spark, tmp_path, "major", mode="mor")
+    t2.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    t2.merge(_changes(spark, [("a", None, None, 10, "D")]), epoch=1)
+    t2.compact()
+    t2.merge(_changes(spark, [("a", "OLD", 0, 5, "U")]), epoch=2)
+    assert {r["k"] for r in t2.snapshot().collect()} == {"a"}
+
+
+def test_consolidate_deltas_sum_and_depth(spark, tmp_path):
+    """Additive tables fold per-key sums into one layer (order-free by
+    algebra); only buckets above max_delta_depth are touched, read results
+    are unchanged, and the folded layers' files become expiry-sweepable."""
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "sums"),
+        schema=[("k", "string"), ("n", "bigint")],
+        key_cols=["k"],
+        n_buckets=2,
+        mode="mor",
+        resolve="sum",
+    )
+    for e in range(4):
+        t.merge(
+            spark.createDataFrame(
+                [("a", 1, "U"), ("b", 10, "U")], "k string, n long, __op string"
+            ),
+            epoch=e,
+        )
+    before = {r["k"]: r["n"] for r in t.snapshot().collect()}
+    assert before == {"a": 4, "b": 40}
+    res = t.consolidate_deltas(max_delta_depth=1)
+    assert res["consolidated"]
+    assert {r["k"]: r["n"] for r in t.snapshot().collect()} == before
+    assert len(t.current_snapshot()["deltas"]) == 1
+    # old layer files now unreferenced -> expiry reclaims them
+    sweep = t.expire_snapshots(keep_last=1)
+    assert sweep["removed_files"] > 0
+    assert {r["k"]: r["n"] for r in t.snapshot().collect()} == before

@@ -410,3 +410,49 @@ def test_stream_apply_into_branch_then_publish(spark, tmp_path):
     for k, orc in oracle.rows.items():
         assert got[k] == orc["sha"], k
     ev.unpersist()
+
+
+def test_stream_apply_maintenance_cadence(spark, tmp_path):
+    """A long-lived stream must not accrete delta layers without bound:
+    with compact_every set, the foreachBatch sink folds delta layers and
+    expires old snapshots on the batch cadence (main table AND registered
+    deriveds), and the drained state still matches the replay oracle."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        file_stats_derive,
+    )
+
+    ev = change_events(spark, 6000).persist()
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+
+    src = str(tmp_path / "wal")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    q = stream_apply(
+        spark, eng, src, table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        compact_every=2,
+        expire_keep_last=2,
+    )
+    q.awaitTermination(180)
+
+    assert len(table.committed_epochs()) >= 3  # multi-batch drain
+    # delta depth bounded by the cadence, on main AND derived
+    assert len(table.current_snapshot().get("deltas", [])) <= 2
+    assert len(stats_t.current_snapshot().get("deltas", [])) <= 2
+    # expiry ran: snapshot metadata is bounded too
+    import os
+    n_meta = len([f for f in os.listdir(table.meta_dir) if f.startswith("v")])
+    assert n_meta <= 6, n_meta
+
+    oracle = replay_oracle([r.asDict() for r in ev.collect()])
+    got = {(r["repo"], r["path"]): r["content_sha256"]
+           for r in table.snapshot().collect()}
+    assert set(got) == set(oracle.rows)
+    for k, orc in oracle.rows.items():
+        assert got[k] == orc["sha"], k
+    # the derived table followed through maintenance: same epochs, same keys
+    assert set(stats_t.committed_epochs()) == set(table.committed_epochs())
+    assert {(r["repo"], r["path"]) for r in stats_t.snapshot().collect()} == set(got)
+    ev.unpersist()

@@ -2912,6 +2912,12 @@ def stream_ingest_read(spark, sf_dir):
         q = stream_apply(
             spark, eng, src, table, os.path.join(loc, "ckpt"),
             max_files_per_trigger=3,
+            # maintenance cadence under the oracle too: consolidation MUST
+            # retain tombstones (file order is not lsn order here — a
+            # tombstone-dropping fold would resurrect deleted docs and fail
+            # the value hash) and expiry must never touch referenced files
+            compact_every=2,
+            expire_keep_last=3,
         )
         q.awaitTermination(300)
         # the rate limit must have split the drain into several exactly-once

@@ -363,6 +363,10 @@ _rollback_ops = st.lists(
         # rollback TO a pre-compaction snapshot (and compacting again after)
         # exercises the manifest paths the merge-only interleavings miss
         st.just(("compact", None)),
+        # minor compaction likewise (tombstone-retaining layer fold);
+        # interleaved with rollbacks it exercises rolling back past a
+        # consolidate and re-stacking layers on a consolidated bucket
+        st.just(("consolidate", None)),
         # branch ops: a branch_merge forks once (lazily) and then commits on
         # the fork's private model; publish fast-forwards ONLY if the parent
         # head is still the fork base (otherwise the publish must raise and
@@ -467,6 +471,8 @@ def test_rollback_model_equivalence(spark, ops):
                 bt.drop()
                 t.drop_tag(f"__branch_br{n_forks}")
                 branch = None
+            elif kind == "consolidate":
+                t.consolidate_deltas()
             else:
                 t.compact()
             hist.append((t.current_snapshot()["snapshot_id"], dict(model)))

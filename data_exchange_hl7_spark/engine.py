@@ -484,38 +484,10 @@ class Engine:
         }
         done = set(tgt.committed_epochs())
         key_cols = main.current_snapshot()["key_cols"]
-        from collections import Counter
-
-        per_commit = Counter(sid for _e, sid, _p in epoch_commits)
-        branch_commits: dict[str, tuple[LakeTable, dict[int, tuple[int, int]]]] = {}
-        for e, sid, parent in sorted(epoch_commits):
-            if str(e) in done:
-                continue
-            # epochs published via fast_forward share ONE main-table commit,
-            # whose combined delta must not be fed once per epoch (it would
-            # double-count aggregate deltas): recover the per-epoch frame
-            # from the published BRANCH's own delta layers instead
-            src_t, c_sid, c_parent = main, sid, parent
-            smeta = main._load_snapshot(sid)
-            if smeta.get("operation") == "fast_forward":
-                ff = smeta["fast_forward_of"]
-                if ff["branch"] not in branch_commits and LakeTable.exists(ff["branch"]):
-                    bt = LakeTable(self.spark, ff["branch"])
-                    branch_commits[ff["branch"]] = (
-                        bt,
-                        {be: (bs, bp) for be, bs, bp in self._epoch_commits(bt)},
-                    )
-                if ff["branch"] in branch_commits:
-                    src_t, bmap = branch_commits[ff["branch"]]
-                    c_sid, c_parent = bmap[int(e)]
-                elif per_commit[sid] > 1:
-                    raise ValueError(
-                        f"epoch {e} rode a multi-epoch fast_forward commit and "
-                        f"its branch {ff['branch']!r} is no longer readable; "
-                        "per-epoch stage replay is impossible — keep published "
-                        "branches until deriveds are rebuilt, or replay from "
-                        "the WAL instead"
-                    )
+        pending_commits = [c for c in sorted(epoch_commits) if str(c[0]) not in done]
+        for e, src_t, c_parent, c_sid in self._epoch_change_bounds(
+            main, pending_commits
+        ):
             changes = (
                 src_t.changes_between(c_parent, c_sid)
                 .withColumnRenamed("_change_type", "__op")
@@ -530,6 +502,52 @@ class Engine:
                 dchanges = fn(changes)
             tgt.merge(dchanges, epoch=e, epoch_info={"replay": meta})
         return tgt
+
+    def _epoch_change_bounds(
+        self, src: LakeTable, commits: list[tuple[int, int, int]]
+    ) -> list[tuple[int, LakeTable, int, int]]:
+        """(epoch, source table, from_sid, to_sid) for recovering each
+        epoch's EXACT change frame from ``src``'s history.
+
+        Fast-forward-aware: epochs folded into one fast_forward commit share
+        a single combined delta on ``src``; feeding that once per epoch
+        would double-count sum-resolved aggregates, so such epochs are
+        re-resolved against the published branch's own per-epoch commits.
+        Guards: a branch path that no longer resolves the epoch (dropped,
+        expired, or a foreign table recreated at the path) raises the
+        curated keep-your-branches error rather than failing deep in a scan
+        — unless the commit carried exactly one epoch, where ``src``'s own
+        delta IS that epoch's frame."""
+        from collections import Counter
+
+        per_commit = Counter(sid for _e, sid, _p in commits)
+        cache: dict[str, tuple[LakeTable, dict[int, tuple[int, int]]]] = {}
+        out: list[tuple[int, LakeTable, int, int]] = []
+        for e, sid, parent in sorted(commits):
+            src_t, c_sid, c_parent = src, sid, parent
+            smeta = src._load_snapshot(sid)
+            if smeta.get("operation") == "fast_forward":
+                ff = smeta["fast_forward_of"]
+                if ff["branch"] not in cache and LakeTable.exists(ff["branch"]):
+                    bt = LakeTable(self.spark, ff["branch"])
+                    cache[ff["branch"]] = (
+                        bt,
+                        {be: (bs, bp) for be, bs, bp in self._epoch_commits(bt)},
+                    )
+                hit = cache.get(ff["branch"])
+                if hit and int(e) in hit[1]:
+                    src_t = hit[0]
+                    c_sid, c_parent = hit[1][int(e)]
+                elif per_commit[sid] > 1:
+                    raise ValueError(
+                        f"epoch {e} rode a multi-epoch fast_forward commit and "
+                        f"its branch {ff['branch']!r} no longer resolves it; "
+                        "per-epoch recovery is impossible — keep published "
+                        "branches until downstream consumers caught up, or "
+                        "replay from the WAL instead"
+                    )
+            out.append((e, src_t, c_parent, c_sid))
+        return out
 
     def rollback(self, table: LakeTable, ref: int | str) -> dict:
         """Lineage-wide bad-epoch recovery: roll the MAIN table back to
@@ -998,15 +1016,10 @@ class Engine:
         had the epochs landed directly.
         """
         import json
+        import shutil
 
         derived = self._derived.get(table_name(table), [])
-        # epochs the branch INTRODUCED (credited to branch sids >= 1 by the
-        # rollback-aware walk; sid 0 carries the inherited fork ledger)
-        introduced = [
-            (e, sid, parent)
-            for e, sid, parent in self._epoch_commits(branch)
-            if sid > 0
-        ]
+        bo = branch.current_snapshot().get("branch_of") or {}
         retired_path = os.path.join(branch.meta_dir, "retired.json")
         if os.path.exists(retired_path):
             with open(retired_path) as f:
@@ -1021,16 +1034,38 @@ class Engine:
                 "resumed": True,
                 "snapshot_id": info["snapshot_id"],
             }
+            # a crash between the retire marker and fast_forward's tag drop
+            # leaks the fork-base pin forever (unbounded expiry retention,
+            # branch name unusable) — drop_tag is idempotent, finish it here
+            if bo.get("name"):
+                table.drop_tag(f"__branch_{bo['name']}")
         else:
             res = table.fast_forward(branch)
+
+        # epochs the branch INTRODUCED (branch sids >= 1; sid 0 carries the
+        # inherited fork ledger), bounded by the PUBLISHED branch head: a
+        # branch commit racing past the publish must not leak its epoch into
+        # the deriveds when the main table never adopted it
+        published_head = res.get("branch_head")
+        if published_head is None:
+            try:
+                ffmeta = table._load_snapshot(res["snapshot_id"])
+                published_head = ffmeta.get("fast_forward_of", {}).get("branch_head")
+            except ValueError:
+                published_head = None  # expired FF commit: fall back to all
+        introduced = [
+            (e, sid, parent)
+            for e, sid, parent in self._epoch_commits(branch)
+            if sid > 0 and (published_head is None or sid <= published_head)
+        ]
+
         # adopt the branch's report sidecars: apply_epoch wrote metrics /
         # per-partition lineage / dead-letter rejects under the BRANCH's
         # table name, so without this the parent's metrics() report and
         # reprocess_rejects would have holes for the published epochs.
-        # Copy, not move — the branch stays readable history; idempotent
-        # (existing parent dirs kept) so crash-resume re-runs are safe.
-        import shutil
-
+        # Copy, not move — the branch stays readable history. Staged via a
+        # tmp dir + atomic rename: a crash mid-copy must not leave a partial
+        # dir the exists-skip resume would then keep forever.
         for kind in ("_metrics", "_lineage", "_rejects"):
             for e, _sid, _parent in introduced:
                 src = os.path.join(
@@ -1041,10 +1076,24 @@ class Engine:
                 )
                 if os.path.isdir(src) and not os.path.exists(dst):
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    shutil.copytree(src, dst)
+                    tmp = f"{dst}.tmp-publish"
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    shutil.copytree(src, tmp)
+                    os.rename(tmp, dst)
+
         key_cols = table.current_snapshot()["key_cols"]
         maintained: list[str] = []
-        for e, sid, parent in introduced:
+        pending_commits = [
+            (e, sid, parent)
+            for e, sid, parent in introduced
+            if any(str(e) not in t.committed_epochs() for t, _f, _k in derived)
+        ]
+        # fast-forward-aware per-epoch recovery: a branch that itself
+        # absorbed a multi-epoch sub-branch would otherwise feed the folded
+        # commit delta once per epoch (double-counting sum aggregates)
+        for e, src_t, c_parent, c_sid in self._epoch_change_bounds(
+            branch, pending_commits
+        ):
             pending = [
                 (t, fn, kind)
                 for t, fn, kind in derived
@@ -1052,24 +1101,34 @@ class Engine:
             ]
             if not pending:
                 continue
+            # persist: the change frame feeds every derive fn and the
+            # aggregate pre-state semi-join — one read, not one per consumer
             changes = (
-                branch.changes_between(parent, sid)
+                src_t.changes_between(c_parent, c_sid)
                 .withColumnRenamed("_change_type", "__op")
                 .drop("_commit_snapshot")
+                .persist()
             )
             old_rows = None
-            if any(kind == "aggregate" for _, _, kind in pending):
-                # pre-epoch state of the changed keys on the BRANCH (the
-                # fork base equals the parent's head at publish time, so the
-                # branch-side chain of pre-states is the true lineage)
-                old_rows = branch.snapshot(
-                    as_of=parent, keys_in=changes.select(*key_cols)
-                )
-            info_d = {"op": "publish", "branch": os.path.abspath(branch.location)}
-            for dt, fn, kind in pending:
-                dchanges = fn(changes, old_rows) if kind == "aggregate" else fn(changes)
-                dt.merge(dchanges, epoch=e, epoch_info=info_d)
-                maintained.append(f"{table_name(dt)}:{e}")
+            try:
+                if any(kind == "aggregate" for _, _, kind in pending):
+                    # pre-epoch state of the changed keys on the BRANCH (the
+                    # fork base equals the parent's head at publish time, so
+                    # the branch-side chain of pre-states is the true lineage)
+                    old_rows = src_t.snapshot(
+                        as_of=c_parent, keys_in=changes.select(*key_cols)
+                    ).persist()
+                info_d = {"op": "publish", "branch": os.path.abspath(branch.location)}
+                for dt, fn, kind in pending:
+                    dchanges = (
+                        fn(changes, old_rows) if kind == "aggregate" else fn(changes)
+                    )
+                    dt.merge(dchanges, epoch=e, epoch_info=info_d)
+                    maintained.append(f"{table_name(dt)}:{e}")
+            finally:
+                changes.unpersist()
+                if old_rows is not None:
+                    old_rows.unpersist()
         res["derived_applied"] = maintained
         return res
 

@@ -332,12 +332,16 @@ class LakeTable:
             snap.pop("rollback_of", None)
         if snap.get("operation") != "fast_forward":
             snap.pop("fast_forward_of", None)
-        if os.path.exists(os.path.join(self.meta_dir, "retired.json")):
-            raise ConcurrentCommitError(
-                "this branch was published via fast_forward and is retired; "
-                "fork a new branch from the target table to continue writing"
-            )
         with _commit_lock(self.meta_dir):
+            # retired check INSIDE the lock: a merge that blocked behind a
+            # publishing fast_forward must see the retire marker the publish
+            # wrote while holding this lock, not a pre-block stale read
+            if os.path.exists(os.path.join(self.meta_dir, "retired.json")):
+                raise ConcurrentCommitError(
+                    "this branch was published via fast_forward and is "
+                    "retired; fork a new branch from the target table to "
+                    "continue writing"
+                )
             cur_path = os.path.join(self.meta_dir, "current")
             if os.path.exists(cur_path):
                 with open(cur_path) as f:
@@ -544,7 +548,10 @@ class LakeTable:
         if f"__branch_{name}" in self.tags():
             raise ValueError(
                 f"branch name {name!r} is already pinned on this table — "
-                "publish or drop the live branch first"
+                "publish or drop the live branch first. If a previous fork "
+                "crashed before materializing its table (the tag is written "
+                "first so the base can never be expired unpinned), clear it "
+                f"with drop_tag('__branch_{name}') and re-fork"
             )
         self.create_tag(f"__branch_{name}", base["snapshot_id"])
         b = LakeTable(self.spark, dest_location)
@@ -653,8 +660,11 @@ class LakeTable:
                     if s["parent"] is None:
                         break
                     s = self._load_snapshot(s["parent"])
-            except FileNotFoundError:
-                pass  # walk hit the retention horizon: treat as moved
+            except (FileNotFoundError, ValueError):
+                # _load_snapshot raises ValueError past the retention
+                # horizon: the walk can't prove a prior publish, treat as
+                # genuinely moved
+                pass
             raise ConcurrentCommitError(
                 f"cannot fast-forward: table moved to snapshot "
                 f"{cur['snapshot_id']} since the branch forked at "
@@ -678,10 +688,17 @@ class LakeTable:
         import hashlib
         import re as _re
 
+        # per-ATTEMPT nonce: two concurrent publishes of the same branch
+        # must never share staged paths — with deterministic names, racer B
+        # skips files racer A already linked, and the CAS loser's cleanup
+        # would then delete files the winner's committed manifest references
+        attempt = uuid.uuid4().hex
+
         def _staged_dir(head: str) -> str:
             m = _re.match(r"^([sd])\d{8}", head)
             kind = m.group(1) if m else "d"
-            return f"{kind}{new_sid:08d}-{hashlib.sha1(head.encode()).hexdigest()[:8]}"
+            suffix = hashlib.sha1(f"{attempt}:{head}".encode()).hexdigest()[:8]
+            return f"{kind}{new_sid:08d}-{suffix}"
 
         def _pub_rel(rel: str) -> str:
             if not _is_branch_local(rel):
@@ -722,7 +739,12 @@ class LakeTable:
                 }
                 if "stats" in d:
                     d["stats"] = {_pub_rel(p): s for p, s in d["stats"].items()}
+            # the copied head carries the PUBLISHED branch's identity; this
+            # table keeps its own (it may itself be a branch of a parent —
+            # dropping branch_of here would orphan it from its own lineage)
             snap.pop("branch_of", None)
+            if cur.get("branch_of"):
+                snap["branch_of"] = cur["branch_of"]
             snap.update(
                 snapshot_id=new_sid,
                 parent=cur["snapshot_id"],
@@ -735,7 +757,26 @@ class LakeTable:
                 },
                 committed_at=time.time(),
             )
-            self._write_snapshot(snap, expected_parent=cur["snapshot_id"])
+            # one critical section under the BRANCH's commit lock: re-check
+            # the branch head, commit the parent, retire the branch. Without
+            # it a branch merge landing between our bsnap read and the
+            # parent commit would be silently excluded from the publish and
+            # then locked out by the retire marker (its epoch on the branch
+            # but never on the parent). A racing merge either commits first
+            # (we see the moved head and refuse, nothing changed) or blocks
+            # until the retire marker exists and fails its retired check.
+            # In-process only — cross-process branch writers racing a
+            # publish are the operator's contract to avoid.
+            with _commit_lock(branch.meta_dir):
+                if branch.current_snapshot()["snapshot_id"] != bsnap["snapshot_id"]:
+                    raise ConcurrentCommitError(
+                        "branch advanced during fast_forward — retry to "
+                        "publish its new head"
+                    )
+                self._write_snapshot(snap, expected_parent=cur["snapshot_id"])
+                with open(os.path.join(branch.meta_dir, "retired.json"), "w") as f:
+                    json.dump({"published_to": os.path.abspath(self.location),
+                               "snapshot_id": new_sid}, f)
         except BaseException:
             for p in linked:  # loser/crash cleanup; leftovers are expiry-swept
                 try:
@@ -743,9 +784,6 @@ class LakeTable:
                 except OSError:
                     pass
             raise
-        with open(os.path.join(branch.meta_dir, "retired.json"), "w") as f:
-            json.dump({"published_to": os.path.abspath(self.location),
-                       "snapshot_id": new_sid}, f)
         self.drop_tag(f"__branch_{bo['name']}")
         return {
             "fast_forwarded": True,

@@ -1181,3 +1181,77 @@ def test_rollback_past_publish_then_republish(spark, tmp_path):
     assert got == published
     assert sorted(agg_t.snapshot().collect()) == agg_published
     events.unpersist()
+
+
+def test_publish_resume_drops_leaked_pin_tag(spark, tmp_path):
+    """Crash between the retire marker and fast_forward's tag drop leaks
+    the fork-base pin (unbounded expiry retention + the branch name becomes
+    unusable); the resumed Engine.publish must finish the bookkeeping."""
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    events = change_events(spark, 2000).persist()
+    eng.apply_epoch(events.filter(F.col("lsn") < 1000), table, epoch=0)
+    base_sid = table.current_snapshot()["snapshot_id"]
+
+    b = table.branch(str(tmp_path / "audit"), name="audit")
+    eng.apply_epoch(events.filter(F.col("lsn") >= 1000), b, epoch=1)
+    eng.publish(table, b)
+    # reconstruct the crash state: marker written, tag drop lost
+    table.create_tag("__branch_audit", base_sid)
+
+    res = eng.publish(table, b)
+    assert res["resumed"]
+    assert "__branch_audit" not in table.tags()
+    events.unpersist()
+
+
+def test_publish_of_branch_with_nested_fast_forward(spark, tmp_path):
+    """A branch that itself absorbed a multi-epoch sub-branch: the publish's
+    per-epoch maintenance must recover each epoch's frame from the
+    sub-branch (the folded fast-forward delta fed once per epoch would
+    double-count the aggregate); with the sub-branch dropped it must refuse
+    loudly instead of silently double-counting."""
+    from data_exchange_hl7_spark.engine import (
+        REPO_STATS_SCHEMA,
+        Engine,
+        repo_stats_delta,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    agg_t = eng.aggregate_table("repo_stats", REPO_STATS_SCHEMA, repo_stats_delta)
+    events = change_events(spark, 3000).persist()
+    eng.apply_epoch(events.filter(F.col("lsn") < 1000), table, epoch=0)
+
+    b = table.branch(str(tmp_path / "audit"), name="audit")
+    b2 = b.branch(str(tmp_path / "audit_sub"), name="sub")
+    eng.apply_epoch(
+        events.filter((F.col("lsn") >= 1000) & (F.col("lsn") < 2000)), b2, epoch=1
+    )
+    eng.apply_epoch(events.filter(F.col("lsn") >= 2000), b2, epoch=2)
+    b.fast_forward(b2)  # folds epochs 1+2 into ONE branch commit
+
+    eng.publish(table, b)
+    got = {r["repo"]: (r["n_files"], r["total_bytes"])
+           for r in agg_t.snapshot().collect()}
+    expected = {r["repo"]: (r["n_files"], r["total_bytes"])
+                for r in _expected_repo_stats(table)}
+    for repo, vals in expected.items():
+        assert got[repo] == vals, repo
+
+    # the refusal path: same topology, sub-branch dropped before publish
+    eng2 = Engine(spark, str(tmp_path / "wh2"), n_buckets=8, mode="mor")
+    t2 = eng2.snapshot_table("repo_files")
+    eng2.aggregate_table("repo_stats", REPO_STATS_SCHEMA, repo_stats_delta)
+    eng2.apply_epoch(events.filter(F.col("lsn") < 1000), t2, epoch=0)
+    c = t2.branch(str(tmp_path / "c"), name="audit")
+    c2 = c.branch(str(tmp_path / "c_sub"), name="sub")
+    eng2.apply_epoch(
+        events.filter((F.col("lsn") >= 1000) & (F.col("lsn") < 2000)), c2, epoch=1
+    )
+    eng2.apply_epoch(events.filter(F.col("lsn") >= 2000), c2, epoch=2)
+    c.fast_forward(c2)
+    c2.drop()
+    with pytest.raises(ValueError, match="fast_forward"):
+        eng2.publish(t2, c)
+    events.unpersist()

@@ -1362,3 +1362,101 @@ def test_consolidate_deltas_sum_and_depth(spark, tmp_path):
     sweep = t.expire_snapshots(keep_last=1)
     assert sweep["removed_files"] > 0
     assert {r["k"]: r["n"] for r in t.snapshot().collect()} == before
+
+
+def test_concurrent_same_branch_publish_single_winner(spark, tmp_path):
+    """Two racers publishing the SAME branch: per-attempt staged-dir nonces
+    mean the loser's cleanup can only ever remove its OWN links — the
+    winner's committed manifest stays fully readable (with deterministic
+    staged names, racer B would skip files racer A linked and then delete
+    them on its CAS loss, corrupting the winner's snapshot)."""
+    import threading
+
+    t = _mk(spark, tmp_path, "parent", mode="mor")
+    t.merge(_changes(spark, [("base", "0", 0, 1, "U")]), epoch=0)
+    b = t.branch(str(tmp_path / "br"), name="audit")
+    b.merge(_changes(spark, [("k", "1", 1, 2, "U")]), epoch=1)
+
+    results, errors = [], []
+    barrier = threading.Barrier(2)
+
+    def racer():
+        barrier.wait()
+        try:
+            results.append(t.fast_forward(b))
+        except ConcurrentCommitError as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=racer) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    # one CAS winner; the other either lost the CAS or (entering after the
+    # winner finished) took the already-published self-heal path
+    wins = [r for r in results if r.get("fast_forwarded")]
+    healed = [r for r in results if r.get("already_published")]
+    assert len(wins) == 1 and len(wins) + len(healed) + len(errors) == 2
+    # the decisive check: the committed snapshot's files all exist
+    assert {r["k"] for r in t.snapshot().collect()} == {"base", "k"}
+    assert t.orphan_files().count() >= 0  # manifest fully resolvable
+    # loser leftovers (if any) are unreferenced and sweepable
+    t.merge(_changes(spark, [("z", "9", 9, 9, "U")]), epoch=2)
+    t.expire_snapshots(keep_last=1)
+    assert {r["k"] for r in t.snapshot().collect()} == {"base", "k", "z"}
+    assert t.orphan_files().count() == 0
+
+
+def test_fast_forward_refuses_when_branch_advances_mid_publish(spark, tmp_path):
+    """The branch-head re-check under the branch's commit lock: if the
+    branch advanced between the publish's snapshot read and the parent
+    commit, the publish must refuse and change NOTHING (no parent commit,
+    no retire marker) — otherwise the late branch epoch would be silently
+    excluded from the parent yet locked out by the retire marker."""
+    import os
+
+    t = _mk(spark, tmp_path, "parent", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    b = t.branch(str(tmp_path / "br"), name="audit")
+    b.merge(_changes(spark, [("b", "2", 2, 2, "U")]), epoch=1)
+
+    real = b.current_snapshot
+    calls = {"n": 0}
+
+    def advanced_on_recheck(*a, **k):
+        calls["n"] += 1
+        s = dict(real(*a, **k))
+        if calls["n"] >= 2:  # the re-check inside the critical section
+            s["snapshot_id"] += 1
+        return s
+
+    b.current_snapshot = advanced_on_recheck
+    before = t.current_snapshot()["snapshot_id"]
+    with pytest.raises(ConcurrentCommitError, match="advanced during"):
+        t.fast_forward(b)
+    b.current_snapshot = real
+
+    assert t.current_snapshot()["snapshot_id"] == before
+    assert not os.path.exists(os.path.join(b.meta_dir, "retired.json"))
+    # retry (head now stable) publishes cleanly
+    assert t.fast_forward(b)["fast_forwarded"]
+    assert {r["k"] for r in t.snapshot().collect()} == {"a", "b"}
+
+
+def test_fast_forward_expired_walk_raises_concurrent_error(spark, tmp_path):
+    """When the parent genuinely moved AND the intermediate snapshot
+    metadata is expired, the self-heal walk must surface the documented
+    ConcurrentCommitError (rebase guidance), not a bare ValueError from the
+    retention-horizon load."""
+    t = _mk(spark, tmp_path, "parent", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    b = t.branch(str(tmp_path / "br"), name="audit")
+    b.merge(_changes(spark, [("b", "2", 2, 2, "U")]), epoch=1)
+
+    for i in range(3):  # parent moves on without the branch
+        t.merge(_changes(spark, [(f"m{i}", str(i), i, 10 + i, "U")]), epoch=2 + i)
+    t.expire_snapshots(keep_last=1)  # fork base stays pinned; middles expire
+
+    with pytest.raises(ConcurrentCommitError, match="fork a new branch"):
+        t.fast_forward(b)

@@ -1792,7 +1792,10 @@ class LakeTable:
         are folded (default 1 — any stacked bucket). Base files are never
         touched; cost is O(dirty buckets' delta rows). The folded layers'
         old files become unreferenced and are swept by
-        ``expire_snapshots``. Same change-data-feed caveat as ``compact``:
+        ``expire_snapshots``. Tombstones accrete with cumulative deletes:
+        reclaim them with a full ``compact()`` at a point where the source
+        is known quiesced/lsn-complete (e.g. the micro-batch runner's
+        ordered checkpoints). Same change-data-feed caveat as ``compact``:
         the layer re-fold makes ``changes_between`` windows that CROSS
         this commit unreadable (re-sync incremental consumers from the
         consolidated snapshot)."""

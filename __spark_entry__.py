@@ -31,7 +31,10 @@ plan written at the end of r3):
 
 ROUND-5 ROTATION PLAN (written during r4): rotate INTO the window first
 any never-green or red query from CORRECTNESS_r04, then queries added or
-module-touched during r5, then the remaining LSH family whose persist
+module-touched during r5, then the six r4-touched-module queries the
+temporal-CDC family displaced (derived_file_stats, aggregate_repo_stats,
+incremental_minhash_index, index_dup_candidates, dup_clusters,
+minhash_dup_pairs), then the remaining LSH family whose persist
 registry changed in late r3/r4 but whose r3 greens predate it
 (simhash_dup_pairs, simhash_dup_pairs_wide, embedding_cosine_dups[_wide],
 minhash_dup_pairs_capped, minhash_dup_pairs_wide, chunk_minhash_dups,
@@ -57,7 +60,15 @@ folded-commit double-count gate), both in-window; the branch work also
 touched lake/table.py, engine.py (publish, rebuild_derived FF recovery,
 sidecar adoption), and streaming/stream_ingest.py (epoch-base offset) —
 the queries riding those modules are already inside this round's window,
-so the r4 gate certifies the post-change code. NOTE:
+so the r4 gate certifies the post-change code. LAST r4 additions: the
+temporal-CDC family (operators/temporal.py — scd2_build, asof_join_state,
+changelog_normalize_feed, cdf_net_changes, epoch_drift_report) +
+unimax_mixing, all six in-window; they displace six of the seven
+r4-touched-module re-certifications (derived_file_stats,
+aggregate_repo_stats, incremental_minhash_index, index_dup_candidates,
+dup_clusters, minhash_dup_pairs — r3-green, locally parity-tested every
+pytest run) past the boundary, keeping filtered_snapshot_read as the lake
+read-path representative; the displaced six lead the r5 rotation below. NOTE:
 tests/test_oracle_parity.py replicates the gate
 for ALL queries at sf0.01 in every pytest run, so tail queries are never
 unchecked — only externally un-refreshed. COVERAGE.md carries the
@@ -122,6 +133,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redrive_read": q.redrive_read,
         "stream_ingest_read": q.stream_ingest_read,
         "replay_read": q.replay_read,
+        # --- new this session: temporal CDC family (operators/temporal.py —
+        # SCD2 history, two-table as-of join vs DuckDB's NATIVE ASOF JOIN,
+        # Flink-style changelog normalization, Delta-CDF net-change folding,
+        # per-epoch drift gate) + UniMax mixing ----------------------------
+        "scd2_build": q.scd2_build,
+        "asof_join_state": q.asof_join_state,
+        "changelog_normalize_feed": q.changelog_normalize_feed,
+        "cdf_net_changes": q.cdf_net_changes,
+        "epoch_drift_report": q.epoch_drift_report,
+        "unimax_mixing": qt.unimax_mixing,
         # --- r3-touched modules (lake/table.py, engine.py, query wrappers)
         # whose only green rows predate the r3 code — re-certify ----------
         "hl7_debatch": q.hl7_debatch,
@@ -136,7 +157,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4-touched modules (lake/table.py: lookup + bloom writer +
         # 'in' pruning; engine.py: rebuild_derived; queries_text.py:
         # checkpoint-id tracking in _component_labels / persist registry)
-        # whose r3 green rows predate the r4 code — re-certify ------------
+        # whose r3 green rows predate the r4 code. The six temporal-CDC
+        # additions above displaced all but the lake read-path
+        # representative (filtered_snapshot_read) past the window boundary;
+        # the displaced six keep r3 greens + every-pytest local parity and
+        # lead the r5 rotation plan ----------------------------------------
         "filtered_snapshot_read": q.filtered_snapshot_read,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
@@ -362,4 +387,10 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters_incremental": qt.ORACLE_DUP_CLUSTERS_INCREMENTAL,
         "minhash_dup_pairs_wide": qt.ORACLE_MINHASH_PAIRS_WIDE,
         "corpus_release_report": qt.ORACLE_RELEASE_REPORT,
+        "scd2_build": q.ORACLE_SCD2,
+        "asof_join_state": q.ORACLE_ASOF_STATE,
+        "changelog_normalize_feed": q.ORACLE_CHANGELOG,
+        "cdf_net_changes": q.ORACLE_NET_CHANGES,
+        "epoch_drift_report": q.ORACLE_EPOCH_DRIFT,
+        "unimax_mixing": qt.ORACLE_UNIMAX,
     }

@@ -3240,3 +3240,233 @@ SELECT event_id,
        event_type AS sending_application
 FROM events ORDER BY event_id
 """
+
+
+# ================= temporal CDC: SCD2 / as-of / changelog ==================
+# operators/temporal.py — the dimension-maintenance half of the CDC engine
+# (reference keeps only latest state, latest_flag_and_sequencing.scala:49-151;
+# these are the standard lakehouse siblings of that operator).
+
+from data_exchange_hl7_spark.operators import temporal as _temporal  # noqa: E402
+
+
+def scd2_build(spark, sf_dir):
+    """SCD Type-2 dimension history from the events WAL: every non-delete
+    event opens a version [valid_from, valid_to); 'error' (DELETE) closes
+    the open version without opening one, so a user whose last event is a
+    delete has no current version. ONE lead window per key — no self-join
+    (operators/temporal.scd2)."""
+    ev = _t(spark, sf_dir, "events")
+    out = _temporal.scd2(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        ts_col="ts",
+        delete_predicate=F.col("event_type") == "error",
+    )
+    return out.select(
+        "user_id",
+        "version_no",
+        F.col("event_id").alias("state_event_id"),
+        F.col("event_type").alias("state"),
+        F.date_format("valid_from", TS_FMT_SPARK).alias("valid_from"),
+        F.date_format("valid_to", TS_FMT_SPARK).alias("valid_to"),
+        "is_current",
+    ).orderBy("user_id", "version_no")
+
+
+ORACLE_SCD2 = f"""
+WITH v AS (
+  SELECT user_id, event_id, event_type, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version_no,
+       event_id AS state_event_id,
+       event_type AS state,
+       STRFTIME(ts, '{TS_FMT_DUCK}') AS valid_from,
+       STRFTIME(nxt, '{TS_FMT_DUCK}') AS valid_to,
+       (nxt IS NULL) AS is_current
+FROM v WHERE event_type <> 'error'
+ORDER BY user_id, version_no
+"""
+
+
+def asof_join_state(spark, sf_dir):
+    """Two-table point-in-time join: each purchase fact joined to the
+    dimension state (latest signup/click) as of the fact's LSN. The union /
+    sort-merge as-of plan (operators/temporal.asof_join): one shuffle,
+    O(|facts|+|dim|), no range product. Oracle is DuckDB's NATIVE ASOF
+    JOIN — a genuinely independent implementation of the semantics."""
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id"
+    )
+    dim = ev.filter(F.col("event_type").isin("signup", "click")).select(
+        "event_id", "user_id", "event_type"
+    )
+    out = _temporal.asof_join(
+        facts,
+        dim,
+        key_cols=["user_id"],
+        lsn_col="event_id",
+        dim_cols=["event_id", "event_type"],
+        prefix="state_",
+    )
+    return out.select(
+        "event_id", "user_id", "state_event_id", "state_event_type"
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF_STATE = """
+WITH f AS (SELECT event_id, user_id FROM events WHERE event_type = 'purchase'),
+     d AS (SELECT event_id, user_id, event_type FROM events
+           WHERE event_type IN ('signup', 'click'))
+SELECT f.event_id, f.user_id,
+       d.event_id AS state_event_id, d.event_type AS state_event_type
+FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.event_id >= d.event_id
+ORDER BY f.event_id
+"""
+
+
+def changelog_normalize_feed(spark, sf_dir):
+    """Upsert/delete WAL -> insert-only retraction changelog (+I / -U / +U /
+    -D; Flink ChangelogNormalize semantics): the contract downstream
+    incremental aggregates consume. Delete-of-absent emits nothing. One lag
+    window + explode (operators/temporal.changelog_normalize)."""
+    ev = _t(spark, sf_dir, "events")
+    out = _temporal.changelog_normalize(
+        ev,
+        key_cols=["user_id"],
+        lsn_col="event_id",
+        image_cols=["event_type"],
+        delete_predicate=F.col("event_type") == "error",
+    )
+    return out.select(
+        "user_id", "lsn", "change_op", "step", "img_lsn", "img_event_type"
+    ).orderBy("lsn", "step")
+
+
+ORACLE_CHANGELOG = """
+WITH x AS (
+  SELECT event_id, user_id, event_type,
+         LAG(event_id)   OVER w AS prev_id,
+         LAG(event_type) OVER w AS prev_ty
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+p AS (SELECT *, (prev_ty IS NOT NULL AND prev_ty <> 'error') AS present FROM x)
+SELECT user_id, event_id AS lsn, '-D' AS change_op, 0 AS step,
+       prev_id AS img_lsn, prev_ty AS img_event_type
+FROM p WHERE event_type = 'error' AND present
+UNION ALL
+SELECT user_id, event_id, '-U', 0, prev_id, prev_ty
+FROM p WHERE event_type <> 'error' AND present
+UNION ALL
+SELECT user_id, event_id, '+U', 1, event_id, event_type
+FROM p WHERE event_type <> 'error' AND present
+UNION ALL
+SELECT user_id, event_id, '+I', 1, event_id, event_type
+FROM p WHERE event_type <> 'error' AND NOT present
+ORDER BY lsn, step
+"""
+
+
+def cdf_net_changes(spark, sf_dir):
+    """Net-change folding (Delta CDF 'net changes' semantics): the feed
+    half of the WAL (lsn >= split) folds to at most ONE net I/U/D per key,
+    classified against the pre-window state. Pure mergeable aggregation —
+    two conditional max-struct accumulators, map-side combine, NO window —
+    so it is skew-immune (operators/temporal.net_changes)."""
+    ev = _t(spark, sf_dir, "events")
+    split = ev.groupBy().agg(
+        F.expr("(MAX(event_id) + 1) DIV 2").alias("__split")
+    )
+    out = _temporal.net_changes(
+        ev.crossJoin(F.broadcast(split)),
+        key_cols=["user_id"],
+        lsn_col="event_id",
+        image_cols=["event_type"],
+        delete_predicate=F.col("event_type") == "error",
+        split_lsn=F.col("__split"),
+    )
+    return out.select("user_id", "net_op", "img_lsn", "img_event_type").orderBy(
+        "user_id"
+    )
+
+
+ORACLE_NET_CHANGES = """
+WITH s AS (SELECT (MAX(event_id) + 1) // 2 AS split FROM events),
+g AS (SELECT user_id,
+        ARG_MAX(event_type, event_id) FILTER (WHERE event_id < split) AS pre_ty,
+        MAX(event_id)                 FILTER (WHERE event_id < split) AS pre_id,
+        ARG_MAX(event_type, event_id) FILTER (WHERE event_id >= split) AS fin_ty,
+        MAX(event_id)                 FILTER (WHERE event_id >= split) AS fin_id
+      FROM events, s GROUP BY user_id),
+c AS (SELECT user_id, pre_id, pre_ty, fin_id, fin_ty,
+        (pre_id IS NOT NULL AND pre_ty <> 'error') AS present
+      FROM g WHERE fin_id IS NOT NULL)
+SELECT user_id,
+       CASE WHEN fin_ty = 'error' THEN 'D'
+            WHEN present THEN 'U' ELSE 'I' END AS net_op,
+       CASE WHEN fin_ty = 'error' THEN pre_id ELSE fin_id END AS img_lsn,
+       CASE WHEN fin_ty = 'error' THEN pre_ty ELSE fin_ty END AS img_event_type
+FROM c WHERE NOT (fin_ty = 'error' AND NOT present)
+ORDER BY user_id
+"""
+
+
+def epoch_drift_report(spark, sf_dir):
+    """Ingest-monitoring drift report between two WAL epochs (first vs
+    second half by LSN): per event_type counts and integer-permille shares
+    on each side plus the absolute share drift — the per-epoch data-quality
+    gate an operator reads before promoting an epoch. All-integer
+    arithmetic (DIV), one hash agg + a 1-row broadcast of the totals."""
+    ev = _t(spark, sf_dir, "events")
+    split = ev.groupBy().agg(
+        F.expr("(MAX(event_id) + 1) DIV 2").alias("__split")
+    )
+    c = (
+        ev.crossJoin(F.broadcast(split))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("event_id") < F.col("__split"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_a"),
+            F.sum(F.when(F.col("event_id") >= F.col("__split"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_b"),
+        )
+    )
+    tot = c.groupBy().agg(
+        F.sum("cnt_a").alias("__tot_a"), F.sum("cnt_b").alias("__tot_b")
+    )
+    out = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("share_a_permille", F.expr("cnt_a * 1000 DIV __tot_a"))
+        .withColumn("share_b_permille", F.expr("cnt_b * 1000 DIV __tot_b"))
+        .withColumn(
+            "drift_permille",
+            F.abs(F.col("share_a_permille") - F.col("share_b_permille")),
+        )
+    )
+    return out.select(
+        "event_type", "cnt_a", "cnt_b", "share_a_permille", "share_b_permille",
+        "drift_permille",
+    ).orderBy("event_type")
+
+
+ORACLE_EPOCH_DRIFT = """
+WITH s AS (SELECT (MAX(event_id) + 1) // 2 AS split FROM events),
+c AS (SELECT event_type,
+        COUNT(*) FILTER (WHERE event_id < split) AS cnt_a,
+        COUNT(*) FILTER (WHERE event_id >= split) AS cnt_b
+      FROM events, s GROUP BY event_type),
+t AS (SELECT SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b FROM c)
+SELECT event_type,
+       CAST(cnt_a AS BIGINT) AS cnt_a,
+       CAST(cnt_b AS BIGINT) AS cnt_b,
+       CAST(cnt_a * 1000 // tot_a AS BIGINT) AS share_a_permille,
+       CAST(cnt_b * 1000 // tot_b AS BIGINT) AS share_b_permille,
+       CAST(ABS(cnt_a * 1000 // tot_a - cnt_b * 1000 // tot_b) AS BIGINT)
+         AS drift_permille
+FROM c, t ORDER BY event_type
+"""

@@ -5647,3 +5647,137 @@ JOIN corpus ca ON p.doc_a = ca.doc_id
 JOIN corpus cb ON p.doc_b = cb.doc_id
 ORDER BY doc_a, doc_b
 """
+
+
+# ===================== UniMax domain mixing (waterfilling) =================
+
+UNIMAX_BUDGET_PERMILLE = 2500  # budget = 2.5 corpus-epochs of tokens: at all
+# test SFs some sources hit their epoch cap and some don't, so BOTH
+# waterfilling branches are exercised (verified empirically per SF)
+
+
+def unimax_mixing(spark, sf_dir):
+    """UniMax mixing allocation (Chung et al. 2023, "UniMax: Fairer and More
+    Effective Language Sampling"): spread a global token budget as evenly as
+    possible across sources, capping each source at its own epoch budget
+    (cap_s = epochs_s * tokens_s) — the published alternative to
+    size-proportional mixing (domain_mix_plan).
+
+    Waterfilling has a closed form once sources are sorted ascending by
+    cap: walking up, a source is capped iff its cap fits under the current
+    fair share fair_i = (B - cumsum(cap)_{<i}) DIV (n-i+1); uncapped is
+    upward-closed (caps are ascending), so the capped set is a prefix and
+    one cumulative-sum window computes it exactly. Remaining budget splits
+    evenly over the uncapped suffix. All arithmetic is integer, so the
+    plan is byte-reproducible under the oracle.
+
+    Scale shape: ONE corpus-wide hash agg builds the per-source dim
+    (#sources rows — tiny); the sort window and both broadcast folds run on
+    that dim only, never on the corpus. At 100 TB the corpus is touched
+    exactly once. The negative-remainder corner (fair_i < 0 past the
+    waterline) only feeds the <= predicate, which is false for any positive
+    cap in both engines regardless of DIV-vs-floor rounding."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    ).cast("bigint")
+    dim = (
+        d.select(
+            "source",
+            F.substring("source", 4, 10).cast("bigint").alias("src_num"),
+            ntok.alias("n_tokens"),
+        )
+        .groupBy("source", "src_num")
+        .agg(F.sum("n_tokens").alias("tokens_src"))
+        .withColumn(
+            "epochs_cap",
+            (F.lit(1) + F.pmod(F.col("src_num") * 13, F.lit(7))).cast("bigint"),
+        )
+        .withColumn("cap_tokens", F.col("epochs_cap") * F.col("tokens_src"))
+    )
+    tot = dim.groupBy().agg(
+        F.sum("tokens_src").alias("__T"), F.count("*").alias("__n")
+    )
+    dim = dim.crossJoin(F.broadcast(tot)).withColumn(
+        "__budget", F.expr(f"__T * {UNIMAX_BUDGET_PERMILLE} DIV 1000")
+    )
+    # single-partition window — sound ONLY because its input is the
+    # per-source dim (#sources rows), never the corpus
+    w = Window.partitionBy().orderBy("cap_tokens", "source")
+    dim = (
+        dim.withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            "__prefix",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "capped",
+            F.col("cap_tokens")
+            <= F.expr("(__budget - __prefix) DIV (__n - __rk + 1)"),
+        )
+    )
+    fold = dim.groupBy().agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap_tokens"))), F.lit(0).cast("bigint")
+        ).alias("__capped_sum"),
+        F.sum(F.col("capped").cast("bigint")).alias("__k"),
+    )
+    out = (
+        dim.crossJoin(F.broadcast(fold))
+        .withColumn(
+            "alloc_tokens",
+            F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+                F.expr("(__budget - __capped_sum) DIV GREATEST(__n - __k, 1)")
+            ),
+        )
+        .withColumn(
+            "epochs_permille", F.expr("alloc_tokens * 1000 DIV tokens_src")
+        )
+    )
+    return out.select(
+        "source", "tokens_src", "epochs_cap", "cap_tokens", "capped",
+        "alloc_tokens", "epochs_permille",
+    ).orderBy("source")
+
+
+ORACLE_UNIMAX = f"""
+WITH dim AS (
+  SELECT source,
+         CAST(SUBSTR(source, 4, 10) AS BIGINT) AS src_num,
+         CAST(SUM(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> LEN(x) > 0)))
+              AS BIGINT) AS tokens_src
+  FROM documents GROUP BY source),
+caps AS (
+  SELECT source, tokens_src,
+         CAST(1 + (src_num * 13) % 7 AS BIGINT) AS epochs_cap,
+         CAST((1 + (src_num * 13) % 7) * tokens_src AS BIGINT) AS cap_tokens
+  FROM dim),
+tot AS (SELECT SUM(tokens_src) AS T, COUNT(*) AS n FROM caps),
+ranked AS (
+  SELECT c.*, t.n,
+         T * {UNIMAX_BUDGET_PERMILLE} // 1000 AS budget,
+         ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS rk,
+         COALESCE(SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM caps c, tot t),
+flagged AS (
+  SELECT *, cap_tokens <= (budget - prefix) // (n - rk + 1) AS capped
+  FROM ranked),
+fold AS (
+  SELECT COALESCE(SUM(cap_tokens) FILTER (WHERE capped), 0) AS capped_sum,
+         COALESCE(SUM(CASE WHEN capped THEN 1 ELSE 0 END), 0) AS k
+  FROM flagged)
+SELECT source, tokens_src, epochs_cap, cap_tokens, capped,
+       CAST(CASE WHEN capped THEN cap_tokens
+                 ELSE (budget - capped_sum) // GREATEST(n - k, 1)
+            END AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN capped THEN cap_tokens
+                 ELSE (budget - capped_sum) // GREATEST(n - k, 1)
+            END * 1000 // tokens_src AS BIGINT) AS epochs_permille
+FROM flagged, fold ORDER BY source
+"""

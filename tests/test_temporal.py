@@ -1,0 +1,174 @@
+"""operators/temporal.py — SCD2 / as-of join / changelog normalize /
+net-change folding: edge-case semantics on hand-built frames plus the
+plan-shape contracts (single exchange; net_changes is window-free)."""
+
+from pyspark.sql import functions as F
+
+from data_exchange_hl7_spark.operators import temporal
+from data_exchange_hl7_spark.plans.inspect import assert_no_python_udf, explain_str
+
+# key=k1: insert, update, delete, re-insert  (full lifecycle)
+# key=k2: delete arrives first (delete-of-absent), then insert
+# key=k3: single insert, still current
+EVENTS = [
+    # (lsn, key, ts, op_is_delete, payload)
+    (1, "k1", "2024-01-01 00:00:00", False, "a"),
+    (2, "k1", "2024-01-02 00:00:00", False, "b"),
+    (3, "k1", "2024-01-03 00:00:00", True, None),
+    (4, "k1", "2024-01-04 00:00:00", False, "c"),
+    (5, "k2", "2024-01-01 12:00:00", True, None),
+    (6, "k2", "2024-01-02 12:00:00", False, "x"),
+    (7, "k3", "2024-01-05 00:00:00", False, "z"),
+]
+
+
+def _feed(spark):
+    df = spark.createDataFrame(
+        EVENTS, "lsn bigint, key string, ts_s string, is_del boolean, payload string"
+    )
+    return df.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+
+def test_scd2_versions_close_and_delete_leaves_no_current(spark):
+    out = temporal.scd2(
+        _feed(spark),
+        key_cols=["key"],
+        order_cols=["ts", "lsn"],
+        ts_col="ts",
+        delete_predicate=F.col("is_del"),
+    )
+    rows = {
+        (r["key"], r["version_no"]): r
+        for r in out.select("key", "version_no", "lsn", "valid_to", "is_current")
+        .collect()
+    }
+    # k1: three surviving versions (the delete closes v2, opens nothing)
+    assert rows[("k1", 1)]["lsn"] == 1 and not rows[("k1", 1)]["is_current"]
+    v2 = rows[("k1", 2)]
+    assert v2["lsn"] == 2 and str(v2["valid_to"]).startswith("2024-01-03")
+    assert rows[("k1", 3)]["lsn"] == 4 and rows[("k1", 3)]["is_current"]
+    # k2: the leading delete closed nothing; the insert is current
+    assert ("k2", 1) in rows and rows[("k2", 1)]["lsn"] == 6
+    assert rows[("k2", 1)]["is_current"]
+    # k3 single version current
+    assert rows[("k3", 1)]["is_current"]
+    assert len(rows) == 5
+
+
+def test_scd2_key_whose_last_event_is_delete_has_no_current(spark):
+    trunc = _feed(spark).filter(F.col("lsn") <= 3)  # k1 ends on the delete
+    out = temporal.scd2(
+        trunc, ["key"], ["ts", "lsn"], "ts", delete_predicate=F.col("is_del")
+    )
+    k1 = out.filter(F.col("key") == "k1").collect()
+    assert len(k1) == 2 and not any(r["is_current"] for r in k1)
+
+
+def test_asof_join_carries_latest_dim_and_nulls_before_first(spark):
+    feed = _feed(spark)
+    facts = spark.createDataFrame(
+        [(0, "k1"), (2, "k1"), (9, "k1"), (5, "k2")], "lsn bigint, key string"
+    )
+    dim = feed.filter(~F.col("is_del")).select("key", "lsn", "payload")
+    out = temporal.asof_join(
+        facts, dim, key_cols=["key"], lsn_col="lsn", dim_cols=["lsn", "payload"]
+    )
+    got = {(r["key"], r["lsn"]): (r["asof_lsn"], r["asof_payload"]) for r in out.collect()}
+    assert got[("k1", 0)] == (None, None)  # before any dim row
+    assert got[("k1", 2)] == (2, "b")  # inclusive: dim at the same LSN wins
+    assert got[("k1", 9)] == (4, "c")
+    assert got[("k2", 5)] == (None, None)  # dim row 6 is later than the fact
+    assert out.count() == 4
+
+
+def test_changelog_normalize_ops_and_delete_of_absent_is_silent(spark):
+    out = temporal.changelog_normalize(
+        _feed(spark),
+        key_cols=["key"],
+        lsn_col="lsn",
+        image_cols=["payload"],
+        delete_predicate=F.col("is_del"),
+    )
+    rows = [
+        (r["key"], r["lsn"], r["change_op"], r["step"], r["img_lsn"], r["img_payload"])
+        for r in out.orderBy("lsn", "step").collect()
+    ]
+    assert rows == [
+        ("k1", 1, "+I", 1, 1, "a"),
+        ("k1", 2, "-U", 0, 1, "a"),
+        ("k1", 2, "+U", 1, 2, "b"),
+        ("k1", 3, "-D", 0, 2, "b"),
+        ("k1", 4, "+I", 1, 4, "c"),  # state was absent after the delete
+        # lsn 5 (delete-of-absent on k2) emits NOTHING
+        ("k2", 6, "+I", 1, 6, "x"),
+        ("k3", 7, "+I", 1, 7, "z"),
+    ]
+
+
+def test_net_changes_classification_per_pre_state(spark):
+    # split at lsn 4: pre-window state k1=deleted(3), k2=absent(delete@5? no
+    # — 5 >= 4 is IN the window), k3 absent
+    out = temporal.net_changes(
+        _feed(spark),
+        key_cols=["key"],
+        lsn_col="lsn",
+        image_cols=["payload"],
+        delete_predicate=F.col("is_del"),
+        split_lsn=F.lit(4),
+    )
+    got = {r["key"]: (r["net_op"], r["img_lsn"], r["img_payload"]) for r in out.collect()}
+    # k1 pre-state is the delete at lsn 3 -> absent; final windowed is
+    # insert at 4 -> net INSERT
+    assert got["k1"] == ("I", 4, "c")
+    # k2 window = delete@5 then insert@6 -> final insert, pre absent -> I
+    assert got["k2"] == ("I", 6, "x")
+    # k3 window = single insert@7, pre absent -> I
+    assert got["k3"] == ("I", 7, "z")
+
+
+def test_net_changes_update_and_delete_nets(spark):
+    # split at lsn 3: k1 pre-state = b(2) present; window = delete(3),
+    # insert(4) -> final insert with pre present -> net UPDATE
+    out = temporal.net_changes(
+        _feed(spark), ["key"], "lsn", ["payload"], F.col("is_del"), F.lit(3)
+    )
+    got = {r["key"]: (r["net_op"], r["img_lsn"]) for r in out.collect()}
+    assert got["k1"] == ("U", 4)
+    # delete-net: truncate the feed so k1's window ends on the delete
+    out2 = temporal.net_changes(
+        _feed(spark).filter(F.col("lsn") <= 3),
+        ["key"], "lsn", ["payload"], F.col("is_del"), F.lit(3),
+    )
+    got2 = {r["key"]: (r["net_op"], r["img_lsn"], r["img_payload"]) for r in out2.collect()}
+    # final windowed event is the delete, pre-state b(2) present -> net D
+    # with the BEFORE image
+    assert got2["k1"] == ("D", 2, "b")
+    # k2's only pre-split event... lsn 5 >= 3 -> in window but it's a
+    # delete-of-absent -> no net row at this truncation
+    assert "k2" not in got2
+
+
+def test_plan_shapes_single_exchange_and_no_window_in_net_changes(spark):
+    feed = _feed(spark)
+    net = temporal.net_changes(
+        feed, ["key"], "lsn", ["payload"], F.col("is_del"), F.lit(4)
+    )
+    plan = explain_str(net)
+    assert "Window" not in plan  # skew-immune: pure aggregation
+    assert plan.count("Exchange") <= 2  # one key exchange (+AQE reuse noise)
+    assert_no_python_udf(net)
+
+    asof = temporal.asof_join(
+        feed.select("key", "lsn"),
+        feed.select("key", "lsn", "payload"),
+        ["key"], "lsn", ["payload"],
+    )
+    aplan = explain_str(asof)
+    assert "CartesianProduct" not in aplan and "SortMergeJoin" not in aplan
+    assert "Join" not in aplan  # the union trick joins NOTHING
+    assert_no_python_udf(asof)
+
+    clog = temporal.changelog_normalize(
+        feed, ["key"], "lsn", ["payload"], F.col("is_del")
+    )
+    assert_no_python_udf(clog)

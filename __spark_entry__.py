@@ -63,12 +63,16 @@ the queries riding those modules are already inside this round's window,
 so the r4 gate certifies the post-change code. LAST r4 additions: the
 temporal-CDC family (operators/temporal.py — scd2_build, asof_join_state,
 changelog_normalize_feed, cdf_net_changes, epoch_drift_report) +
-unimax_mixing, all six in-window; they displace six of the seven
-r4-touched-module re-certifications (derived_file_stats,
-aggregate_repo_stats, incremental_minhash_index, index_dup_candidates,
-dup_clusters, minhash_dup_pairs — r3-green, locally parity-tested every
-pytest run) past the boundary, keeping filtered_snapshot_read as the lake
-read-path representative; the displaced six lead the r5 rotation below. NOTE:
+unimax_mixing, all six in-window, plus scd2_history_read (the
+Engine.scd2_table incremental version-history maintenance); together they
+displace six of the seven r4-touched-module re-certifications
+(derived_file_stats, aggregate_repo_stats, incremental_minhash_index,
+index_dup_candidates, dup_clusters, minhash_dup_pairs — r3-green, locally
+parity-tested every pytest run) and sliding_window_counts (r2-green with
+streaming/windowed.py byte-unchanged since r2, so its cert is current;
+tumbling_window_counts represents the module in-window) past the
+boundary, keeping filtered_snapshot_read as the lake read-path
+representative; the displaced seven lead the r5 rotation below. NOTE:
 tests/test_oracle_parity.py replicates the gate
 for ALL queries at sf0.01 in every pytest run, so tail queries are never
 unchecked — only externally un-refreshed. COVERAGE.md carries the
@@ -142,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_normalize_feed": q.changelog_normalize_feed,
         "cdf_net_changes": q.cdf_net_changes,
         "epoch_drift_report": q.epoch_drift_report,
+        "scd2_history_read": q.scd2_history_read,
         "unimax_mixing": qt.unimax_mixing,
         # --- r3-touched modules (lake/table.py, engine.py, query wrappers)
         # whose only green rows predate the r3 code — re-certify ----------
@@ -152,7 +157,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_read": q.schema_evolution_read,
         "time_travel_as_of": q.time_travel_as_of,
         "tumbling_window_counts": q.tumbling_window_counts,
-        "sliding_window_counts": q.sliding_window_counts,
         "streaming_dedup_batch": q.streaming_dedup_batch,
         # --- r4-touched modules (lake/table.py: lookup + bloom writer +
         # 'in' pruning; engine.py: rebuild_derived; queries_text.py:
@@ -163,6 +167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the displaced six keep r3 greens + every-pytest local parity and
         # lead the r5 rotation plan ----------------------------------------
         "filtered_snapshot_read": q.filtered_snapshot_read,
+        # sliding_window_counts displaced to 51 by scd2_history_read: its r2
+        # green stays valid (streaming/windowed.py byte-unchanged since r2,
+        # and tumbling_window_counts represents the same module in-window)
+        "sliding_window_counts": q.sliding_window_counts,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -392,5 +400,6 @@ def oracle_sql() -> dict[str, str]:
         "changelog_normalize_feed": q.ORACLE_CHANGELOG,
         "cdf_net_changes": q.ORACLE_NET_CHANGES,
         "epoch_drift_report": q.ORACLE_EPOCH_DRIFT,
+        "scd2_history_read": q.ORACLE_SCD2_HISTORY,
         "unimax_mixing": qt.ORACLE_UNIMAX,
     }

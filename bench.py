@@ -112,6 +112,14 @@ BENCH_QUERIES = [
     "content_defined_chunks",
     "bigram_lm_fluency",
     "bloom_decontaminate",
+    # late-r4 additions: the temporal CDC family + UniMax mixing
+    "scd2_build",
+    "asof_join_state",
+    "changelog_normalize_feed",
+    "cdf_net_changes",
+    "epoch_drift_report",
+    "unimax_mixing",
+    "scd2_history_read",
 ]
 
 

@@ -155,6 +155,71 @@ def repo_stats_delta(changes: DataFrame, old_rows: DataFrame) -> DataFrame:
     )
 
 
+# Built-in SCD Type-2 history spec (Engine.scd2_table): full version history
+# of the main table maintained incrementally at epoch cadence. Each epoch
+# appends O(changes) rows: an OPENING row per upserted key (a new version,
+# valid from the change's lsn, open-ended) and a CLOSING update per key that
+# had pre-epoch state (the previous version gets valid_to_lsn + loses
+# is_current — same history-key, MoR last-wins resolves to the closed form).
+# Deletes close without opening, so a deleted key has no current version —
+# the same contract as operators/temporal.scd2, which is the batch oracle
+# this recurrence is certified against (queries.scd2_history_read).
+SCD2_IMAGE_COLS = ["commit", "lang", "content_sha256", "size_bytes"]
+SCD2_HISTORY_SCHEMA = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("valid_from_lsn", "bigint"),
+    ("commit", "string"),
+    ("lang", "string"),
+    ("content_sha256", "string"),
+    ("size_bytes", "int"),
+    ("valid_to_lsn", "bigint"),
+    ("is_current", "boolean"),
+    ("last_lsn", "bigint"),
+]
+
+
+def scd2_history_rows(changes: DataFrame, old_rows: DataFrame) -> DataFrame:
+    """One epoch's SCD2 maintenance rows from (change frame, pre-epoch state
+    of the changed keys). Closing rows re-write the previous version's
+    history-key (repo, path, valid_from_lsn = old last_lsn) with the
+    interval end; opening rows add the new version. Both carry the driving
+    change's lsn as ``last_lsn`` so MoR last-wins resolution always prefers
+    the closed form of an interval over its open form.
+
+    Scale shape: one equi-join of the epoch's changes against the
+    O(changes) pre-state (both sides bucket-aligned by the main key), one
+    narrow filter — never a scan of the history table itself.
+    """
+    key = KEY_COLS
+    closing = (
+        changes.select(*key, F.col("last_lsn").alias("__close_lsn"))
+        .join(old_rows.select(*key, "last_lsn", *SCD2_IMAGE_COLS), key)
+        .select(
+            *key,
+            F.col("last_lsn").alias("valid_from_lsn"),
+            *SCD2_IMAGE_COLS,
+            F.col("__close_lsn").alias("valid_to_lsn"),
+            F.lit(False).alias("is_current"),
+            F.col("__close_lsn").alias("last_lsn"),
+        )
+    )
+    opening = changes.filter(F.col("__op") == "U").select(
+        *key,
+        F.col("last_lsn").alias("valid_from_lsn"),
+        *SCD2_IMAGE_COLS,
+        F.lit(None).cast("bigint").alias("valid_to_lsn"),
+        F.lit(True).alias("is_current"),
+        "last_lsn",
+    )
+    return closing.unionByName(opening).withColumn("__op", F.lit("U"))
+
+
+# registration kinds whose derive fn takes (changes, pre-epoch old_rows)
+# instead of (changes,) — shared by apply/purge/publish/rebuild maintenance
+_PRE_STATE_KINDS = ("aggregate", "history")
+
+
 class Engine:
     """Facade over the lake + operators (reference stage map in __init__.py)."""
 
@@ -351,6 +416,43 @@ class Engine:
         self._register(main, t, delta_fn, "aggregate")
         return t
 
+    def scd2_table(
+        self,
+        name: str = "scd2_history",
+        main: str = "repo_files",
+        n_buckets: int | None = None,
+    ) -> LakeTable:
+        """Register an incrementally-maintained SCD Type-2 HISTORY table: the
+        full version history of ``main`` (one row per version with
+        ``[valid_from_lsn, valid_to_lsn)`` and ``is_current``), kept in step
+        with every epoch by the same per-table manifests as derived_table —
+        exactly-once, crash-resumable, rebuildable from the CDF.
+
+        Per epoch the maintenance is O(changes): the previous version of
+        each changed key gets a CLOSING update (its history-key is
+        (repo, path, old last_lsn), recovered from the pre-epoch state the
+        engine already computes for aggregate views) and each upsert adds an
+        OPENING row; unchanged keys are never touched. Granularity is epoch
+        cadence: multiple changes to one key inside a single epoch fold to
+        one version (the per-key deduped change frame), the same contract as
+        the main table itself.
+        """
+        loc = self.table_path(name)
+        if LakeTable.exists(loc):
+            t = LakeTable(self.spark, loc)
+        else:
+            t = LakeTable.create(
+                self.spark,
+                loc,
+                SCD2_HISTORY_SCHEMA,
+                [*KEY_COLS, "valid_from_lsn"],
+                n_buckets=n_buckets or self.n_buckets,
+                mode="mor",
+                order_col="last_lsn",
+            )
+        self._register(main, t, scd2_history_rows, "history")
+        return t
+
     def _epoch_commits(self, table: LakeTable) -> list[tuple[int, int, int]]:
         """(epoch, committing snapshot id, parent id) for every LIVE epoch,
         in epoch order — the walk behind stage-scoped replay and aggregate
@@ -493,7 +595,7 @@ class Engine:
                 .withColumnRenamed("_change_type", "__op")
                 .drop("_commit_snapshot")
             )
-            if kind == "aggregate":
+            if kind in _PRE_STATE_KINDS:
                 old_rows = src_t.snapshot(
                     as_of=c_parent, keys_in=changes.select(*key_cols)
                 )
@@ -770,7 +872,7 @@ class Engine:
             # the late merges land the identical rows (multi-table
             # exactly-once via per-table idempotence).
             old_rows = None
-            if any(kind == "aggregate" for _, _, kind in derived_pending):
+            if any(kind in _PRE_STATE_KINDS for _, _, kind in derived_pending):
                 # pre-epoch state of the changed keys only: bucket-pruned
                 # time-travel read + semi join — O(changes) work, not
                 # O(table). Computed once, shared by every aggregate view.
@@ -792,7 +894,7 @@ class Engine:
                     keys_in=changes.select(*KEY_COLS),
                 )
             for dt, fn, kind in derived_pending:
-                if kind == "aggregate":
+                if kind in _PRE_STATE_KINDS:
                     dchanges = fn(changes.drop("__bucket"), old_rows)
                 else:
                     dchanges = fn(changes.drop("__bucket"))
@@ -975,7 +1077,7 @@ class Engine:
             result = table.merge(changes, epoch=epoch, epoch_info=info)
             stats = {"epoch": epoch, **result}
             for dt, fn, kind in pending:
-                if kind == "aggregate":
+                if kind in _PRE_STATE_KINDS:
                     # old_rows doubles as the pre-state of the changed keys:
                     # for a purge/redact the changed keys ARE the matching
                     # rows, so no second time-travel read is needed
@@ -1111,7 +1213,7 @@ class Engine:
             )
             old_rows = None
             try:
-                if any(kind == "aggregate" for _, _, kind in pending):
+                if any(kind in _PRE_STATE_KINDS for _, _, kind in pending):
                     # pre-epoch state of the changed keys on the BRANCH (the
                     # fork base equals the parent's head at publish time, so
                     # the branch-side chain of pre-states is the true lineage)
@@ -1121,7 +1223,9 @@ class Engine:
                 info_d = {"op": "publish", "branch": os.path.abspath(branch.location)}
                 for dt, fn, kind in pending:
                     dchanges = (
-                        fn(changes, old_rows) if kind == "aggregate" else fn(changes)
+                        fn(changes, old_rows)
+                        if kind in _PRE_STATE_KINDS
+                        else fn(changes)
                     )
                     dt.merge(dchanges, epoch=e, epoch_info=info_d)
                     maintained.append(f"{table_name(dt)}:{e}")

@@ -3470,3 +3470,118 @@ SELECT event_type,
          AS drift_permille
 FROM c, t ORDER BY event_type
 """
+
+
+def scd2_history_read(spark, sf_dir):
+    """Engine-maintained INCREMENTAL SCD Type-2 history under the oracle
+    gate (Engine.scd2_table / engine.scd2_history_rows): the version-history
+    derived table is kept in step with the main table across TWO real
+    epochs — epoch 0 INSERTs every doc (lsn = 2*doc_id), epoch 1 UPDATEs
+    doc_id%3==0 and DELETEs doc_id%7==0 (lsn = 2*doc_id+1; delete wins the
+    %21 overlap). The final history snapshot must equal the SCD2 DuckDB
+    computes directly from the event algebra — which certifies all three
+    incremental behaviors at once: untouched keys keep their open epoch-0
+    version, updated keys get a CLOSED v1 (valid_to = the update's lsn) plus
+    an open v2, deleted keys end fully closed with no current version.
+
+    Scale shape: per epoch the maintenance joins the O(changes) change
+    frame to the O(changes) pre-epoch state the engine already computes for
+    aggregate views — the history table itself is never scanned, and
+    unchanged keys' version rows are never rewritten."""
+    import tempfile
+
+    from data_exchange_hl7_spark.engine import Engine
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    key = f"{sf_dir}::scd2"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(os.path.join(loc, "scd2_history"))):
+        loc = tempfile.mkdtemp(prefix="dex_engine_scd2_")
+        eng = Engine(spark, loc, n_buckets=8, mode="mor")
+        table = eng.snapshot_table("repo_files")
+        eng.scd2_table("scd2_history")
+        base = _t(spark, sf_dir, "documents").select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            "doc_id",
+            "lang",
+            "text",
+        )
+
+        def _wal(frame):
+            return (
+                frame.withColumn(
+                    "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("lsn"))
+                )
+                .withColumn("new_path", F.lit(None).cast("string"))
+                .withColumn("commit", F.sha2(F.col("path"), 256).substr(1, 40))
+                .withColumn("schema_field", F.lit(None).cast("string"))
+                .withColumn(
+                    "supporting_metadata", F.create_map().cast("map<string,string>")
+                )
+                .withColumn(
+                    "event_id",
+                    F.sha2(
+                        F.concat_ws("|", "repo", "path", F.col("lsn").cast("string")),
+                        256,
+                    ),
+                )
+            )
+
+        v1 = base.select(
+            F.lit("INSERT").alias("op"),
+            (F.col("doc_id") * 2).alias("lsn"),
+            "repo",
+            "path",
+            "lang",
+            F.substring("text", 1, 50).alias("content"),
+        )
+        v2 = base.filter((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 7 == 0)).select(
+            F.when(F.col("doc_id") % 7 == 0, F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+            .alias("op"),
+            (F.col("doc_id") * 2 + 1).alias("lsn"),
+            "repo",
+            "path",
+            "lang",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("text"))
+            .alias("content"),
+        )
+        eng.apply_epoch(_wal(v1), table, epoch=0, collect_metrics=False)
+        eng.apply_epoch(_wal(v2), table, epoch=1, collect_metrics=False)
+        _LAKE_DEMO_CACHE[key] = loc
+    hist = LakeTable(spark, os.path.join(loc, "scd2_history"))
+    return (
+        hist.snapshot()
+        .select(
+            "repo", "path", "valid_from_lsn", "commit", "lang",
+            "valid_to_lsn", "is_current",
+        )
+        .orderBy("repo", "path", "valid_from_lsn")
+    )
+
+
+# Expected SCD2 from the event algebra: v1 for every doc (closed iff an
+# epoch-1 event exists for it), v2 only for updated-not-deleted docs.
+ORACLE_SCD2_HISTORY = """
+WITH docs AS (
+  SELECT doc_id, source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) AS path, lang
+  FROM documents),
+v1 AS (
+  SELECT repo, path, lang, CAST(doc_id * 2 AS BIGINT) AS valid_from_lsn,
+         CASE WHEN doc_id % 3 = 0 OR doc_id % 7 = 0
+              THEN CAST(doc_id * 2 + 1 AS BIGINT) END AS valid_to_lsn,
+         (doc_id % 3 <> 0 AND doc_id % 7 <> 0) AS is_current
+  FROM docs),
+v2 AS (
+  SELECT repo, path, lang, CAST(doc_id * 2 + 1 AS BIGINT) AS valid_from_lsn,
+         CAST(NULL AS BIGINT) AS valid_to_lsn, TRUE AS is_current
+  FROM docs WHERE doc_id % 3 = 0 AND doc_id % 7 <> 0)
+SELECT repo, path, valid_from_lsn,
+       SUBSTR(SHA256(path), 1, 40) AS commit, lang,
+       valid_to_lsn, is_current
+FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+ORDER BY repo, path, valid_from_lsn
+"""

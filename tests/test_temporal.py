@@ -172,3 +172,108 @@ def test_plan_shapes_single_exchange_and_no_window_in_net_changes(spark):
         feed, ["key"], "lsn", ["payload"], F.col("is_del")
     )
     assert_no_python_udf(clog)
+
+
+# ---------------------------------------------------------------------------
+# Engine.scd2_table — incremental SCD2 history maintained with the epochs
+
+
+def _scd2_engine(spark, tmp_path, n=3000):
+    from data_exchange_hl7_spark.datagen import change_events
+    from data_exchange_hl7_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    t = eng.snapshot_table("repo_files")
+    hist = eng.scd2_table()
+    ev = change_events(spark, n).persist()
+    eng.apply_epoch(ev.filter(F.col("lsn") < n // 2), t, epoch=0,
+                    collect_metrics=False)
+    eng.apply_epoch(ev.filter(F.col("lsn") >= n // 2), t, epoch=1,
+                    collect_metrics=False)
+    ev.unpersist()
+    return eng, t, hist
+
+
+def test_scd2_table_current_versions_equal_main_state(spark, tmp_path):
+    """The open versions of the history table ARE the main table: same keys,
+    same image columns, valid_from == the main row's last_lsn."""
+    _eng, t, hist = _scd2_engine(spark, tmp_path)
+    img = ["commit", "lang", "content_sha256"]
+    cur = hist.snapshot().filter("is_current").select(
+        "repo", "path", F.col("valid_from_lsn").alias("last_lsn"),
+        *img, F.col("size_bytes").cast("int").alias("size_bytes"),
+    )
+    main = t.snapshot().select("repo", "path", "last_lsn", *img,
+                               F.col("size_bytes").cast("int").alias("size_bytes"))
+    assert cur.count() == main.count() > 0
+    assert cur.exceptAll(main).count() == 0
+    assert main.exceptAll(cur).count() == 0
+
+
+def test_scd2_table_intervals_well_formed(spark, tmp_path):
+    """Per key: at most one open version; closed intervals end after they
+    start; consecutive versions never overlap (prev.valid_to <= next
+    .valid_from) and an update's closing row meets its opener exactly."""
+    from pyspark.sql import Window
+
+    _eng, _t, hist = _scd2_engine(spark, tmp_path)
+    h = hist.snapshot()
+    multi_open = (
+        h.filter("is_current").groupBy("repo", "path").count().filter("count > 1")
+    )
+    assert multi_open.count() == 0
+    assert h.filter("valid_to_lsn IS NOT NULL AND valid_to_lsn <= valid_from_lsn").count() == 0
+    assert h.filter("is_current AND valid_to_lsn IS NOT NULL").count() == 0
+    assert h.filter("NOT is_current AND valid_to_lsn IS NULL").count() == 0
+    w = Window.partitionBy("repo", "path").orderBy("valid_from_lsn")
+    chained = h.withColumn("nxt_from", F.lead("valid_from_lsn").over(w))
+    # a closed version followed by another version must end at or before the
+    # successor opens; versions with a successor must be closed
+    assert chained.filter("nxt_from IS NOT NULL AND valid_to_lsn IS NULL").count() == 0
+    assert chained.filter("nxt_from IS NOT NULL AND valid_to_lsn > nxt_from").count() == 0
+    # the history has real churn: some keys carry >= 2 versions
+    assert h.groupBy("repo", "path").count().filter("count >= 2").count() > 0
+
+
+def test_scd2_table_idempotent_reapply(spark, tmp_path):
+    """Re-running a committed epoch leaves the history byte-identical (the
+    per-table manifest no-ops the merge)."""
+    from data_exchange_hl7_spark.datagen import change_events
+
+    eng, t, hist = _scd2_engine(spark, tmp_path, n=2000)
+    before = hist.snapshot().orderBy("repo", "path", "valid_from_lsn").collect()
+    ev = change_events(spark, 2000)
+    eng.apply_epoch(ev.filter(F.col("lsn") >= 1000), t, epoch=1,
+                    collect_metrics=False)
+    after = hist.snapshot().orderBy("repo", "path", "valid_from_lsn").collect()
+    assert before == after
+
+
+def test_scd2_table_purge_closes_versions(spark, tmp_path):
+    """purge_where cascades into the history: purged keys lose their open
+    version (closed, image retained) — the takedown leaves an auditable
+    closed interval, not a live row."""
+    eng, t, hist = _scd2_engine(spark, tmp_path, n=2000)
+    victim = t.snapshot().select("repo").first()["repo"]
+    n_open_before = (
+        hist.snapshot().filter("is_current").filter(F.col("repo") == victim).count()
+    )
+    assert n_open_before > 0
+    eng.purge_where(t, f"repo = '{victim}'", epoch=2)
+    h = hist.snapshot().filter(F.col("repo") == victim)
+    assert h.filter("is_current").count() == 0
+    assert h.count() > 0  # history retained, all closed
+    assert h.filter("valid_to_lsn IS NULL").count() == 0
+    # main table no longer serves the purged keys
+    assert t.snapshot().filter(F.col("repo") == victim).count() == 0
+
+
+def test_scd2_table_rebuild_matches_original(spark, tmp_path):
+    """Stage-scoped replay of the history kind: rebuild_derived recovers the
+    per-epoch change frames + pre-states from the main CDF and lands a
+    byte-identical history table."""
+    eng, t, hist = _scd2_engine(spark, tmp_path)
+    rebuilt = eng.rebuild_derived(t, "scd2_history", target_name="scd2_rebuilt")
+    a = hist.snapshot().orderBy("repo", "path", "valid_from_lsn").collect()
+    b = rebuilt.snapshot().orderBy("repo", "path", "valid_from_lsn").collect()
+    assert a == b and len(a) > 0

@@ -72,7 +72,11 @@ parity-tested every pytest run) and sliding_window_counts (r2-green with
 streaming/windowed.py byte-unchanged since r2, so its cert is current;
 tumbling_window_counts represents the module in-window) past the
 boundary, keeping filtered_snapshot_read as the lake read-path
-representative; the displaced seven lead the r5 rotation below. NOTE:
+representative; late_data_audit (REAL watermarked append stream: emitted
+windows + observed drop mass balance vs the DuckDB watermark algebra)
+likewise displaces tumbling_window_counts (r2-green, byte-unchanged
+module, and late_data_audit certifies the same windowed_counts operator
+more strongly); the displaced eight lead the r5 rotation below. NOTE:
 tests/test_oracle_parity.py replicates the gate
 for ALL queries at sf0.01 in every pytest run, so tail queries are never
 unchecked — only externally un-refreshed. COVERAGE.md carries the
@@ -147,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_net_changes": q.cdf_net_changes,
         "epoch_drift_report": q.epoch_drift_report,
         "scd2_history_read": q.scd2_history_read,
+        "late_data_audit": q.late_data_audit,
         "unimax_mixing": qt.unimax_mixing,
         # --- r3-touched modules (lake/table.py, engine.py, query wrappers)
         # whose only green rows predate the r3 code — re-certify ----------
@@ -156,7 +161,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebucket_read": q.rebucket_read,
         "schema_evolution_read": q.schema_evolution_read,
         "time_travel_as_of": q.time_travel_as_of,
-        "tumbling_window_counts": q.tumbling_window_counts,
         "streaming_dedup_batch": q.streaming_dedup_batch,
         # --- r4-touched modules (lake/table.py: lookup + bloom writer +
         # 'in' pruning; engine.py: rebuild_derived; queries_text.py:
@@ -171,6 +175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green stays valid (streaming/windowed.py byte-unchanged since r2,
         # and tumbling_window_counts represents the same module in-window)
         "sliding_window_counts": q.sliding_window_counts,
+        # tumbling_window_counts displaced to 52 by late_data_audit, which
+        # certifies the SAME windowed_counts operator under a real
+        # watermarked stream (r2 green stays valid: windowed.py unchanged)
+        "tumbling_window_counts": q.tumbling_window_counts,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -401,5 +409,6 @@ def oracle_sql() -> dict[str, str]:
         "cdf_net_changes": q.ORACLE_NET_CHANGES,
         "epoch_drift_report": q.ORACLE_EPOCH_DRIFT,
         "scd2_history_read": q.ORACLE_SCD2_HISTORY,
+        "late_data_audit": q.ORACLE_LATE_AUDIT,
         "unimax_mixing": qt.ORACLE_UNIMAX,
     }

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "epoch_drift_report",
     "unimax_mixing",
     "scd2_history_read",
+    "late_data_audit",
 ]
 
 

@@ -156,14 +156,17 @@ def repo_stats_delta(changes: DataFrame, old_rows: DataFrame) -> DataFrame:
 
 
 # Built-in SCD Type-2 history spec (Engine.scd2_table): full version history
-# of the main table maintained incrementally at epoch cadence. Each epoch
-# appends O(changes) rows: an OPENING row per upserted key (a new version,
-# valid from the change's lsn, open-ended) and a CLOSING update per key that
-# had pre-epoch state (the previous version gets valid_to_lsn + loses
-# is_current — same history-key, MoR last-wins resolves to the closed form).
-# Deletes close without opening, so a deleted key has no current version —
-# the same contract as operators/temporal.scd2, which is the batch oracle
-# this recurrence is certified against (queries.scd2_history_read).
+# of the main table maintained incrementally at epoch cadence, O(changes)
+# rows per epoch. In-order changes close the previous version and (for
+# upserts) open the new one; LATE changes — a file-order stream can deliver
+# an older lsn after a newer one — are recorded directly as CLOSED versions
+# so the open set always mirrors the main table's last-wins merge exactly,
+# even under out-of-order arrival (see scd2_history_rows for the full
+# classification). Deletes close without opening, so a deleted key has no
+# current version — the same contract as operators/temporal.scd2, which is
+# the batch oracle this recurrence is certified against
+# (queries.scd2_history_read). purge_where/redact_where sweep a key's WHOLE
+# version history (see _purge_or_redact), not just its current version.
 SCD2_IMAGE_COLS = ["commit", "lang", "content_sha256", "size_bytes"]
 SCD2_HISTORY_SCHEMA = [
     ("repo", "string"),
@@ -180,39 +183,97 @@ SCD2_HISTORY_SCHEMA = [
 
 
 def scd2_history_rows(changes: DataFrame, old_rows: DataFrame) -> DataFrame:
-    """One epoch's SCD2 maintenance rows from (change frame, pre-epoch state
-    of the changed keys). Closing rows re-write the previous version's
-    history-key (repo, path, valid_from_lsn = old last_lsn) with the
-    interval end; opening rows add the new version. Both carry the driving
-    change's lsn as ``last_lsn`` so MoR last-wins resolution always prefers
-    the closed form of an interval over its open form.
+    """One epoch's SCD2 maintenance rows from (change frame, TOMBSTONE-VISIBLE
+    pre-epoch state of the changed keys — ``snapshot(with_tombstones=True)``,
+    so ``old_rows.__op`` distinguishes live state ('U'), deleted state ('D'
+    with the tombstone's lsn), and never-seen (absent)).
 
-    Scale shape: one equi-join of the epoch's changes against the
-    O(changes) pre-state (both sides bucket-aligned by the main key), one
-    narrow filter — never a scan of the history table itself.
+    Classification per changed key (c = the change, o = the pre-state
+    winner):
+
+    - o absent            : upsert opens a new current version; a delete of
+                            an absent key emits nothing.
+    - o live, c.lsn > o   : in-order — close o's version at c.lsn; an upsert
+                            also opens the new version.
+    - o live, c.lsn < o   : LATE upsert — the event is already history:
+                            record it CLOSED on [c.lsn, o.lsn) and leave the
+                            current version untouched (mirrors the main
+                            table's last-wins merge, where the late event
+                            loses). A late delete emits nothing (its closing
+                            point is not recoverable from pre-state alone).
+    - o tombstone (lsn t) : c.lsn > t reopens the key (nothing to close);
+                            c.lsn < t is a late upsert into the deleted
+                            period, recorded CLOSED on [c.lsn, t).
+
+    Exactness contract: intervals are exact under per-key lsn-monotone
+    arrival (the same contract as ``compact()``'s tombstone drop). Under
+    out-of-order feeds (file-order streams — use the ``consolidate_deltas``
+    cadence so tombstones stay visible) every version row and the
+    one-open-version-per-live-key invariant remain exact; only the
+    ``valid_to_lsn`` of a late version is an upper bound when MORE THAN ONE
+    later version already exists (the retro-split of an already-closed
+    interval would need a history read, not just pre-state).
+
+    Closing rows re-write the previous version's history-key (repo, path,
+    valid_from_lsn = o.lsn) with the interval end; both row kinds carry the
+    driving change's lsn as ``last_lsn`` so MoR last-wins resolution prefers
+    the newest form of an interval row.
+
+    Scale shape: ONE equi-join of the epoch's changes against the
+    O(changes) pre-state (both bucket-aligned by the main key), narrow
+    filters — never a scan of the history table itself.
     """
     key = KEY_COLS
-    closing = (
-        changes.select(*key, F.col("last_lsn").alias("__close_lsn"))
-        .join(old_rows.select(*key, "last_lsn", *SCD2_IMAGE_COLS), key)
-        .select(
-            *key,
-            F.col("last_lsn").alias("valid_from_lsn"),
-            *SCD2_IMAGE_COLS,
-            F.col("__close_lsn").alias("valid_to_lsn"),
-            F.lit(False).alias("is_current"),
-            F.col("__close_lsn").alias("last_lsn"),
-        )
-    )
-    opening = changes.filter(F.col("__op") == "U").select(
+    c = changes.select(
         *key,
-        F.col("last_lsn").alias("valid_from_lsn"),
+        F.col("last_lsn").alias("__c_lsn"),
+        F.col("__op").alias("__c_op"),
+        *SCD2_IMAGE_COLS,
+    )
+    o = old_rows.select(
+        *key,
+        F.col("last_lsn").alias("__o_lsn"),
+        F.col("__op").alias("__o_op"),
+        *[F.col(col).alias(f"__o_{col}") for col in SCD2_IMAGE_COLS],
+    )
+    j = c.join(o, key, "left")
+    o_live = F.col("__o_op") == "U"
+    in_order = F.col("__o_lsn").isNull() | (F.col("__c_lsn") > F.col("__o_lsn"))
+
+    # close the live previous version when an in-order change supersedes it
+    closing = j.filter(o_live & in_order).select(
+        *key,
+        F.col("__o_lsn").alias("valid_from_lsn"),
+        *[F.col(f"__o_{col}").alias(col) for col in SCD2_IMAGE_COLS],
+        F.col("__c_lsn").alias("valid_to_lsn"),
+        F.lit(False).alias("is_current"),
+        F.col("__c_lsn").alias("last_lsn"),
+    )
+    # open a new current version for every in-order upsert
+    opening = j.filter((F.col("__c_op") == "U") & in_order).select(
+        *key,
+        F.col("__c_lsn").alias("valid_from_lsn"),
         *SCD2_IMAGE_COLS,
         F.lit(None).cast("bigint").alias("valid_to_lsn"),
         F.lit(True).alias("is_current"),
-        "last_lsn",
+        F.col("__c_lsn").alias("last_lsn"),
     )
-    return closing.unionByName(opening).withColumn("__op", F.lit("U"))
+    # a LATE upsert is already history: closed on [c.lsn, winner.lsn)
+    late = j.filter(
+        (F.col("__c_op") == "U") & F.col("__o_lsn").isNotNull() & ~in_order
+    ).select(
+        *key,
+        F.col("__c_lsn").alias("valid_from_lsn"),
+        *SCD2_IMAGE_COLS,
+        F.col("__o_lsn").alias("valid_to_lsn"),
+        F.lit(False).alias("is_current"),
+        F.col("__c_lsn").alias("last_lsn"),
+    )
+    return (
+        closing.unionByName(opening)
+        .unionByName(late)
+        .withColumn("__op", F.lit("U"))
+    )
 
 
 # registration kinds whose derive fn takes (changes, pre-epoch old_rows)
@@ -596,10 +657,17 @@ class Engine:
                 .drop("_commit_snapshot")
             )
             if kind in _PRE_STATE_KINDS:
-                old_rows = src_t.snapshot(
-                    as_of=c_parent, keys_in=changes.select(*key_cols)
+                old_all = src_t.snapshot(
+                    as_of=c_parent,
+                    keys_in=changes.select(*key_cols),
+                    with_tombstones=True,
                 )
-                dchanges = fn(changes, old_rows)
+                if kind == "history":
+                    dchanges = fn(changes, old_all)
+                else:
+                    dchanges = fn(
+                        changes, old_all.filter(F.col("__op") == "U").drop("__op")
+                    )
             else:
                 dchanges = fn(changes)
             tgt.merge(dchanges, epoch=e, epoch_info={"replay": meta})
@@ -871,7 +939,7 @@ class Engine:
             # change frame is a deterministic function of the WAL slice, so
             # the late merges land the identical rows (multi-table
             # exactly-once via per-table idempotence).
-            old_rows = None
+            old_live = old_all = None
             if any(kind in _PRE_STATE_KINDS for _, _, kind in derived_pending):
                 # pre-epoch state of the changed keys only: bucket-pruned
                 # time-travel read + semi join — O(changes) work, not
@@ -888,14 +956,21 @@ class Engine:
                 # keys_in pushes the changed-key semi join BELOW the MoR
                 # resolve window, so the pre-state read does O(changed keys)
                 # window work, not O(keys in touched buckets)
-                old_rows = table.snapshot(
+                # tombstone-visible winner per key: the history kind must
+                # distinguish deleted from never-seen; aggregates get the
+                # live-rows view of the SAME read
+                old_all = table.snapshot(
                     as_of=pre_sid,
                     buckets=chg_buckets,
                     keys_in=changes.select(*KEY_COLS),
+                    with_tombstones=True,
                 )
+                old_live = old_all.filter(F.col("__op") == "U").drop("__op")
             for dt, fn, kind in derived_pending:
-                if kind in _PRE_STATE_KINDS:
-                    dchanges = fn(changes.drop("__bucket"), old_rows)
+                if kind == "history":
+                    dchanges = fn(changes.drop("__bucket"), old_all)
+                elif kind in _PRE_STATE_KINDS:
+                    dchanges = fn(changes.drop("__bucket"), old_live)
                 else:
                     dchanges = fn(changes.drop("__bucket"))
                 dt.merge(dchanges, epoch=epoch, epoch_info=info)
@@ -1077,7 +1152,50 @@ class Engine:
             result = table.merge(changes, epoch=epoch, epoch_info=info)
             stats = {"epoch": epoch, **result}
             for dt, fn, kind in pending:
-                if kind in _PRE_STATE_KINDS:
+                if kind == "history":
+                    # a history table holds EVERY version of a key, so the
+                    # compliance cascade must sweep all of them, not derive
+                    # from the one-row-per-key change frame: purge tombstones
+                    # the key's whole version history; redact rewrites the
+                    # image columns of every version (content-derived
+                    # columns are scrubbed to NULL — the pre-redaction
+                    # content no longer exists to recompute them from).
+                    # When every predicate column exists in the history
+                    # schema the predicate applies DIRECTLY — this also
+                    # sweeps versions of keys already deleted from the main
+                    # table (absent from the change frame). Otherwise (e.g.
+                    # a content-based predicate) the sweep falls back to the
+                    # matched keys, O(matched keys' versions) via the subset
+                    # keys_in semi join pushed below the MoR resolve.
+                    try:
+                        hrows = dt.snapshot().filter(predicate)
+                    except Exception:
+                        hrows = dt.snapshot(keys_in=changes.select(*KEY_COLS))
+                    if set_exprs is None:
+                        dchanges = hrows.withColumn("__op", F.lit("D"))
+                    else:
+                        hnames = {f["name"] for f in dt.schema_fields()}
+                        dchanges = hrows
+                        for col, expr in set_exprs.items():
+                            if col in hnames:
+                                dchanges = dchanges.withColumn(col, F.expr(expr))
+                        if "content" in set_exprs:
+                            for derived_col in ("content_sha256", "size_bytes"):
+                                if (
+                                    derived_col in hnames
+                                    and derived_col not in set_exprs
+                                ):
+                                    dchanges = dchanges.withColumn(
+                                        derived_col,
+                                        F.lit(None).cast(
+                                            {
+                                                f["name"]: f["type"]
+                                                for f in dt.schema_fields()
+                                            }[derived_col]
+                                        ),
+                                    )
+                        dchanges = dchanges.withColumn("__op", F.lit("U"))
+                elif kind in _PRE_STATE_KINDS:
                     # old_rows doubles as the pre-state of the changed keys:
                     # for a purge/redact the changed keys ARE the matching
                     # rows, so no second time-travel read is needed
@@ -1216,17 +1334,24 @@ class Engine:
                 if any(kind in _PRE_STATE_KINDS for _, _, kind in pending):
                     # pre-epoch state of the changed keys on the BRANCH (the
                     # fork base equals the parent's head at publish time, so
-                    # the branch-side chain of pre-states is the true lineage)
+                    # the branch-side chain of pre-states is the true
+                    # lineage); tombstone-visible for the history kind
                     old_rows = src_t.snapshot(
-                        as_of=c_parent, keys_in=changes.select(*key_cols)
+                        as_of=c_parent,
+                        keys_in=changes.select(*key_cols),
+                        with_tombstones=True,
                     ).persist()
                 info_d = {"op": "publish", "branch": os.path.abspath(branch.location)}
                 for dt, fn, kind in pending:
-                    dchanges = (
-                        fn(changes, old_rows)
-                        if kind in _PRE_STATE_KINDS
-                        else fn(changes)
-                    )
+                    if kind == "history":
+                        dchanges = fn(changes, old_rows)
+                    elif kind in _PRE_STATE_KINDS:
+                        dchanges = fn(
+                            changes,
+                            old_rows.filter(F.col("__op") == "U").drop("__op"),
+                        )
+                    else:
+                        dchanges = fn(changes)
                     dt.merge(dchanges, epoch=e, epoch_info=info_d)
                     maintained.append(f"{table_name(dt)}:{e}")
             finally:
@@ -1275,6 +1400,33 @@ class Engine:
         from data_exchange_hl7_spark.streaming.runner import replay as _replay
 
         return _replay(self, events, **kw)
+
+    def scd2(self, df: DataFrame, **kw) -> DataFrame:
+        """Batch SCD Type-2 versioning over an ordered feed (the at-rest
+        form of the incremental ``scd2_table``; operators/temporal.scd2)."""
+        from data_exchange_hl7_spark.operators.temporal import scd2 as _scd2
+
+        kw.setdefault("key_cols", KEY_COLS)
+        return _scd2(df, **kw)
+
+    def asof_join(self, facts: DataFrame, dim: DataFrame, **kw) -> DataFrame:
+        """Point-in-time enrichment: facts joined to dimension state as of
+        each fact's LSN (operators/temporal.asof_join)."""
+        from data_exchange_hl7_spark.operators.temporal import asof_join as _aj
+
+        kw.setdefault("key_cols", KEY_COLS)
+        return _aj(facts, dim, **kw)
+
+    def changelog(self, df: DataFrame, **kw) -> DataFrame:
+        """Upsert/delete feed re-emitted as an insert-only retraction stream
+        (+I/-U/+U/-D; operators/temporal.changelog_normalize)."""
+        from data_exchange_hl7_spark.operators.temporal import (
+            changelog_normalize as _cn,
+        )
+
+        kw.setdefault("key_cols", KEY_COLS)
+        kw.setdefault("delete_predicate", F.col("__op") == "D")
+        return _cn(df, **kw)
 
     # ------------------------------------------------------------- reads
     def metrics(self, name: str = "repo_files") -> DataFrame:

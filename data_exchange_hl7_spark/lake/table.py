@@ -1035,13 +1035,18 @@ class LakeTable:
         where: list[tuple] | None = None,
         staged: str | None = None,
         keys_in: DataFrame | None = None,
+        with_tombstones: bool = False,
     ) -> DataFrame:
         """Table state as a DataFrame (optionally selected buckets).
 
         ``keys_in``: a DataFrame of key columns — restrict the read to those
         keys with a semi join applied BEFORE the MoR resolve, so the
         latest/sum window only processes the requested keys' rows instead of
-        every key in the touched buckets. Resolution commutes with key-set
+        every key in the touched buckets. A frame carrying only a PREFIX of
+        the key columns restricts on that subset (all of a key's layers are
+        still kept or dropped together, so resolution commutes) — the
+        version-history maintenance uses this to read every version of a
+        changed (repo, path) from a table keyed by (repo, path, lsn). Resolution commutes with key-set
         filtering (a key's layers are all kept or all dropped), so this is
         semantically identical to post-filtering and is the point-lookup
         fast path the engine's aggregate views use for pre-epoch state.
@@ -1068,6 +1073,16 @@ class LakeTable:
         ``staged``: read a write-audit-publish staged snapshot by its token
         (the audit step) instead of a committed one.
 
+        ``with_tombstones``: keep each key's winning row even when it is a
+        delete tombstone, exposing ``__op`` ('U'/'D') — the complete per-key
+        pre-state the SCD2 history maintenance needs to classify late
+        events (a resolved read cannot distinguish never-seen from deleted).
+        Only meaningful for MoR latest-resolution; CoW and folded bases
+        carry no tombstones, so every row comes back ``__op = 'U'``. NB:
+        ``compact()`` drops tombstones (its lsn-monotone contract);
+        ``consolidate_deltas`` retains them, which is why out-of-order
+        feeds must use the consolidation cadence.
+
         ``as_of`` also accepts a TAG name (``create_tag``) in place of a
         snapshot id.
         """
@@ -1090,16 +1105,22 @@ class LakeTable:
         base = self._base_df(snap, buckets, prune_where)
 
         def _restrict(df: DataFrame) -> DataFrame:
-            return (
-                df.join(keys_in.select(*keys).distinct(), keys, "left_semi")
-                if keys_in is not None
-                else df
-            )
+            if keys_in is None:
+                return df
+            # subset restriction: join on the key columns the frame carries
+            kcols = [k for k in keys if k in keys_in.columns]
+            if not kcols:
+                raise ValueError(
+                    f"keys_in shares no columns with key_cols {keys}"
+                )
+            return df.join(keys_in.select(*kcols).distinct(), kcols, "left_semi")
 
         if not deltas:
             # additive base is already folded by compact (one row per key)
             out = base if base is not None else self._empty_df(self.schema_fields(snap))
             out = _restrict(out)
+            if with_tombstones:
+                out = out.withColumn("__op", F.lit("U"))  # no tombstones here
             return out.filter(self._where_expr(where)) if where else out
 
         if additive:
@@ -1147,7 +1168,8 @@ class LakeTable:
                 .withColumn("__seq", F.lit(seq))
             )
         if not parts:
-            return self._empty_df(self.schema_fields(snap))
+            out = self._empty_df(self.schema_fields(snap))
+            return out.withColumn("__op", F.lit("U")) if with_tombstones else out
         allp = parts[0]
         for p in parts[1:]:
             allp = allp.unionByName(p)
@@ -1156,11 +1178,13 @@ class LakeTable:
         w = Window.partitionBy(*keys).orderBy(
             F.col(oc).desc_nulls_last(), F.col("__seq").desc()
         )
-        out = (
-            allp.withColumn("__rn", F.row_number().over(w))
-            .filter((F.col("__rn") == 1) & (F.col("__op") == "U"))
-            .drop("__rn", "__op", "__seq")
+        winner = allp.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1
         )
+        if with_tombstones:
+            out = winner.drop("__rn", "__seq")
+        else:
+            out = winner.filter(F.col("__op") == "U").drop("__rn", "__op", "__seq")
         return out.filter(self._where_expr(where)) if where else out
 
     def lookup(

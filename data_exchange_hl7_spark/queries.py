@@ -3585,3 +3585,135 @@ SELECT repo, path, valid_from_lsn,
 FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
 ORDER BY repo, path, valid_from_lsn
 """
+
+
+def late_data_audit(spark, sf_dir):
+    """Watermark late-data accounting under the oracle gate: a REAL
+    watermarked append-mode stream (streaming/windowed.windowed_counts,
+    2-hour watermark, 1-hour tumbling windows) drains a deterministic
+    5-file backlog one file per micro-batch — on-time bulk (event_id%4!=0);
+    a 1-row filler batch (Spark >= 3.4 splits the watermark in two: the
+    LATE-EVENT filter of batch N uses batch N-1's watermark while eviction
+    uses the current one, so the stragglers must arrive one batch after the
+    bulk for the filter to see its watermark — measured, not assumed); the
+    stragglers (event_id%4==0, same time range, now LATE); then two
+    far-future sentinel files whose only job is to push the watermark so
+    every real window finalizes. The emitted windows AND the observed drop
+    mass balance (real input rows minus rows accounted in finalized
+    windows, surfaced as the ``__ALL__`` / ``__late_dropped__`` row) must
+    match what DuckDB computes from the watermark algebra: a straggler is
+    dropped iff its window end <= the watermark after the bulk (max on-time
+    ts - 2h), finalized windows count on-time rows plus surviving
+    stragglers. (The mass balance is the robust observation:
+    StreamingQueryProgress's ``numRowsDroppedByWatermark`` counts rows at
+    the state operator AFTER the map-side partial aggregation, so it
+    undercounts whenever two late input rows share a (window, key,
+    partition) — measured here at sf0.01.)
+
+    Scale shape: the audit IS the production late-data contract — state is
+    bounded by the watermark, emission is append-only, and the drop counter
+    is the metric an operator alerts on; nothing here scans the corpus
+    twice."""
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    from data_exchange_hl7_spark.streaming.windowed import windowed_counts
+
+    key = f"{sf_dir}::late_audit"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and os.path.exists(os.path.join(loc, "result"))):
+        loc = tempfile.mkdtemp(prefix="dex_late_audit_")
+        ev = _t(spark, sf_dir, "events")
+        on_time = ev.filter(F.col("event_id") % 4 != 0)
+        stragglers = ev.filter(F.col("event_id") % 4 == 0)
+        # driver-side scalar: the sentinel timestamps (1 row — metadata-sized)
+        mx = ev.groupBy().agg(F.max("ts").alias("m")).collect()[0]["m"]
+        filler = spark.createDataFrame(
+            [(-9, mx, -1, "zzz_filler", 0.0, "{}")], ev.schema
+        )
+        sent = [
+            spark.createDataFrame(
+                [(-(i + 1), mx + timedelta(days=30 * (i + 1)), -1,
+                  f"zzz_sentinel{i}", 0.0, "{}")],
+                ev.schema,
+            )
+            for i in range(2)
+        ]
+        src = os.path.join(loc, "src")
+        os.makedirs(src, exist_ok=True)
+        for i, frame in enumerate([on_time, filler, stragglers, *sent]):
+            stage = os.path.join(loc, f"stage{i}")
+            frame.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{i:02d}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            # file order IS the batch order: distinct mtimes make the file
+            # source's timestamp ordering deterministic
+            os.utime(dst, (1704067200 + i * 60, 1704067200 + i * 60))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = windowed_counts(
+            stream, ts_col="ts", keys=("event_type",),
+            window="1 hour", watermark="2 hours",
+        )
+        qname = "late_audit_" + os.path.basename(loc).replace("-", "_")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(loc, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = (
+            spark.table(qname)
+            .filter(~F.col("event_type").startswith("zzz_"))
+            .select(
+                F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
+                "event_type",
+                F.col("n_events").cast("bigint").alias("n_events"),
+            )
+        )
+        # observed drop accounting: every real input row either landed in a
+        # finalized window (the sentinels force full finalization) or was
+        # dropped late — so input minus emitted IS the drop count (2 driver
+        # scalars, metadata-sized)
+        n_input = ev.count()
+        n_emitted = res.groupBy().agg(F.sum("n_events")).collect()[0][0] or 0
+        audit = spark.createDataFrame(
+            [("__ALL__", "__late_dropped__", n_input - n_emitted)],
+            "window_start string, event_type string, n_events bigint",
+        )
+        res.unionByName(audit).write.mode("overwrite").parquet(
+            os.path.join(loc, "result")
+        )
+        _LAKE_DEMO_CACHE[key] = loc
+    return (
+        spark.read.parquet(os.path.join(loc, "result"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_LATE_AUDIT = f"""
+WITH r AS (
+  SELECT event_type, (event_id % 4 = 0) AS straggler,
+         DATE_TRUNC('hour', ts) AS ws,
+         DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS we
+  FROM events),
+wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS wm1
+       FROM events WHERE event_id % 4 <> 0),
+kept AS (SELECT r.* FROM r, wm WHERE NOT straggler OR we > wm1)
+SELECT * FROM (
+  SELECT STRFTIME(ws, '{TS_FMT_DUCK}') AS window_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM kept GROUP BY 1, 2
+  UNION ALL
+  SELECT '__ALL__', '__late_dropped__', CAST(COUNT(*) AS BIGINT)
+  FROM r, wm WHERE straggler AND we <= wm1)
+ORDER BY window_start, event_type
+"""

@@ -50,20 +50,22 @@ def test_window_holds_priority_queries():
         "hard_negatives_recall", "length_percentiles_sketch",
         "semantic_dedup", "dsir_importance", "dup_clusters_incremental",
     ]
-    # sliding_window_counts dropped from this group late in r4: its r2 green
-    # stays valid (streaming/windowed.py byte-unchanged since r2; tumbling
-    # represents the module in-window) — displaced by scd2_history_read
+    # sliding/tumbling_window_counts dropped from this group late in r4:
+    # their r2 greens stay valid (streaming/windowed.py byte-unchanged since
+    # r2) and late_data_audit certifies the same windowed_counts operator
+    # under a REAL watermarked stream in-window — displaced by
+    # scd2_history_read and late_data_audit
     stale_cert_r3_touched = [
         "hl7_debatch", "nist_report_counts", "change_data_feed",
         "rebucket_read", "schema_evolution_read", "time_travel_as_of",
-        "tumbling_window_counts", "streaming_dedup_batch",
+        "streaming_dedup_batch",
     ]
     # the temporal-CDC family added late in r4 (operators/temporal.py) —
     # never green, must be in-window
     temporal_family = [
         "scd2_build", "asof_join_state", "changelog_normalize_feed",
         "cdf_net_changes", "epoch_drift_report", "unimax_mixing",
-        "scd2_history_read",
+        "scd2_history_read", "late_data_audit",
     ]
     # of the modules changed DURING r4 after their r3 green rows, the
     # temporal family displaced all but the lake read-path representative;

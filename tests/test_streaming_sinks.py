@@ -456,3 +456,57 @@ def test_stream_apply_maintenance_cadence(spark, tmp_path):
     assert set(stats_t.committed_epochs()) == set(table.committed_epochs())
     assert {(r["repo"], r["path"]) for r in stats_t.snapshot().collect()} == set(got)
     ev.unpersist()
+
+
+def test_stream_apply_maintains_scd2_history(spark, tmp_path):
+    """Engine.scd2_table rides the SAME foreachBatch maintenance as every
+    derived table: after a rate-limited multi-batch drain (with the
+    compaction/expiry cadence on), the history's open versions must equal
+    the main state exactly and the interval invariants must hold — i.e. the
+    pre-epoch-state recovery works per micro-batch, not just per manual
+    apply_epoch."""
+    ev = change_events(spark, 6000).persist()
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    hist = eng.scd2_table()
+
+    src = str(tmp_path / "wal")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    q = stream_apply(
+        spark, eng, src, table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        compact_every=2,
+        expire_keep_last=2,
+    )
+    q.awaitTermination(180)
+    assert len(table.committed_epochs()) >= 3  # really multi-batch
+    assert set(hist.committed_epochs()) == set(table.committed_epochs())
+
+    h = hist.snapshot()
+    cur = h.filter("is_current").select(
+        "repo", "path",
+        F.col("valid_from_lsn").alias("last_lsn"),
+        "content_sha256",
+    )
+    main = table.snapshot().select("repo", "path", "last_lsn", "content_sha256")
+    assert cur.count() == main.count() > 0
+    assert cur.exceptAll(main).count() == 0 and main.exceptAll(cur).count() == 0
+    # one open version per live key, never more — even under the file-order
+    # drain's out-of-order delivery (late events are recorded CLOSED)
+    assert (
+        h.filter("is_current").groupBy("repo", "path").count().filter("count > 1")
+    ).count() == 0
+    assert h.filter("is_current AND valid_to_lsn IS NOT NULL").count() == 0
+    assert h.filter("NOT is_current AND valid_to_lsn IS NULL").count() == 0
+    # every closed interval is forward (a late version closes at the lsn
+    # that superseded it, never before its own start)
+    assert h.filter(
+        "valid_to_lsn IS NOT NULL AND valid_to_lsn <= valid_from_lsn"
+    ).count() == 0
+    # NB: strict interval CHAINING (prev.valid_to == next.valid_from) is the
+    # in-order contract and is asserted in the batch engine tests; a
+    # file-order stream delivers late events whose valid_to is an upper
+    # bound (scd2_history_rows docstring), so it is not asserted here.
+    # churn reached the history: multi-version keys exist
+    assert h.groupBy("repo", "path").count().filter("count >= 2").count() > 0
+    ev.unpersist()

@@ -249,21 +249,20 @@ def test_scd2_table_idempotent_reapply(spark, tmp_path):
     assert before == after
 
 
-def test_scd2_table_purge_closes_versions(spark, tmp_path):
-    """purge_where cascades into the history: purged keys lose their open
-    version (closed, image retained) — the takedown leaves an auditable
-    closed interval, not a live row."""
+def test_scd2_table_purge_removes_whole_history(spark, tmp_path):
+    """purge_where is the compliance hammer: it must sweep a purged key's
+    ENTIRE version history (closed versions carry the key's images too), not
+    just close the current version — while keys outside the predicate keep
+    their history untouched."""
     eng, t, hist = _scd2_engine(spark, tmp_path, n=2000)
     victim = t.snapshot().select("repo").first()["repo"]
-    n_open_before = (
-        hist.snapshot().filter("is_current").filter(F.col("repo") == victim).count()
+    before_other = (
+        hist.snapshot().filter(F.col("repo") != victim).count()
     )
-    assert n_open_before > 0
+    assert hist.snapshot().filter(F.col("repo") == victim).count() > 0
     eng.purge_where(t, f"repo = '{victim}'", epoch=2)
-    h = hist.snapshot().filter(F.col("repo") == victim)
-    assert h.filter("is_current").count() == 0
-    assert h.count() > 0  # history retained, all closed
-    assert h.filter("valid_to_lsn IS NULL").count() == 0
+    assert hist.snapshot().filter(F.col("repo") == victim).count() == 0
+    assert hist.snapshot().filter(F.col("repo") != victim).count() == before_other
     # main table no longer serves the purged keys
     assert t.snapshot().filter(F.col("repo") == victim).count() == 0
 

@@ -76,7 +76,12 @@ representative; late_data_audit (REAL watermarked append stream: emitted
 windows + observed drop mass balance vs the DuckDB watermark algebra)
 likewise displaces tumbling_window_counts (r2-green, byte-unchanged
 module, and late_data_audit certifies the same windowed_counts operator
-more strongly); the displaced eight lead the r5 rotation below. NOTE:
+more strongly); the displaced eight lead the r5 rotation below. POST-WINDOW r4 additions: edit_pairs
+(temporal.edit_pairs — CommitPack-style code-edit pair mining) and
+co_change_graph (capped commit co-change graph) landed after the 50-slot
+window was spent on the mandated rotation; both sit at 53-54, are
+locally parity-certified every pytest run, and are FIRST in the r5
+rotation. NOTE:
 tests/test_oracle_parity.py replicates the gate
 for ALL queries at sf0.01 in every pytest run, so tail queries are never
 unchecked — only externally un-refreshed. COVERAGE.md carries the
@@ -179,6 +184,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # certifies the SAME windowed_counts operator under a real
         # watermarked stream (r2 green stays valid: windowed.py unchanged)
         "tumbling_window_counts": q.tumbling_window_counts,
+        # --- added after the r4 window filled (the first 50 slots are spent
+        # on the VERDICT-mandated rotation): certified locally by
+        # tests/test_oracle_parity.py every pytest run; they LEAD the r5
+        # rotation plan ------------------------------------------------------
+        "edit_pairs": q.edit_pairs,
+        "co_change_graph": q.co_change_graph,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -411,4 +422,6 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history_read": q.ORACLE_SCD2_HISTORY,
         "late_data_audit": q.ORACLE_LATE_AUDIT,
         "unimax_mixing": qt.ORACLE_UNIMAX,
+        "edit_pairs": q.ORACLE_EDIT_PAIRS,
+        "co_change_graph": q.ORACLE_CO_CHANGE,
     }

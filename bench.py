@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "unimax_mixing",
     "scd2_history_read",
     "late_data_audit",
+    "edit_pairs",
+    "co_change_graph",
 ]
 
 

@@ -25,7 +25,12 @@ A lakehouse consumer of the same change feed additionally needs:
 - ``net_changes``      — fold a feed window down to at most one net change
                          per key given the pre-window state (Delta CDF
                          "net changes" semantics): one mergeable max-struct
-                         aggregation, no window function at all.
+                         aggregation, no window function at all;
+- ``edit_pairs``       — consecutive (before, after) content transitions per
+                         key from the ordered feed (CommitPack-style code-
+                         edit training pairs): one lag window classifies
+                         create/modify/delete and scores each modify with a
+                         capped-prefix Levenshtein.
 
 Scale notes (100 TB): every operator here is a single hash exchange on the
 key (or a pure aggregation with map-side combine for ``net_changes``); the
@@ -178,6 +183,90 @@ def changelog_normalize(
         F.col("__c.step").alias("step"),
         F.col("__c.img.__lsn").alias("img_lsn"),
         *[F.col(f"__c.img.{c}").alias(f"img_{c}") for c in image_cols],
+    )
+
+
+def edit_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    lsn_col: str,
+    content_col: str,
+    delete_predicate: F.Column | None = None,
+    distance_prefix: int = 200,
+) -> DataFrame:
+    """Consecutive (before, after) content transitions per key from an
+    ordered version feed — the extractor behind code-edit training sets
+    (CommitPack-style (old file, new file) pairs mined from VCS history;
+    the reference's feed carries exactly this shape: repo/path keyed
+    content versions, latest_flag_and_sequencing.scala:49-151 keeps only
+    the last one, this keeps every transition).
+
+    Output per input version: the key columns, ``from_lsn``/``to_lsn``
+    (before/after version LSNs; ``from_lsn`` NULL for a create),
+    ``edit_kind`` ('create' | 'modify' | 'delete'), ``before_content`` /
+    ``after_content``, byte lengths, ``is_noop`` (content byte-identical —
+    a metadata-only change a pair miner drops), and ``edit_distance``
+    (Levenshtein over the first ``distance_prefix`` chars — the cheap
+    locality proxy pair miners threshold on; full-text distance is
+    O(len²) per pair and belongs behind an explicit opt-in, the same
+    honesty contract as neardup_editdist_verify's capped verify).
+
+    A delete row closes the key: kind 'delete', after side NULL. A version
+    arriving after a delete is a fresh 'create' (the prior image is gone).
+
+    Scale shape: ONE lag window over one hash exchange on the key — the
+    same exchange family as A1 latest-flag dedup; every row in produces
+    exactly one row out, and the distance column is a narrow projection
+    (JVM Levenshtein on bounded prefixes, no Python).
+    """
+    is_del = (
+        delete_predicate if delete_predicate is not None else F.lit(False)
+    )
+    w = Window.partitionBy(*key_cols).orderBy(lsn_col)
+    d = (
+        df.withColumn("__is_del", is_del)
+        .withColumn("__prev_lsn", F.lag(lsn_col).over(w))
+        .withColumn("__prev_content", F.lag(content_col).over(w))
+        .withColumn("__prev_del", F.lag(is_del).over(w))
+    )
+    present = F.col("__prev_lsn").isNotNull() & ~F.col("__prev_del")
+    before = F.when(present, F.col("__prev_content"))
+    after = F.when(~F.col("__is_del"), F.col(content_col))
+    kind = (
+        F.when(F.col("__is_del") & present, F.lit("delete"))
+        .when(F.col("__is_del"), F.lit(None).cast("string"))  # delete-of-absent
+        .when(present, F.lit("modify"))
+        .otherwise(F.lit("create"))
+    )
+    out = (
+        d.withColumn("edit_kind", kind)
+        .filter(F.col("edit_kind").isNotNull())
+        .withColumn("from_lsn", F.when(present, F.col("__prev_lsn")))
+        .withColumn("before_content", before)
+        .withColumn("after_content", after)
+    )
+    return out.select(
+        *key_cols,
+        "from_lsn",
+        F.col(lsn_col).alias("to_lsn"),
+        "edit_kind",
+        "before_content",
+        "after_content",
+        F.octet_length("before_content").alias("len_before"),
+        F.octet_length("after_content").alias("len_after"),
+        (
+            F.col("before_content").isNotNull()
+            & F.col("after_content").isNotNull()
+            & (F.col("before_content") == F.col("after_content"))
+        ).alias("is_noop"),
+        F.when(
+            F.col("before_content").isNotNull()
+            & F.col("after_content").isNotNull(),
+            F.levenshtein(
+                F.substring("before_content", 1, distance_prefix),
+                F.substring("after_content", 1, distance_prefix),
+            ),
+        ).alias("edit_distance"),
     )
 
 

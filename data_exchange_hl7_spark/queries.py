@@ -3717,3 +3717,229 @@ SELECT * FROM (
   FROM r, wm WHERE straggler AND we <= wm1)
 ORDER BY window_start, event_type
 """
+
+
+def _edit_feed(spark, sf_dir):
+    """Deterministic version feed over the documents corpus (the synthetic
+    stand-in for a repo-file WAL): every doc is created (lsn 4d), docs
+    %3==0 are modified (lsn 4d+1; %5==0 among them modify to the SAME
+    content — a no-op edit), docs %7==0 are deleted (lsn 4d+2), docs
+    %14==0 are re-created after their delete (lsn 4d+3)."""
+    base = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        "doc_id",
+        "text",
+    )
+    v1 = base.select(
+        "repo", "path",
+        (F.col("doc_id") * 4).cast("bigint").alias("lsn"),
+        F.lit("U").alias("op"),
+        F.substring("text", 1, 80).alias("content"),
+    )
+    v2 = base.filter(F.col("doc_id") % 3 == 0).select(
+        "repo", "path",
+        (F.col("doc_id") * 4 + 1).cast("bigint").alias("lsn"),
+        F.lit("U").alias("op"),
+        F.when(F.col("doc_id") % 5 == 0, F.substring("text", 1, 80))
+        .otherwise(F.col("text"))
+        .alias("content"),
+    )
+    v3 = base.filter(F.col("doc_id") % 7 == 0).select(
+        "repo", "path",
+        (F.col("doc_id") * 4 + 2).cast("bigint").alias("lsn"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("content"),
+    )
+    v4 = base.filter(F.col("doc_id") % 14 == 0).select(
+        "repo", "path",
+        (F.col("doc_id") * 4 + 3).cast("bigint").alias("lsn"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("resurrected:"), F.substring("text", 1, 40)).alias(
+            "content"
+        ),
+    )
+    return v1.unionByName(v2).unionByName(v3).unionByName(v4)
+
+
+def edit_pairs(spark, sf_dir):
+    """Code-edit training pairs mined from the CDC version feed
+    (operators/temporal.edit_pairs — CommitPack-style (before, after) file
+    transitions): one lag window per (repo, path) classifies every version
+    as create / modify / delete, carries both content images, and scores
+    each modify with a capped-prefix Levenshtein (the locality proxy edit
+    miners threshold on). The synthesized feed exercises all five edge
+    shapes: create, modify, NO-OP modify (byte-identical content), delete,
+    and create-after-delete (the prior image is gone, so it is a fresh
+    create, not a modify).
+
+    Scale shape: ONE hash exchange on (repo, path) + a lag window — the A1
+    exchange family; the distance is a narrow JVM projection on bounded
+    prefixes (full-text distance is O(len^2) per pair and stays behind the
+    operator's ``distance_prefix`` opt-in, the neardup_editdist_verify
+    honesty contract)."""
+    feed = _edit_feed(spark, sf_dir)
+    out = _temporal.edit_pairs(
+        feed,
+        key_cols=["repo", "path"],
+        lsn_col="lsn",
+        content_col="content",
+        delete_predicate=F.col("op") == "D",
+        distance_prefix=200,
+    )
+    return out.select(
+        "repo",
+        "path",
+        "from_lsn",
+        "to_lsn",
+        "edit_kind",
+        F.sha2("before_content", 256).alias("before_sha"),
+        F.sha2("after_content", 256).alias("after_sha"),
+        F.col("len_before").cast("bigint").alias("len_before"),
+        F.col("len_after").cast("bigint").alias("len_after"),
+        "is_noop",
+        F.col("edit_distance").cast("bigint").alias("edit_distance"),
+    ).orderBy("repo", "path", "to_lsn")
+
+
+ORACLE_EDIT_PAIRS = """
+WITH docs AS (
+  SELECT doc_id, source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) AS path, text
+  FROM documents),
+feed AS (
+  SELECT repo, path, CAST(doc_id * 4 AS BIGINT) AS lsn, 'U' AS op,
+         SUBSTR(text, 1, 80) AS content FROM docs
+  UNION ALL
+  SELECT repo, path, CAST(doc_id * 4 + 1 AS BIGINT), 'U',
+         CASE WHEN doc_id % 5 = 0 THEN SUBSTR(text, 1, 80) ELSE text END
+  FROM docs WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT repo, path, CAST(doc_id * 4 + 2 AS BIGINT), 'D', NULL
+  FROM docs WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT repo, path, CAST(doc_id * 4 + 3 AS BIGINT), 'U',
+         'resurrected:' || SUBSTR(text, 1, 40)
+  FROM docs WHERE doc_id % 14 = 0),
+x AS (
+  SELECT *, LAG(lsn) OVER w AS prev_lsn,
+         LAG(content) OVER w AS prev_content,
+         LAG(op = 'D') OVER w AS prev_del
+  FROM feed WINDOW w AS (PARTITION BY repo, path ORDER BY lsn)),
+p AS (
+  SELECT *, (prev_lsn IS NOT NULL AND NOT prev_del) AS present,
+         CASE WHEN prev_lsn IS NOT NULL AND NOT prev_del
+              THEN prev_content END AS before_c,
+         CASE WHEN op <> 'D' THEN content END AS after_c
+  FROM x),
+k AS (
+  SELECT *, CASE WHEN op = 'D' AND present THEN 'delete'
+                 WHEN op = 'D' THEN NULL
+                 WHEN present THEN 'modify'
+                 ELSE 'create' END AS edit_kind
+  FROM p)
+SELECT repo, path,
+       CASE WHEN present THEN prev_lsn END AS from_lsn,
+       lsn AS to_lsn,
+       edit_kind,
+       SHA256(before_c) AS before_sha,
+       SHA256(after_c) AS after_sha,
+       CAST(LENGTH(before_c) AS BIGINT) AS len_before,
+       CAST(LENGTH(after_c) AS BIGINT) AS len_after,
+       (before_c IS NOT NULL AND after_c IS NOT NULL
+        AND before_c = after_c) AS is_noop,
+       CAST(CASE WHEN before_c IS NOT NULL AND after_c IS NOT NULL
+                 THEN LEVENSHTEIN(SUBSTR(before_c, 1, 200),
+                                  SUBSTR(after_c, 1, 200)) END
+            AS BIGINT) AS edit_distance
+FROM k WHERE edit_kind IS NOT NULL
+ORDER BY repo, path, to_lsn
+"""
+
+
+def co_change_graph(spark, sf_dir):
+    """Commit co-change graph from the version feed: files edited in the
+    same change-group form an edge, weighted by how many groups they
+    co-occur in — the co-edit signal context packers (repo_context_pack)
+    and co-edit-prediction models consume (the public analogue is mining
+    file co-change from VCS history). Two overlapping deterministic commit
+    waves give weights > 1; groups are capped at GROUP_CAP paths (ordered
+    by path) BEFORE the pair self-join, so the blow-up is cap^2 per group
+    — the same binding-cap contract as minhash_dup_pairs_capped.
+
+    Scale shape: distinct (wave, group, path) -> row_number cap -> equi
+    self-join ON the group key (never cross-group) -> hash agg on the
+    canonical pair; O(cap^2 * n_groups) pairs by construction, map-side
+    combinable weight sum."""
+    # group width 320 lsn = 80 doc_ids = 4 docs per repo (sources cycle
+    # doc_id % 20), so each (repo, grp) holds 4 paths and cap=3 BINDS —
+    # the capped-blow-up contract is exercised, not just documented
+    cap = 3
+    feed = _edit_feed(spark, sf_dir).filter(F.col("op") == "U")
+    waves = feed.select(
+        "repo", "path",
+        F.floor(F.col("lsn") / 320).cast("bigint").alias("grp"),
+        F.lit(0).alias("wave"),
+    ).unionByName(
+        feed.select(
+            "repo", "path",
+            F.floor((F.col("lsn") + 160) / 320).cast("bigint").alias("grp"),
+            F.lit(1).alias("wave"),
+        )
+    ).distinct()
+    w = Window.partitionBy("wave", "repo", "grp").orderBy("path")
+    capped = (
+        waves.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.wave") == F.col("b.wave"))
+        & (F.col("a.repo") == F.col("b.repo"))
+        & (F.col("a.grp") == F.col("b.grp"))
+        & (F.col("a.path") < F.col("b.path")),
+    ).select(
+        F.col("a.repo").alias("repo"),
+        F.col("a.path").alias("path_a"),
+        F.col("b.path").alias("path_b"),
+    )
+    return (
+        pairs.groupBy("repo", "path_a", "path_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+        .orderBy("repo", "path_a", "path_b")
+    )
+
+
+ORACLE_CO_CHANGE = """
+WITH docs AS (
+  SELECT doc_id, source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) AS path, text
+  FROM documents),
+feed AS (
+  SELECT repo, path, CAST(doc_id * 4 AS BIGINT) AS lsn FROM docs
+  UNION ALL
+  SELECT repo, path, CAST(doc_id * 4 + 1 AS BIGINT)
+  FROM docs WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT repo, path, CAST(doc_id * 4 + 3 AS BIGINT)
+  FROM docs WHERE doc_id % 14 = 0),
+waves AS (
+  SELECT DISTINCT 0 AS wave, repo, lsn // 320 AS grp, path FROM feed
+  UNION
+  SELECT DISTINCT 1 AS wave, repo, (lsn + 160) // 320 AS grp, path FROM feed),
+capped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY wave, repo, grp ORDER BY path) AS rn
+    FROM waves) WHERE rn <= 3)
+SELECT a.repo, a.path AS path_a, b.path AS path_b,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM capped a JOIN capped b
+  ON a.wave = b.wave AND a.repo = b.repo AND a.grp = b.grp
+ AND a.path < b.path
+GROUP BY a.repo, a.path, b.path
+ORDER BY a.repo, path_a, path_b
+"""

@@ -276,3 +276,54 @@ def test_scd2_table_rebuild_matches_original(spark, tmp_path):
     a = hist.snapshot().orderBy("repo", "path", "valid_from_lsn").collect()
     b = rebuilt.snapshot().orderBy("repo", "path", "valid_from_lsn").collect()
     assert a == b and len(a) > 0
+
+
+def test_edit_pairs_kinds_noop_and_distance(spark):
+    """edit_pairs classifies create / modify / delete / create-after-delete,
+    flags byte-identical no-op edits, and scores modifies with the capped
+    Levenshtein; a delete-of-absent emits nothing."""
+    feed = spark.createDataFrame(
+        [
+            (1, "k1", False, "hello"),
+            (2, "k1", False, "hallo"),      # modify, distance 1
+            (3, "k1", True, None),          # delete
+            (4, "k1", False, "reborn"),     # create-after-delete
+            (5, "k2", True, None),          # delete-of-absent: silent
+            (6, "k2", False, "x"),          # create
+            (7, "k2", False, "x"),          # NO-OP modify
+        ],
+        "lsn bigint, key string, is_del boolean, content string",
+    )
+    out = temporal.edit_pairs(
+        feed,
+        key_cols=["key"],
+        lsn_col="lsn",
+        content_col="content",
+        delete_predicate=F.col("is_del"),
+        distance_prefix=3,
+    )
+    rows = {r["to_lsn"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4, 6, 7}  # lsn 5 silent
+    assert rows[1]["edit_kind"] == "create" and rows[1]["from_lsn"] is None
+    assert rows[2]["edit_kind"] == "modify" and rows[2]["from_lsn"] == 1
+    # distance_prefix=3 caps 'hel' vs 'hal' -> 1
+    assert rows[2]["edit_distance"] == 1 and not rows[2]["is_noop"]
+    assert rows[3]["edit_kind"] == "delete" and rows[3]["after_content"] is None
+    assert rows[3]["len_after"] is None and rows[3]["len_before"] == 5
+    assert rows[4]["edit_kind"] == "create" and rows[4]["from_lsn"] is None
+    assert rows[4]["before_content"] is None
+    assert rows[6]["edit_kind"] == "create"
+    assert rows[7]["edit_kind"] == "modify" and rows[7]["is_noop"]
+    assert rows[7]["edit_distance"] == 0
+
+
+def test_edit_pairs_plan_single_exchange_no_python(spark):
+    feed = spark.createDataFrame(
+        [(1, "k", False, "a")], "lsn bigint, key string, is_del boolean, content string"
+    )
+    out = temporal.edit_pairs(
+        feed, key_cols=["key"], lsn_col="lsn", content_col="content",
+        delete_predicate=F.col("is_del"),
+    )
+    assert_no_python_udf(out)
+    assert explain_str(out).count("Exchange") <= 2  # one key exchange (+AQE)

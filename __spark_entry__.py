@@ -77,11 +77,12 @@ windows + observed drop mass balance vs the DuckDB watermark algebra)
 likewise displaces tumbling_window_counts (r2-green, byte-unchanged
 module, and late_data_audit certifies the same windowed_counts operator
 more strongly); the displaced eight lead the r5 rotation below. POST-WINDOW r4 additions: edit_pairs
-(temporal.edit_pairs — CommitPack-style code-edit pair mining) and
-co_change_graph (capped commit co-change graph) landed after the 50-slot
-window was spent on the mandated rotation; both sit at 53-54, are
-locally parity-certified every pytest run, and are FIRST in the r5
-rotation. NOTE:
+(temporal.edit_pairs — CommitPack-style code-edit pair mining),
+co_change_graph (capped commit co-change graph), and stream_stream_join
+(watermarked symmetric-hash interval join, streamed-vs-batch exactness
+vs the DuckDB interval join) landed after the 50-slot window was spent
+on the mandated rotation; they sit at 53-55, are locally
+parity-certified every pytest run, and are FIRST in the r5 rotation. NOTE:
 tests/test_oracle_parity.py replicates the gate
 for ALL queries at sf0.01 in every pytest run, so tail queries are never
 unchecked — only externally un-refreshed. COVERAGE.md carries the
@@ -190,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation plan ------------------------------------------------------
         "edit_pairs": q.edit_pairs,
         "co_change_graph": q.co_change_graph,
+        "stream_stream_join": q.stream_stream_join,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -424,4 +426,5 @@ def oracle_sql() -> dict[str, str]:
         "unimax_mixing": qt.ORACLE_UNIMAX,
         "edit_pairs": q.ORACLE_EDIT_PAIRS,
         "co_change_graph": q.ORACLE_CO_CHANGE,
+        "stream_stream_join": q.ORACLE_SS_JOIN,
     }

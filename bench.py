@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "late_data_audit",
     "edit_pairs",
     "co_change_graph",
+    "stream_stream_join",
 ]
 
 

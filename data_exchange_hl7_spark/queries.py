@@ -3943,3 +3943,137 @@ FROM capped a JOIN capped b
 GROUP BY a.repo, a.path, b.path
 ORDER BY a.repo, path_a, path_b
 """
+
+
+def stream_stream_join(spark, sf_dir):
+    """Watermarked STREAM-STREAM interval join under the oracle gate: the
+    purchases stream inner-joins the clicks stream on user_id with a
+    24-hour event-time range (click within the day before the purchase),
+    both sides watermarked at 48 h, append mode. Each side drains a
+    ts-contiguous mtime-ordered file backlog one file per micro-batch, so
+    event time advances monotonically (up to one file's span) on both
+    sides; because the watermark delay (48 h) exceeds the join range
+    (24 h), state eviction can never discard a row a future row still
+    needs — the streamed result must therefore equal the BATCH interval
+    join exactly, which is what DuckDB computes.
+
+    Scale shape: this is Spark's symmetric-hash stream-stream join — state
+    per side is bounded by (watermark delay + range) of event time, keyed
+    and co-partitioned on user_id; the oracle-certified claim is exactness
+    of the bounded-state streaming plan vs the unbounded batch join.
+    """
+    import shutil
+    import tempfile
+
+    key = f"{sf_dir}::ssjoin"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and os.path.exists(os.path.join(loc, "result"))):
+        loc = tempfile.mkdtemp(prefix="dex_ssjoin_")
+        ev = _t(spark, sf_dir, "events")
+        n_files = 3
+        w = Window.orderBy("ts", "event_id")
+        sides = {
+            "p": ev.filter(F.col("event_type") == "purchase"),
+            "c": ev.filter(F.col("event_type") == "click"),
+        }
+        for side, frame in sides.items():
+            chunked = frame.withColumn("__f", F.ntile(n_files).over(w))
+            src = os.path.join(loc, side)
+            os.makedirs(src, exist_ok=True)
+            for i in range(1, n_files + 1):
+                stage = os.path.join(loc, f"stage_{side}{i}")
+                (
+                    chunked.filter(F.col("__f") == i)
+                    .drop("__f")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(stage)
+                )
+                part = [
+                    f for f in os.listdir(stage) if f.endswith(".parquet")
+                ][0]
+                dst = os.path.join(src, f"{i:02d}.parquet")
+                shutil.move(os.path.join(stage, part), dst)
+                os.utime(dst, (1704067200 + i * 60, 1704067200 + i * 60))
+        schema = ev.schema
+        p = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(loc, "p"))
+            # watermarks require TIMESTAMP (ltz); parquet carries ntz and
+            # the session tz is pinned UTC, so the hop is identity
+            .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+            .withWatermark("ts", "48 hours")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        c = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(loc, "c"))
+            .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+            .withWatermark("ts", "48 hours")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        joined = p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "inner",
+        )
+        qname = "ssjoin_" + os.path.basename(loc).replace("-", "_")
+        # the state-store partition count is frozen at the shuffle-partition
+        # conf of the FIRST batch; at sf<=0.1 the join state is tiny, so 4
+        # state partitions (vs the session's 32) cuts the per-micro-batch
+        # state-store open/commit overhead ~8x. Cluster runs would keep the
+        # session default — the knob is per-query, not a semantic change.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                joined.select("purchase_id", "click_id", "user_id")
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(loc, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.table(qname).write.mode("overwrite").parquet(
+            os.path.join(loc, "result")
+        )
+        _LAKE_DEMO_CACHE[key] = loc
+    return (
+        spark.read.parquet(os.path.join(loc, "result"))
+        .select(
+            F.col("purchase_id").cast("bigint").alias("purchase_id"),
+            F.col("click_id").cast("bigint").alias("click_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+ORACLE_SS_JOIN = """
+SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+       CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(p.user_id AS BIGINT) AS user_id
+FROM (SELECT event_id, ts, user_id FROM events
+      WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, ts, user_id FROM events
+      WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
+ORDER BY purchase_id, click_id
+"""

@@ -78,11 +78,16 @@ likewise displaces tumbling_window_counts (r2-green, byte-unchanged
 module, and late_data_audit certifies the same windowed_counts operator
 more strongly); the displaced eight lead the r5 rotation below. POST-WINDOW r4 additions: edit_pairs
 (temporal.edit_pairs — CommitPack-style code-edit pair mining),
-co_change_graph (capped commit co-change graph), and stream_stream_join
+co_change_graph (capped commit co-change graph), stream_stream_join
 (watermarked symmetric-hash interval join, streamed-vs-batch exactness
-vs the DuckDB interval join) landed after the 50-slot window was spent
-on the mandated rotation; they sit at 53-55, are locally
-parity-certified every pytest run, and are FIRST in the r5 rotation. NOTE:
+vs the DuckDB interval join), and join_view_read (Engine.join_table —
+incrementally-maintained JOIN materialized view across two changing
+keyed tables, per-parent-namespaced epoch manifests; the join-view work
+also touched engine.py's apply/purge/publish/rebuild/rollback
+maintenance loops, so the queries riding engine.py should rotate too)
+landed after the 50-slot window was spent on the mandated rotation;
+they sit at 53-56, are locally parity-certified every pytest run, and
+are FIRST in the r5 rotation. NOTE:
 tests/test_oracle_parity.py replicates the gate
 for ALL queries at sf0.01 in every pytest run, so tail queries are never
 unchecked — only externally un-refreshed. COVERAGE.md carries the
@@ -192,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_pairs": q.edit_pairs,
         "co_change_graph": q.co_change_graph,
         "stream_stream_join": q.stream_stream_join,
+        "join_view_read": q.join_view_read,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -427,4 +433,5 @@ def oracle_sql() -> dict[str, str]:
         "edit_pairs": q.ORACLE_EDIT_PAIRS,
         "co_change_graph": q.ORACLE_CO_CHANGE,
         "stream_stream_join": q.ORACLE_SS_JOIN,
+        "join_view_read": q.ORACLE_JOIN_VIEW,
     }

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "edit_pairs",
     "co_change_graph",
     "stream_stream_join",
+    "join_view_read",
 ]
 
 

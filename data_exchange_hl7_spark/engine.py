@@ -280,6 +280,10 @@ def scd2_history_rows(changes: DataFrame, old_rows: DataFrame) -> DataFrame:
 # instead of (changes,) — shared by apply/purge/publish/rebuild maintenance
 _PRE_STATE_KINDS = ("aggregate", "history")
 
+# a dim epoch's changed-key set becomes an in-list file-skipping predicate on
+# the fact read only while it stays metadata-sized (driver-collected)
+_JOIN_INLIST_LIMIT = 256
+
 
 class Engine:
     """Facade over the lake + operators (reference stage map in __init__.py)."""
@@ -305,6 +309,8 @@ class Engine:
         # main-table name -> [(derived LakeTable, derive fn, kind)] where
         # kind is "derived" or "aggregate" — see derived_table / _register
         self._derived: dict[str, list[tuple[LakeTable, Any, str]]] = {}
+        # join-view name -> spec (join_table); feeds refresh_join/rollback
+        self._joins: dict[str, dict[str, Any]] = {}
         os.makedirs(warehouse, exist_ok=True)
 
     # ------------------------------------------------------------ tables
@@ -514,6 +520,259 @@ class Engine:
         self._register(main, t, scd2_history_rows, "history")
         return t
 
+    # ------------------------------------------------- join views (IVM)
+    def _epoch_key(self, parent, kind: str, epoch) -> int | str:
+        """Manifest epoch id for one derived merge. A join view has TWO
+        parents (fact and dim), each with its own epoch counter, so its
+        manifest namespaces the id by parent table name; single-parent
+        kinds keep the raw id (backward-compatible with existing tables)."""
+        if not kind.startswith("join_"):
+            return epoch
+        name = parent if isinstance(parent, str) else table_name(parent)
+        return f"{name}:{epoch}"
+
+    def join_table(
+        self,
+        name: str,
+        dim: LakeTable,
+        on: list[str],
+        main_cols: list[str],
+        dim_cols: list[str],
+        main: str = "repo_files",
+        n_buckets: int | None = None,
+        broadcast_dim: bool = True,
+    ) -> LakeTable:
+        """Register an incrementally-maintained JOIN materialized view —
+        ``V = main ⋈ dim on `on```` (inner), kept in step with BOTH parents'
+        change feeds (classic delta-join IVM, the Materialize/Flink-SQL
+        capability; reference analogue: the vocab/profile lookup enrichment
+        the gold pipeline re-joins on every batch,
+        runHL7GoldPipelineFull.scala:115-156 — here the joined product is
+        maintained as a table instead of recomputed per query).
+
+        Maintenance is O(changes) on either side, never a recompute:
+
+        * a MAIN epoch joins the epoch's deduped change frame against the
+          dim's current state (broadcast when ``broadcast_dim``) — upserts
+          for matches, tombstones for fact deletes;
+        * a DIM epoch (``apply_dim_epoch``) re-derives exactly the fact rows
+          of the changed ``on`` keys — a key-subset read pushed below the
+          main table's MoR resolve (``keys_in``), plus manifest-level
+          ``in``-list file skipping while the changed-key set is
+          metadata-sized — then upserts them against the new dim values, or
+          tombstones them for dim deletes (no resurrection: a later fact
+          update of a dim-less key inner-joins to nothing).
+
+        Exactly-once with TWO epoch counters: the view's per-table manifest
+        namespaces ids by parent (``repo_files:3`` vs ``repo_meta:3``), so a
+        crash between any pair of commits converges on re-run, exactly like
+        derived_table — provided each parent's epochs are driven in order
+        (the MicroBatchRunner contract: re-drive the crashed epoch before
+        advancing, which every single-driver runner in this repo does).
+
+        Convergence: the view is MoR ordered by the fact ``last_lsn`` with
+        layer sequence as tiebreaker, so a dim refresh (same fact lsn, later
+        layer) supersedes the stale joined row, and a later fact change
+        supersedes both. ``on`` must be a subset of the main table's key
+        columns (the keyed-read fast path; arbitrary-column joins would need
+        an index the lake doesn't have). Rollback of either parent cannot
+        use the single-parent ledger-subset walk (the view's ledger mixes
+        two counters) — ``Engine.rollback`` detects join views and runs
+        ``refresh_join`` instead (full diff-merge, the disaster-recovery
+        path). ``rebuild_derived`` works from either parent's change feed
+        and converges to the same final state (each side's fn reads the
+        other side's CURRENT state, which is the fixpoint).
+        """
+        main_t = LakeTable(self.spark, self.table_path(main))
+        mkeys = main_t.current_snapshot()["key_cols"]
+        if not set(on) <= set(mkeys):
+            raise ValueError(f"join `on` {on} must be a subset of the main key {mkeys}")
+        mtypes = {f["name"]: f["type"] for f in main_t.schema_fields()}
+        dtypes = {f["name"]: f["type"] for f in dim.schema_fields()}
+        if "last_lsn" not in mtypes:
+            raise ValueError("join views need the main table's last_lsn order column")
+        bad = set(main_cols) & (set(mkeys) | {"last_lsn"}) or set(dim_cols) & set(on)
+        if bad:
+            raise ValueError(f"duplicated columns in the view schema: {sorted(bad)}")
+        schema = (
+            [(k, mtypes[k]) for k in mkeys]
+            + [(c, mtypes[c]) for c in main_cols]
+            + [(c, dtypes[c]) for c in dim_cols]
+            + [("last_lsn", mtypes["last_lsn"])]
+        )
+        view_names = [c for c, _t in schema]
+        null_cols = [
+            F.lit(None).cast(t).alias(c)
+            for c, t in schema
+            if c not in mkeys and c != "last_lsn"
+        ]
+        loc = self.table_path(name)
+        if LakeTable.exists(loc):
+            t = LakeTable(self.spark, loc)
+        else:
+            t = LakeTable.create(
+                self.spark,
+                loc,
+                schema,
+                mkeys,
+                n_buckets=n_buckets or self.n_buckets,
+                mode="mor",
+                order_col="last_lsn",
+            )
+
+        def _main_fn(changes: DataFrame) -> DataFrame:
+            dimdf = dim.snapshot().select(*on, *dim_cols)
+            if broadcast_dim:
+                dimdf = F.broadcast(dimdf)
+            ups = (
+                changes.filter(F.col("__op") == "U")
+                .select(*mkeys, *main_cols, "last_lsn")
+                .join(dimdf, on, "inner")
+                .select(*view_names)
+                .withColumn("__op", F.lit("U"))
+            )
+            dels = (
+                changes.filter(F.col("__op") == "D")
+                .select(*mkeys, *null_cols, "last_lsn")
+                .withColumn("__op", F.lit("D"))
+            )
+            return ups.unionByName(dels)
+
+        def _dim_fn(dchanges: DataFrame) -> DataFrame:
+            changed = dchanges.select(*on).distinct()
+            where = None
+            if len(on) == 1:
+                # in-list manifest pruning only while the changed-key set is
+                # metadata-sized (bounded collect via limit)
+                vals = [
+                    r[0] for r in changed.limit(_JOIN_INLIST_LIMIT + 1).collect()
+                ]
+                if len(vals) <= _JOIN_INLIST_LIMIT:
+                    where = [(on[0], "in", vals)]
+            facts = (
+                LakeTable(self.spark, self.table_path(main))
+                .snapshot(keys_in=changed, where=where)
+                .select(*mkeys, *main_cols, "last_lsn")
+            )
+            u_dims = dchanges.filter(F.col("__op") == "U").select(*on, *dim_cols)
+            d_keys = dchanges.filter(F.col("__op") == "D").select(*on)
+            if broadcast_dim:
+                u_dims, d_keys = F.broadcast(u_dims), F.broadcast(d_keys)
+            ups = (
+                facts.join(u_dims, on, "inner")
+                .select(*view_names)
+                .withColumn("__op", F.lit("U"))
+            )
+            dels = (
+                facts.join(d_keys, on, "left_semi")
+                .select(*mkeys, *null_cols, "last_lsn")
+                .withColumn("__op", F.lit("D"))
+            )
+            return ups.unionByName(dels)
+
+        self._register(main, t, _main_fn, "join_main")
+        self._register(table_name(dim), t, _dim_fn, "join_dim")
+        self._joins[name] = {
+            "view": t,
+            "dim": dim,
+            "main": main,
+            "on": list(on),
+            "mkeys": list(mkeys),
+            "main_cols": list(main_cols),
+            "dim_cols": list(dim_cols),
+            "view_names": view_names,
+            "null_cols": null_cols,
+            "broadcast_dim": broadcast_dim,
+        }
+        return t
+
+    def apply_dim_epoch(
+        self,
+        dim: LakeTable,
+        changes: DataFrame,
+        epoch: int,
+        epoch_info: dict | None = None,
+    ) -> dict:
+        """Apply one epoch of keyed changes to a DIMENSION table, exactly
+        once, and maintain every join view registered on it in the same
+        epoch — the dim-side counterpart of ``apply_epoch``'s derived loop.
+
+        ``changes`` follows the ``LakeTable.merge`` contract (at most one
+        row per key, ``__op`` in U/D, every current-schema column for
+        upserts) and must be a deterministic function of the dim's WAL
+        slice so a crash between the dim commit and a view commit re-lands
+        identical rows on resume."""
+        dname = table_name(dim)
+        pending = [
+            (t, fn, kind)
+            for t, fn, kind in self._derived.get(dname, [])
+            if kind == "join_dim"
+            and str(self._epoch_key(dname, kind, epoch)) not in t.committed_epochs()
+        ]
+        if str(epoch) in dim.committed_epochs() and not pending:
+            return {"epoch": epoch, "applied": False}
+        changes = changes.persist()  # feeds the dim merge + every view fn
+        try:
+            result = dim.merge(changes, epoch=epoch, epoch_info=epoch_info)
+            stats = {"epoch": epoch, **result}
+            for vt, fn, kind in pending:
+                vt.merge(
+                    fn(changes),
+                    epoch=self._epoch_key(dname, kind, epoch),
+                    epoch_info=epoch_info,
+                )
+            if pending:
+                stats["derived_applied"] = [table_name(t) for t, *_ in pending]
+        finally:
+            changes.unpersist()
+        return stats
+
+    def refresh_join(self, name: str) -> dict:
+        """Reset-and-rebuild one join view to exactly ``main ⋈ dim`` at the
+        parents' CURRENT states — the recovery path after a parent rollback
+        (a join view's ledger mixes two parents' epoch counters, so the
+        metadata-only ledger-subset restore of single-parent deriveds does
+        not apply).
+
+        A delta-layer diff-merge cannot express a parent rollback: the view
+        resolves by fact ``last_lsn``, and a rollback moves lsn BACKWARD, so
+        a refreshed (lower-lsn) image could never supersede the stale
+        higher-lsn row. Instead the view is rolled back to its empty create
+        snapshot (metadata-only, history stays linear and time travel keeps
+        the old states) and the batch join lands as ONE clean merge. The
+        view's epoch ledger resets with it; re-driven parent epochs then
+        re-apply on the view and converge (each frame joins the other
+        parent's current state — last layer wins ties at equal lsn).
+
+        O(main ⋈ dim) read+write — the honest cost of disaster recovery.
+        The manifest epoch id derives from both parents' snapshot ids, so
+        re-running after a crash (or calling it twice) no-ops."""
+        spec = self._joins[name]
+        view, dim, on = spec["view"], spec["dim"], spec["on"]
+        mkeys, view_names = spec["mkeys"], spec["view_names"]
+        main_t = LakeTable(self.spark, self.table_path(spec["main"]))
+        epoch = "refresh:{}:{}".format(
+            main_t.current_snapshot()["snapshot_id"],
+            dim.current_snapshot()["snapshot_id"],
+        )
+        if str(epoch) in view.committed_epochs():
+            return {"epoch": epoch, "applied": False}
+        dimdf = dim.snapshot().select(*on, *spec["dim_cols"])
+        if spec["broadcast_dim"]:
+            dimdf = F.broadcast(dimdf)
+        ideal = (
+            main_t.snapshot()
+            .select(*mkeys, *spec["main_cols"], "last_lsn")
+            .join(dimdf, on, "inner")
+            .select(*view_names)
+            .withColumn("__op", F.lit("U"))
+        )
+        if view.current_snapshot()["snapshot_id"] > 0:
+            view.rollback_to(0)
+        info = {"op": "refresh_join", "epoch_key": epoch}
+        result = view.merge(ideal, epoch=epoch, epoch_info=info)
+        return {"epoch": epoch, **result}
+
     def _epoch_commits(self, table: LakeTable) -> list[tuple[int, int, int]]:
         """(epoch, committing snapshot id, parent id) for every LIVE epoch,
         in epoch order — the walk behind stage-scoped replay and aggregate
@@ -647,7 +906,11 @@ class Engine:
         }
         done = set(tgt.committed_epochs())
         key_cols = main.current_snapshot()["key_cols"]
-        pending_commits = [c for c in sorted(epoch_commits) if str(c[0]) not in done]
+        pending_commits = [
+            c
+            for c in sorted(epoch_commits)
+            if str(self._epoch_key(main, kind, c[0])) not in done
+        ]
         for e, src_t, c_parent, c_sid in self._epoch_change_bounds(
             main, pending_commits
         ):
@@ -670,7 +933,11 @@ class Engine:
                     )
             else:
                 dchanges = fn(changes)
-            tgt.merge(dchanges, epoch=e, epoch_info={"replay": meta})
+            tgt.merge(
+                dchanges,
+                epoch=self._epoch_key(main, kind, e),
+                epoch_info={"replay": meta},
+            )
         return tgt
 
     def _epoch_change_bounds(
@@ -759,6 +1026,20 @@ class Engine:
         else:
             out[table_name(table)] = table.rollback_to(target["snapshot_id"])
         for dt, _fn, _kind in self._derived.get(table_name(table), []):
+            if _kind.startswith("join_"):
+                # a join view's ledger mixes TWO parents' epoch counters, so
+                # no single retained snapshot corresponds to "this parent
+                # rolled back, the other one current" — recover by full-diff
+                # refresh against the (just rolled back) parent states
+                jname = table_name(dt)
+                if jname not in self._joins:
+                    raise ValueError(
+                        f"join view {jname!r} needs refresh_join after a "
+                        "parent rollback, but its spec is not registered in "
+                        "this engine — call join_table first"
+                    )
+                out[jname] = self.refresh_join(jname)
+                continue
             cand = None
             for h in dt.history():  # newest first
                 if set(h["epochs"]) <= target_epochs:
@@ -791,7 +1072,7 @@ class Engine:
         derived_pending = [
             (t, fn, kind)
             for t, fn, kind in derived
-            if str(epoch) not in t.committed_epochs()
+            if str(self._epoch_key(table, kind, epoch)) not in t.committed_epochs()
         ]
         if str(epoch) in table.committed_epochs() and not derived_pending:
             return {"epoch": epoch, "applied": False}
@@ -973,7 +1254,11 @@ class Engine:
                     dchanges = fn(changes.drop("__bucket"), old_live)
                 else:
                     dchanges = fn(changes.drop("__bucket"))
-                dt.merge(dchanges, epoch=epoch, epoch_info=info)
+                dt.merge(
+                    dchanges,
+                    epoch=self._epoch_key(table, kind, epoch),
+                    epoch_info=info,
+                )
             if derived:
                 stats["derived_applied"] = [table_name(t) for t, *_ in derived_pending]
             if collect_metrics:
@@ -1112,7 +1397,7 @@ class Engine:
         pending = [
             (t, fn, kind)
             for t, fn, kind in derived
-            if str(epoch) not in t.committed_epochs()
+            if str(self._epoch_key(table, kind, epoch)) not in t.committed_epochs()
         ]
         main_done = str(epoch) in table.committed_epochs()
         if main_done and not pending:
@@ -1202,7 +1487,11 @@ class Engine:
                     dchanges = fn(changes, old_rows)
                 else:
                     dchanges = fn(changes)
-                dt.merge(dchanges, epoch=epoch, epoch_info=info)
+                dt.merge(
+                    dchanges,
+                    epoch=self._epoch_key(table, kind, epoch),
+                    epoch_info=info,
+                )
             if derived:
                 stats["derived_applied"] = [table_name(t) for t, *_ in pending]
             return stats
@@ -1306,7 +1595,10 @@ class Engine:
         pending_commits = [
             (e, sid, parent)
             for e, sid, parent in introduced
-            if any(str(e) not in t.committed_epochs() for t, _f, _k in derived)
+            if any(
+                str(self._epoch_key(table, k, e)) not in t.committed_epochs()
+                for t, _f, k in derived
+            )
         ]
         # fast-forward-aware per-epoch recovery: a branch that itself
         # absorbed a multi-epoch sub-branch would otherwise feed the folded
@@ -1317,7 +1609,7 @@ class Engine:
             pending = [
                 (t, fn, kind)
                 for t, fn, kind in derived
-                if str(e) not in t.committed_epochs()
+                if str(self._epoch_key(table, kind, e)) not in t.committed_epochs()
             ]
             if not pending:
                 continue
@@ -1352,7 +1644,11 @@ class Engine:
                         )
                     else:
                         dchanges = fn(changes)
-                    dt.merge(dchanges, epoch=e, epoch_info=info_d)
+                    dt.merge(
+                        dchanges,
+                        epoch=self._epoch_key(table, kind, e),
+                        epoch_info=info_d,
+                    )
                     maintained.append(f"{table_name(dt)}:{e}")
             finally:
                 changes.unpersist()

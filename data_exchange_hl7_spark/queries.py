@@ -4065,6 +4065,194 @@ def stream_stream_join(spark, sf_dir):
     )
 
 
+def join_view_read(spark, sf_dir):
+    """Engine.join_table under the oracle gate: an incrementally-maintained
+    JOIN materialized view (delta-join IVM) across TWO changing keyed
+    tables. A fact WAL synthesized from `documents` (epoch 0 INSERTs a
+    50-char preview, epoch 1 UPDATEs to the full text or DELETEs every 7th
+    doc) runs through the real Engine.apply_epoch while a `repo_meta` dim
+    table keyed by repo takes its own two epochs through apply_dim_epoch
+    (epoch 0 inserts license/stars for every source, epoch 1 boosts stars
+    for even-numbered repos and DELETEs repos with n%5==4). The epochs
+    INTERLEAVE (d0, m0, d1, m1) so both maintenance directions execute:
+    fact changes join the dim's current state; dim changes re-derive
+    exactly the changed repos' fact rows (keys_in subset read below the
+    MoR resolve + in-list manifest skipping). The final view must equal
+    the plain batch join DuckDB computes from `documents`.
+
+    Reference analogue: the gold pipeline's per-batch lookup enrichment
+    (runHL7GoldPipelineFull.scala:115-156) maintained as a table instead of
+    recomputed per query.
+
+    Scale shape: O(changes) per epoch on either side — a dim epoch
+    touching k repos reads only those repos' fact rows, never the table;
+    exactly-once across tables via per-parent-namespaced epoch manifests
+    (`repo_files:0` vs `repo_meta:0`), crash between any pair of commits
+    converges on resume (tests/test_join_view.py)."""
+    import tempfile
+
+    from data_exchange_hl7_spark.engine import Engine
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    key = f"{sf_dir}::joinview"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(os.path.join(loc, "files_meta"))):
+        loc = tempfile.mkdtemp(prefix="dex_engine_joinview_")
+        eng = Engine(spark, loc, n_buckets=8, mode="mor")
+        table = eng.snapshot_table("repo_files")
+        dim = LakeTable.create(
+            spark,
+            os.path.join(loc, "repo_meta"),
+            [
+                ("repo", "string"),
+                ("license", "string"),
+                ("stars", "bigint"),
+                ("last_lsn", "bigint"),
+            ],
+            ["repo"],
+            n_buckets=4,
+            mode="mor",
+            order_col="last_lsn",
+        )
+        eng.join_table(
+            "files_meta",
+            dim,
+            on=["repo"],
+            main_cols=["lang", "content_sha256", "size_bytes"],
+            dim_cols=["license", "stars"],
+            n_buckets=8,
+        )
+        docs = _t(spark, sf_dir, "documents")
+        srcs = docs.select("source").distinct()
+        n = F.substring("source", 4, 10).cast("int")
+        lic = (
+            F.when(n % 3 == 0, F.lit("mit"))
+            .when(n % 3 == 1, F.lit("apache"))
+            .otherwise(F.lit("gpl"))
+        )
+        d0 = srcs.select(
+            F.col("source").alias("repo"),
+            lic.alias("license"),
+            ((n + 1) * 10).cast("bigint").alias("stars"),
+            F.lit(1).cast("bigint").alias("last_lsn"),
+            F.lit("U").alias("__op"),
+        )
+        d1 = (
+            srcs.filter((n % 2 == 0) & (n % 5 != 4)).select(
+                F.col("source").alias("repo"),
+                lic.alias("license"),
+                ((n + 1) * 10 + 1000).cast("bigint").alias("stars"),
+                F.lit(2).cast("bigint").alias("last_lsn"),
+                F.lit("U").alias("__op"),
+            )
+        ).unionByName(
+            srcs.filter(n % 5 == 4).select(
+                F.col("source").alias("repo"),
+                F.lit(None).cast("string").alias("license"),
+                F.lit(None).cast("bigint").alias("stars"),
+                F.lit(2).cast("bigint").alias("last_lsn"),
+                F.lit("D").alias("__op"),
+            )
+        )
+        base = docs.select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            "doc_id",
+            "lang",
+            "text",
+        )
+        v1 = base.select(
+            F.lit("INSERT").alias("op"),
+            (F.col("doc_id") * 2).alias("lsn"),
+            "repo",
+            "path",
+            "lang",
+            F.substring("text", 1, 50).alias("content"),
+        )
+        v2 = base.select(
+            F.when(F.col("doc_id") % 7 == 0, F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+            .alias("op"),
+            (F.col("doc_id") * 2 + 1).alias("lsn"),
+            "repo",
+            "path",
+            "lang",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("text"))
+            .alias("content"),
+        )
+
+        def _wal(frame):
+            return (
+                frame.withColumn(
+                    "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("lsn"))
+                )
+                .withColumn("new_path", F.lit(None).cast("string"))
+                .withColumn("commit", F.sha2(F.col("path"), 256).substr(1, 40))
+                .withColumn("schema_field", F.lit(None).cast("string"))
+                .withColumn(
+                    "supporting_metadata",
+                    F.create_map().cast("map<string,string>"),
+                )
+                .withColumn(
+                    "event_id",
+                    F.sha2(
+                        F.concat_ws("|", "repo", "path", F.col("lsn").cast("string")),
+                        256,
+                    ),
+                )
+            )
+
+        eng.apply_dim_epoch(dim, d0, epoch=0)
+        eng.apply_epoch(_wal(v1), table, epoch=0, collect_metrics=False)
+        eng.apply_dim_epoch(dim, d1, epoch=1)
+        eng.apply_epoch(_wal(v2), table, epoch=1, collect_metrics=False)
+        _LAKE_DEMO_CACHE[key] = loc
+    view = LakeTable(spark, os.path.join(loc, "files_meta"))
+    return (
+        view.snapshot()
+        .select(
+            "repo",
+            "path",
+            "lang",
+            "content_sha256",
+            F.col("size_bytes").cast("int").alias("size_bytes"),
+            F.col("last_lsn").cast("bigint").alias("last_lsn"),
+            "license",
+            F.col("stars").cast("bigint").alias("stars"),
+        )
+        .orderBy("repo", "path")
+    )
+
+
+# TRIM set mirrors operators/normalize.py TRIM_SET (BOM + Java-regex \s);
+# oracle dtype convention: explicit BIGINT/INT casts on every numeric
+ORACLE_JOIN_VIEW = """
+WITH body AS (
+  SELECT *, TRIM(text, chr(65279) || ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS b
+  FROM documents),
+dims AS (
+  SELECT source AS repo, CAST(substr(source, 4, 10) AS INT) AS n
+  FROM (SELECT DISTINCT source FROM documents)),
+dimv AS (
+  SELECT repo,
+         CASE n % 3 WHEN 0 THEN 'mit' WHEN 1 THEN 'apache' ELSE 'gpl' END AS license,
+         CAST((n + 1) * 10 + CASE WHEN n % 2 = 0 THEN 1000 ELSE 0 END AS BIGINT) AS stars
+  FROM dims WHERE n % 5 <> 4)
+SELECT source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) AS path,
+       lang,
+       sha256(b) AS content_sha256,
+       CAST(len(b) AS INT) AS size_bytes,
+       CAST(doc_id * 2 + 1 AS BIGINT) AS last_lsn,
+       license,
+       stars
+FROM body JOIN dimv ON body.source = dimv.repo
+WHERE doc_id % 7 <> 0 AND len(b) > 0
+ORDER BY repo, path
+"""
+
+
 ORACLE_SS_JOIN = """
 SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
        CAST(c.event_id AS BIGINT) AS click_id,

@@ -87,7 +87,11 @@ also touched engine.py's apply/purge/publish/rebuild/rollback
 maintenance loops, so the queries riding engine.py should rotate too)
 landed after the 50-slot window was spent on the mandated rotation;
 they sit at 53-56, are locally parity-certified every pytest run, and
-are FIRST in the r5 rotation. NOTE:
+are FIRST in the r5 rotation — together with fim_transform
+(fill-in-the-middle PSM/SPM training transform, deterministic
+hash-derived cut points, replay-stable) and intradoc_line_dedup
+(RefinedWeb-style within-document repeat removal with sha256 replay
+invariant), added in the final r4 session. NOTE:
 tests/test_oracle_parity.py replicates the gate
 for ALL queries at sf0.01 in every pytest run, so tail queries are never
 unchecked — only externally un-refreshed. COVERAGE.md carries the
@@ -198,6 +202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_change_graph": q.co_change_graph,
         "stream_stream_join": q.stream_stream_join,
         "join_view_read": q.join_view_read,
+        "fim_transform": qt.fim_transform,
+        "intradoc_line_dedup": qt.intradoc_line_dedup,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -434,4 +440,6 @@ def oracle_sql() -> dict[str, str]:
         "co_change_graph": q.ORACLE_CO_CHANGE,
         "stream_stream_join": q.ORACLE_SS_JOIN,
         "join_view_read": q.ORACLE_JOIN_VIEW,
+        "fim_transform": qt.ORACLE_FIM,
+        "intradoc_line_dedup": qt.ORACLE_INTRADOC,
     }

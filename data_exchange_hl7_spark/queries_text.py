@@ -5781,3 +5781,175 @@ SELECT source, tokens_src, epochs_cap, cap_tokens, capped,
             END * 1000 // tokens_src AS BIGINT) AS epochs_permille
 FROM flagged, fold ORDER BY source
 """
+
+
+# ===================== fill-in-the-middle transform ========================
+
+# FIM (Bavarian et al. 2022, "Efficient Training of Language Models to Fill
+# in the Middle"; used for every major code model since) rewrites a fraction
+# of training documents from (prefix, middle, suffix) into PSM
+# `<PRE>p<SUF>s<MID>m` or SPM `<SUF>s<PRE>p<MID>m` order so the model learns
+# infilling. The transform must be DETERMINISTIC and content-independent
+# (the split points come from the doc id, not the text), so a replay of the
+# corpus build regenerates byte-identical training rows — the same
+# replay-stability contract as dataset_split_assign.
+#
+# Rate mix: 500 permille of docs stay causal ("plain"), 250 permille PSM,
+# 250 permille SPM — the paper's 50% FIM rate with an even PSM/SPM split.
+FIM_MULT_MODE = 2246822519  # odd multiplicative hashes, distinct streams
+FIM_MULT_CUT1 = 3266489917
+FIM_MULT_CUT2 = 668265263
+FIM_PLAIN_PM = 500
+FIM_PSM_PM = 750
+
+
+def fim_transform(spark, sf_dir):
+    """Fill-in-the-middle training transform over the code corpus: per doc,
+    two deterministic cut points c1 <= c2 derived from multiplicative
+    hashes of doc_id split text into prefix/middle/suffix; a third hash
+    stream picks the mode (plain / PSM / SPM). Emits the transformed
+    training text plus its sha256 and the three span lengths — the audit a
+    corpus build publishes so a replay can be verified span-for-span.
+
+    Scale shape: entirely narrow per-row expressions at the scan — no
+    shuffle, no window, no UDF; the presentation sort is the only exchange.
+    At 10^10 docs this is a map-only stage fused into whatever pipeline
+    reads the corpus. Reference analogue: the per-record deterministic
+    transform discipline of the HL7 redaction stage
+    (lib-dex-commons RedactorService - config-driven, content-addressed)."""
+    d = _t(spark, sf_dir, "documents")
+    L = F.length("text")
+    mode_b = F.pmod(F.pmod(F.col("doc_id") * FIM_MULT_MODE, F.lit(4294967296)), F.lit(1000))
+    h1 = F.pmod(F.pmod(F.col("doc_id") * FIM_MULT_CUT1, F.lit(4294967296)), L + 1)
+    h2 = F.pmod(F.pmod(F.col("doc_id") * FIM_MULT_CUT2, F.lit(4294967296)), L + 1)
+    c1 = F.least(h1, h2)
+    c2 = F.greatest(h1, h2)
+    prefix = F.substring(F.col("text"), F.lit(1), c1)
+    middle = F.substring(F.col("text"), c1 + 1, c2 - c1)
+    suffix = F.substring(F.col("text"), c2 + 1, L - c2)
+    mode = (
+        F.when(mode_b < FIM_PLAIN_PM, F.lit("plain"))
+        .when(mode_b < FIM_PSM_PM, F.lit("psm"))
+        .otherwise(F.lit("spm"))
+    )
+    fim_text = (
+        F.when(mode_b < FIM_PLAIN_PM, F.col("text"))
+        .when(
+            mode_b < FIM_PSM_PM,
+            F.concat(F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle),
+        )
+        .otherwise(
+            F.concat(F.lit("<SUF>"), suffix, F.lit("<PRE>"), prefix, F.lit("<MID>"), middle)
+        )
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        mode.alias("mode"),
+        c1.cast("bigint").alias("n_prefix"),
+        (c2 - c1).cast("bigint").alias("n_middle"),
+        (L - c2).cast("bigint").alias("n_suffix"),
+        F.sha2(fim_text, 256).alias("fim_sha256"),
+    ).orderBy("doc_id")
+
+
+ORACLE_FIM = f"""
+WITH cuts AS (
+  SELECT doc_id, source, text, LEN(text) AS L,
+         (doc_id * {FIM_MULT_MODE}) % 4294967296 % 1000 AS mode_b,
+         LEAST((doc_id * {FIM_MULT_CUT1}) % 4294967296 % (LEN(text) + 1),
+               (doc_id * {FIM_MULT_CUT2}) % 4294967296 % (LEN(text) + 1)) AS c1,
+         GREATEST((doc_id * {FIM_MULT_CUT1}) % 4294967296 % (LEN(text) + 1),
+                  (doc_id * {FIM_MULT_CUT2}) % 4294967296 % (LEN(text) + 1)) AS c2
+  FROM documents),
+parts AS (
+  SELECT doc_id, source, mode_b, c1, c2, L,
+         SUBSTRING(text, 1, c1) AS pre,
+         SUBSTRING(text, c1 + 1, c2 - c1) AS mid,
+         SUBSTRING(text, c2 + 1, L - c2) AS suf,
+         text
+  FROM cuts)
+SELECT doc_id, source,
+       CASE WHEN mode_b < {FIM_PLAIN_PM} THEN 'plain'
+            WHEN mode_b < {FIM_PSM_PM} THEN 'psm' ELSE 'spm' END AS mode,
+       CAST(c1 AS BIGINT) AS n_prefix,
+       CAST(c2 - c1 AS BIGINT) AS n_middle,
+       CAST(L - c2 AS BIGINT) AS n_suffix,
+       SHA256(CASE WHEN mode_b < {FIM_PLAIN_PM} THEN text
+                   WHEN mode_b < {FIM_PSM_PM}
+                   THEN '<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid
+                   ELSE '<SUF>' || suf || '<PRE>' || pre || '<MID>' || mid
+              END) AS fim_sha256
+FROM parts ORDER BY doc_id
+"""
+
+
+# ================== within-document line deduplication =====================
+
+
+def intradoc_line_dedup(spark, sf_dir):
+    """Within-document repetition removal (RefinedWeb / CCNet style): drop
+    every repeat of a line AFTER its first occurrence inside the same
+    document and reassemble the text in original line order. Complements
+    c4_line_dedup (corpus-GLOBAL keep-first) — this one never leaves the
+    document, so its natural unit of parallelism is the doc itself.
+
+    Emits the per-doc audit row: lines in/out, removed repeat count, and
+    the sha256 of the deduped text (the invariant a replay must reproduce).
+
+    Scale shape: posexplode -> per-(doc, line) min(pos) hash agg (map-side
+    combine) -> per-doc array_sort + array_join agg. Two hash aggs on
+    doc-sized groups, both skew-immune (a document has bounded lines); the
+    corpus is touched once and nothing global is shuffled — at 10^10 docs
+    both exchanges are doc_id-partitioned and AQE-coalesced."""
+    d = _t(spark, sf_dir, "documents")
+    # Split on '. ' to synthesize multi-line structure from the single-line
+    # test corpus (documents.text has no newlines); each sentence is a
+    # "line". The operator itself is delimiter-generic.
+    lines = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", r"\. ")).alias("pos", "line"),
+    )
+    firsts = lines.groupBy("doc_id", "source", "line").agg(
+        F.min("pos").alias("pos"), F.count("*").alias("occ")
+    )
+    return (
+        firsts.groupBy("doc_id", "source")
+        .agg(
+            F.sum("occ").cast("bigint").alias("lines_in"),
+            F.count("*").cast("bigint").alias("lines_out"),
+            (F.sum("occ") - F.count("*")).cast("bigint").alias("repeats_removed"),
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "line"))
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    ". ",
+                ),
+                256,
+            ).alias("dedup_sha256"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_INTRADOC = """
+WITH split AS (
+  SELECT doc_id, source, STR_SPLIT(text, '. ') AS l FROM documents),
+lines AS (
+  SELECT doc_id, source, l[pos] AS line, pos - 1 AS pos
+  FROM split, UNNEST(GENERATE_SERIES(1, LEN(l))) AS g(pos)),
+firsts AS (
+  SELECT doc_id, source, line, MIN(pos) AS pos, COUNT(*) AS occ
+  FROM lines GROUP BY doc_id, source, line)
+SELECT doc_id, source,
+       CAST(SUM(occ) AS BIGINT) AS lines_in,
+       CAST(COUNT(*) AS BIGINT) AS lines_out,
+       CAST(SUM(occ) - COUNT(*) AS BIGINT) AS repeats_removed,
+       SHA256(STRING_AGG(line, '. ' ORDER BY pos)) AS dedup_sha256
+FROM firsts GROUP BY doc_id, source ORDER BY doc_id
+"""

@@ -700,3 +700,56 @@ def test_content_defined_chunks_narrow_until_agg(spark):
     assert_no_python_udf(df)
     rows = df.collect()
     assert rows and any(r["n_docs"] >= 2 for r in rows)
+
+
+def test_fim_transform_is_map_only(spark):
+    """fim_transform's scale contract: cut-point derivation, span slicing,
+    PSM/SPM assembly, and the sha256 are all per-row expressions at the
+    scan — NO hash shuffle, window, or join anywhere (the presentation
+    orderBy's range exchange is the only one). Mode mix must cover all
+    three branches and spans must tile the document exactly."""
+    import re
+    from data_exchange_hl7_spark.plans import explain_str
+
+    df = qt.fim_transform(spark, SF)
+    plan = explain_str(df)
+    assert not re.findall(r"\bExchange hashpartitioning", plan)
+    assert "Window" not in plan and "Join" not in plan
+    assert_no_python_udf(df)
+    rows = df.collect()
+    assert {r["mode"] for r in rows} == {"plain", "psm", "spm"}
+    doc = {r["doc_id"]: r for r in rows}
+    lens = {
+        r["doc_id"]: r["n_prefix"] + r["n_middle"] + r["n_suffix"] for r in rows
+    }
+    truth = dict(
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.length("text").cast("bigint").alias("L"))
+        .collect()
+    )
+    assert lens == truth, "FIM spans must tile each document exactly"
+    # replay stability: a second run reproduces byte-identical shas
+    again = {r["doc_id"]: r["fim_sha256"] for r in qt.fim_transform(spark, SF).collect()}
+    assert again == {k: v["fim_sha256"] for k, v in doc.items()}
+
+
+def test_intradoc_line_dedup_two_doc_aggs(spark):
+    """intradoc_line_dedup's scale contract: exactly the two doc-keyed hash
+    aggregations (first-occurrence keeper, then per-doc reassembly) — no
+    window, no join, no global keying (the line column never partitions an
+    exchange alone, so a corpus-hot line cannot skew it). Repeats must be
+    conserved: lines_in - lines_out == repeats_removed >= 0."""
+    import re
+    from data_exchange_hl7_spark.plans import explain_str
+
+    df = qt.intradoc_line_dedup(spark, SF)
+    plan = explain_str(df)
+    assert "Window" not in plan and "Join" not in plan
+    assert_no_python_udf(df)
+    keyings = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keyings, "expected the two doc-keyed aggs"
+    assert all("doc_id" in k for k in keyings), keyings
+    rows = df.collect()
+    assert all(
+        r["lines_in"] - r["lines_out"] == r["repeats_removed"] >= 0 for r in rows
+    )

@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_view_read": q.join_view_read,
         "fim_transform": qt.fim_transform,
         "intradoc_line_dedup": qt.intradoc_line_dedup,
+        "contamination_overlap_score": qt.contamination_overlap_score,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -442,4 +443,5 @@ def oracle_sql() -> dict[str, str]:
         "join_view_read": q.ORACLE_JOIN_VIEW,
         "fim_transform": qt.ORACLE_FIM,
         "intradoc_line_dedup": qt.ORACLE_INTRADOC,
+        "contamination_overlap_score": qt.ORACLE_CONTAM_SCORE,
     }

@@ -125,6 +125,10 @@ BENCH_QUERIES = [
     "co_change_graph",
     "stream_stream_join",
     "join_view_read",
+    # final-r4 additions: FIM training transform + intra-doc line dedup
+    "fim_transform",
+    "intradoc_line_dedup",
+    "contamination_overlap_score",
 ]
 
 

@@ -5953,3 +5953,81 @@ SELECT doc_id, source,
        SHA256(STRING_AGG(line, '. ' ORDER BY pos)) AS dedup_sha256
 FROM firsts GROUP BY doc_id, source ORDER BY doc_id
 """
+
+
+# ================ fractional contamination (dirtiness) score ===============
+
+# GPT-3-appendix / Pile-style contamination REPORTING: the binary hit list
+# (`decontamination`) tells you WHICH training docs touch the eval set; real
+# release pipelines additionally publish the per-doc overlap FRACTION
+# (dirty n-grams / total n-grams) and threshold on it, because a single
+# shared idiom is noise while 30% overlap is a leaked eval document.
+CONTAM_THR_PM = 100  # flag docs whose eval-overlap exceeds 100 permille
+
+
+def contamination_overlap_score(
+    spark, sf_dir, n: int = DECON_NGRAM, eval_mod: int = DECON_EVAL_MOD,
+    thr_pm: int = CONTAM_THR_PM,
+):
+    """Per-doc fractional eval-set contamination: for EVERY training doc
+    (zero-overlap docs included — the report is the point), the distinct
+    n-gram count, how many of those n-grams appear anywhere in the eval
+    set, the integer overlap permille, and the release verdict against
+    ``thr_pm``. Same eval-set construction and 16-hex md5 shingle keys as
+    `decontamination` — the two queries certify each other's join side.
+
+    Scale shape: eval-side distinct shingle hashes are BROADCAST (a
+    benchmark suite is thousands of docs); the corpus streams through one
+    left-join probe then a single doc_id-keyed count agg with map-side
+    combine — the training corpus never shuffles by shingle, so a hot
+    n-gram cannot skew it."""
+    corpus = _with_synth_dups(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    is_eval = (F.col("doc_id") % eval_mod == 0) & (F.col("doc_id") < 1_000_000)
+    h = F.substring(F.md5("shingle"), 1, 16).alias("h")
+    eval_sh = (
+        _word_ngrams(corpus.filter(is_eval), n)
+        .select(h).distinct().withColumn("hit", F.lit(1))
+    )
+    train_sh = _word_ngrams(corpus.filter(~is_eval), n).select("doc_id", h)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.expr("(n_shared * 1000) div n_grams").alias("overlap_permille"),
+            (F.expr("(n_shared * 1000) div n_grams") >= thr_pm).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CONTAM_SCORE = f"""
+WITH corpus AS ({{synth}}),
+sh AS ({{ngrams}}),
+hashed AS (SELECT doc_id, SUBSTR(MD5(shingle), 1, 16) AS h FROM sh),
+ev AS (
+  SELECT DISTINCT h FROM hashed
+  WHERE doc_id % {DECON_EVAL_MOD} = 0 AND doc_id < 1000000),
+tr AS (
+  SELECT * FROM hashed
+  WHERE NOT (doc_id % {DECON_EVAL_MOD} = 0 AND doc_id < 1000000)),
+scored AS (
+  SELECT tr.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(ev.h) AS BIGINT) AS n_shared
+  FROM tr LEFT JOIN ev ON tr.h = ev.h
+  GROUP BY tr.doc_id)
+SELECT doc_id, n_grams, n_shared,
+       CAST(n_shared * 1000 // n_grams AS BIGINT) AS overlap_permille,
+       n_shared * 1000 // n_grams >= {CONTAM_THR_PM} AS flagged
+FROM scored ORDER BY doc_id
+"""
+ORACLE_CONTAM_SCORE = ORACLE_CONTAM_SCORE.format(
+    synth=_SYNTH_DUP_SQL, ngrams=_ngram_sql("corpus", DECON_NGRAM)
+)

@@ -753,3 +753,32 @@ def test_intradoc_line_dedup_two_doc_aggs(spark):
     assert all(
         r["lines_in"] - r["lines_out"] == r["repeats_removed"] >= 0 for r in rows
     )
+
+
+def test_contamination_score_broadcasts_eval_side(spark):
+    """contamination_overlap_score's scale contract: the eval-set shingle
+    hashes are BROADCAST into the probe join and the only hash exchange
+    keys on doc_id (the count agg) — the training corpus must never
+    shuffle by shingle, so a corpus-hot n-gram cannot skew it. Every
+    train doc appears in the report (zero-overlap rows included), and the
+    binary `decontamination` hit list must agree with the n_shared > 0
+    subset."""
+    import re
+    from data_exchange_hl7_spark.plans import explain_str
+
+    df = qt.contamination_overlap_score(spark, SF)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    keyings = re.findall(r"hashpartitioning\(([^,)]*)", plan)
+    # allowed exchanges: doc_id-keyed (the count agg) and at most ONE
+    # h-keyed (the EVAL side's distinct — bounded by the benchmark suite's
+    # size, and it feeds the broadcast). Corpus shingles never key one.
+    assert keyings, keyings
+    h_keyed = [k for k in keyings if k.startswith("h#")]
+    assert len(h_keyed) <= 1, keyings
+    assert all(("doc_id" in k) or k.startswith("h#") for k in keyings), keyings
+    assert_no_python_udf(df)
+    rows = df.collect()
+    assert any(r["n_shared"] == 0 for r in rows), "zero-overlap rows missing"
+    hits = {r["doc_id"] for r in qt.decontamination(spark, SF).collect()}
+    assert {r["doc_id"] for r in rows if r["n_shared"] > 0} == hits

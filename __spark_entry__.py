@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": qt.fim_transform,
         "intradoc_line_dedup": qt.intradoc_line_dedup,
         "contamination_overlap_score": qt.contamination_overlap_score,
+        "files_inspect_read": q.files_inspect_read,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -444,4 +445,5 @@ def oracle_sql() -> dict[str, str]:
         "fim_transform": qt.ORACLE_FIM,
         "intradoc_line_dedup": qt.ORACLE_INTRADOC,
         "contamination_overlap_score": qt.ORACLE_CONTAM_SCORE,
+        "files_inspect_read": q.ORACLE_FILES_INSPECT,
     }

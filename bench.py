@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "fim_transform",
     "intradoc_line_dedup",
     "contamination_overlap_score",
+    "files_inspect_read",
 ]
 
 

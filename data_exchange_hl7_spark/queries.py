@@ -4265,3 +4265,108 @@ JOIN (SELECT event_id, ts, user_id FROM events
  AND c.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
 ORDER BY purchase_id, click_id
 """
+
+
+# ================== manifest-stats integrity (files inspect) ===============
+
+
+def files_inspect_read(spark, sf_dir):
+    """Iceberg-style metadata-table surface under the oracle gate: table-level
+    statistics computed ENTIRELY from the snapshot manifest + parquet
+    footers — zero data pages read — must equal an external semantic
+    recomputation of the table's contents. This is the integrity contract
+    behind every stats-based optimization the engine ships (file skipping,
+    `filtered_snapshot_read`, z-order pruning, the 'in'-list manifest skip):
+    if manifest bounds ever drifted from the physical rows, pruning would
+    silently drop data; this query makes that drift an oracle-visible red
+    cell. Reference analogue: the processing-status metadata surface
+    (pstatus-report-sink-fns's table/row counters) re-expressed as Iceberg
+    lower/upper-bound manifests.
+
+    Scale shape: manifests + footers are metadata (O(files), driver-side by
+    design — the same discipline as `_collect_stats`); nothing here touches
+    a data page, which is the point: at 100 TB this query costs the same as
+    at 100 MB."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key
+
+    key = f"{sf_dir}::inspect"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if loc and LakeTable.exists(loc):
+        t = LakeTable(spark, loc)
+    else:
+        loc = tempfile.mkdtemp(prefix="dex_lake_inspect_")
+        t = LakeTable.create(
+            spark,
+            loc,
+            schema=[
+                ("user_id", "bigint"),
+                ("event_type", "string"),
+                ("event_id", "bigint"),
+            ],
+            key_cols=["user_id", "event_type"],
+            n_buckets=2,
+            mode="cow",
+            order_col="event_id",
+        )
+        ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+        changes = latest_by_key(
+            ev, ["user_id", "event_type"], ["event_id"]
+        ).withColumn("__op", F.lit("U"))
+        t.merge(changes, epoch=1)
+        _LAKE_DEMO_CACHE[key] = loc
+
+    snap = t.current_snapshot()
+    lo_uid = hi_uid = lo_eid = hi_eid = None
+    n_rows = 0
+    for b in snap["buckets"].values():
+        stats = b.get("stats", {})
+        for rel in b["files"]:
+            # footer metadata only (num_rows) — no data pages, O(files)
+            n_rows += pq.ParquetFile(os.path.join(t.data_dir, rel)).metadata.num_rows
+            st = stats.get(rel, {})
+            if "user_id" in st:
+                lo, hi = st["user_id"]
+                lo_uid = lo if lo_uid is None or lo < lo_uid else lo_uid
+                hi_uid = hi if hi_uid is None or hi > hi_uid else hi_uid
+            if "event_id" in st:
+                lo, hi = st["event_id"]
+                lo_eid = lo if lo_eid is None or lo < lo_eid else lo_eid
+                hi_eid = hi if hi_eid is None or hi > hi_eid else hi_eid
+    rows = [
+        ("max_last_event_id", int(hi_eid)),
+        ("max_user_id", int(hi_uid)),
+        ("min_last_event_id", int(lo_eid)),
+        ("min_user_id", int(lo_uid)),
+        ("n_rows", int(n_rows)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value bigint").orderBy(
+        "metric"
+    )
+
+
+ORACLE_FILES_INSPECT = """
+WITH kept AS (
+  SELECT user_id, event_id
+  FROM (SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY event_id DESC) AS rn
+        FROM events)
+  WHERE rn = 1)
+SELECT metric, value FROM (
+  SELECT 'n_rows' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM kept
+  UNION ALL
+  SELECT 'min_user_id', CAST(MIN(user_id) AS BIGINT) FROM kept
+  UNION ALL
+  SELECT 'max_user_id', CAST(MAX(user_id) AS BIGINT) FROM kept
+  UNION ALL
+  SELECT 'min_last_event_id', CAST(MIN(event_id) AS BIGINT) FROM kept
+  UNION ALL
+  SELECT 'max_last_event_id', CAST(MAX(event_id) AS BIGINT) FROM kept)
+ORDER BY metric
+"""

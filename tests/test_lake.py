@@ -1460,3 +1460,29 @@ def test_fast_forward_expired_walk_raises_concurrent_error(spark, tmp_path):
 
     with pytest.raises(ConcurrentCommitError, match="fork a new branch"):
         t.fast_forward(b)
+
+
+def test_files_inspect_matches_snapshot_scan(spark):
+    """files_inspect_read's internal consistency half (the external half is
+    its DuckDB oracle): the metadata-only table stats must equal the same
+    aggregates computed by actually scanning the snapshot — manifest bounds
+    and footer row counts never drift from the data pages they describe."""
+    from pyspark.sql import functions as F
+
+    from data_exchange_hl7_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    meta = {r["metric"]: r["value"] for r in q.files_inspect_read(spark, sf).collect()}
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    loc = q._LAKE_DEMO_CACHE[f"{sf}::inspect"]
+    snap_df = LakeTable(spark, loc).snapshot()
+    truth = snap_df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("user_id").alias("min_user_id"),
+        F.max("user_id").alias("max_user_id"),
+        F.min("event_id").alias("min_last_event_id"),
+        F.max("event_id").alias("max_last_event_id"),
+    ).collect()[0]
+    assert meta == {k: truth[k] for k in meta}

@@ -87,11 +87,15 @@ also touched engine.py's apply/purge/publish/rebuild/rollback
 maintenance loops, so the queries riding engine.py should rotate too)
 landed after the 50-slot window was spent on the mandated rotation;
 they sit at 53-56, are locally parity-certified every pytest run, and
-are FIRST in the r5 rotation — together with fim_transform
-(fill-in-the-middle PSM/SPM training transform, deterministic
-hash-derived cut points, replay-stable) and intradoc_line_dedup
-(RefinedWeb-style within-document repeat removal with sha256 replay
-invariant), added in the final r4 session. NOTE:
+are FIRST in the r5 rotation — together with the five final-r4-session
+additions: fim_transform (fill-in-the-middle PSM/SPM training
+transform, deterministic hash-derived cut points, replay-stable),
+intradoc_line_dedup (RefinedWeb-style within-document repeat removal
+with sha256 replay invariant), contamination_overlap_score (per-doc
+fractional eval-overlap permille + release verdict), files_inspect_read
+(manifest-stats integrity: metadata-only table stats vs the oracle's
+semantic recomputation), and purge_cascade_read (Engine.purge_where's
+derived-table sweep under the oracle). NOTE:
 tests/test_oracle_parity.py replicates the gate
 for ALL queries at sf0.01 in every pytest run, so tail queries are never
 unchecked — only externally un-refreshed. COVERAGE.md carries the
@@ -206,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intradoc_line_dedup": qt.intradoc_line_dedup,
         "contamination_overlap_score": qt.contamination_overlap_score,
         "files_inspect_read": q.files_inspect_read,
+        "purge_cascade_read": q.purge_cascade_read,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -446,4 +451,5 @@ def oracle_sql() -> dict[str, str]:
         "intradoc_line_dedup": qt.ORACLE_INTRADOC,
         "contamination_overlap_score": qt.ORACLE_CONTAM_SCORE,
         "files_inspect_read": q.ORACLE_FILES_INSPECT,
+        "purge_cascade_read": q.ORACLE_PURGE_CASCADE,
     }

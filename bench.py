@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "intradoc_line_dedup",
     "contamination_overlap_score",
     "files_inspect_read",
+    "purge_cascade_read",
 ]
 
 

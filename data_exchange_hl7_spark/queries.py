@@ -1896,6 +1896,56 @@ ORDER BY user_id, session_start
 """.replace("{tsf}", TS_FMT_DUCK)
 
 
+def _derived_demo_wal(spark, sf_dir):
+    """The shared derived-table demo WAL: two versions per `documents` row
+    (INSERT of a 50-char preview at lsn 2i, then UPDATE to the full text —
+    or DELETE for every 7th doc — at lsn 2i+1). Used by derived_file_stats
+    and purge_cascade_read so both oracles describe the same feed."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        "doc_id",
+        "lang",
+        "text",
+    )
+    v1 = base.select(
+        F.lit("INSERT").alias("op"),
+        (F.col("doc_id") * 2).alias("lsn"),
+        "repo",
+        "path",
+        "lang",
+        F.substring("text", 1, 50).alias("content"),
+    )
+    v2 = base.select(
+        F.when(F.col("doc_id") % 7 == 0, F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        (F.col("doc_id") * 2 + 1).alias("lsn"),
+        "repo",
+        "path",
+        "lang",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("content"),
+    )
+    return (
+        v1.unionByName(v2)
+        .withColumn("ts", F.timestamp_seconds(F.lit(1704067200) + F.col("lsn")))
+        .withColumn("new_path", F.lit(None).cast("string"))
+        .withColumn("commit", F.sha2(F.col("path"), 256).substr(1, 40))
+        .withColumn("schema_field", F.lit(None).cast("string"))
+        .withColumn(
+            "supporting_metadata",
+            F.create_map().cast("map<string,string>"),
+        )
+        .withColumn(
+            "event_id",
+            F.sha2(F.concat_ws("|", "repo", "path", F.col("lsn").cast("string")), 256),
+        )
+    )
+
+
 def derived_file_stats(spark, sf_dir):
     """Engine.derived_table under the oracle gate: the multi-output silver
     stage (reference writes json-lake + lake-of-segments containers alongside
@@ -1926,50 +1976,9 @@ def derived_file_stats(spark, sf_dir):
         eng = Engine(spark, loc, n_buckets=8, mode="mor")
         table = eng.snapshot_table("repo_files")
         eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
-        docs = _t(spark, sf_dir, "documents")
-        base = docs.select(
-            F.col("source").alias("repo"),
-            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
-            "doc_id",
-            "lang",
-            "text",
+        eng.apply_epoch(
+            _derived_demo_wal(spark, sf_dir), table, epoch=0, collect_metrics=False
         )
-        v1 = base.select(
-            F.lit("INSERT").alias("op"),
-            (F.col("doc_id") * 2).alias("lsn"),
-            "repo",
-            "path",
-            "lang",
-            F.substring("text", 1, 50).alias("content"),
-        )
-        v2 = base.select(
-            F.when(F.col("doc_id") % 7 == 0, F.lit("DELETE"))
-            .otherwise(F.lit("UPDATE"))
-            .alias("op"),
-            (F.col("doc_id") * 2 + 1).alias("lsn"),
-            "repo",
-            "path",
-            "lang",
-            F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
-            .otherwise(F.col("text"))
-            .alias("content"),
-        )
-        wal = (
-            v1.unionByName(v2)
-            .withColumn("ts", F.timestamp_seconds(F.lit(1704067200) + F.col("lsn")))
-            .withColumn("new_path", F.lit(None).cast("string"))
-            .withColumn("commit", F.sha2(F.col("path"), 256).substr(1, 40))
-            .withColumn("schema_field", F.lit(None).cast("string"))
-            .withColumn(
-                "supporting_metadata",
-                F.create_map().cast("map<string,string>"),
-            )
-            .withColumn(
-                "event_id",
-                F.sha2(F.concat_ws("|", "repo", "path", F.col("lsn").cast("string")), 256),
-            )
-        )
-        eng.apply_epoch(wal, table, epoch=0, collect_metrics=False)
         _LAKE_DEMO_CACHE[key] = loc
     stats_t = LakeTable(spark, os.path.join(loc, "file_stats"))
     return (
@@ -4287,10 +4296,7 @@ def files_inspect_read(spark, sf_dir):
     design — the same discipline as `_collect_stats`); nothing here touches
     a data page, which is the point: at 100 TB this query costs the same as
     at 100 MB."""
-    import os
     import tempfile
-
-    import pyarrow.parquet as pq
 
     from data_exchange_hl7_spark.lake.table import LakeTable
     from data_exchange_hl7_spark.operators.dedup import latest_by_key
@@ -4321,14 +4327,16 @@ def files_inspect_read(spark, sf_dir):
         t.merge(changes, epoch=1)
         _LAKE_DEMO_CACHE[key] = loc
 
+    # row count through the advertised metadata-table surface (footer
+    # metadata only — no data pages, O(files))
+    n_rows = (
+        t.meta_files().filter(F.col("kind") == "base").agg(F.sum("record_count"))
+    ).collect()[0][0]
     snap = t.current_snapshot()
     lo_uid = hi_uid = lo_eid = hi_eid = None
-    n_rows = 0
     for b in snap["buckets"].values():
         stats = b.get("stats", {})
         for rel in b["files"]:
-            # footer metadata only (num_rows) — no data pages, O(files)
-            n_rows += pq.ParquetFile(os.path.join(t.data_dir, rel)).metadata.num_rows
             st = stats.get(rel, {})
             if "user_id" in st:
                 lo, hi = st["user_id"]
@@ -4369,4 +4377,68 @@ SELECT metric, value FROM (
   UNION ALL
   SELECT 'max_last_event_id', CAST(MAX(event_id) AS BIGINT) FROM kept)
 ORDER BY metric
+"""
+
+
+def purge_cascade_read(spark, sf_dir):
+    """Engine.purge_where's lineage cascade under the oracle gate: the same
+    WAL/derived-table setup as `derived_file_stats` (epoch 0 through the
+    real Engine.apply_epoch with the file_stats derived registered), then a
+    takedown of one whole repo as epoch 1 — and the query reads the DERIVED
+    table, not the main one. Its state must equal DuckDB's per-key-latest
+    stats with the purged repo absent: the compliance contract that
+    content-derived rows (stats, signatures) never outlive a purge of their
+    source rows (ADVICE r3; reference analogue: the Cosmos upsert sink's
+    keyed delete, K3 semantics, extended across the silver lineage).
+
+    Scale shape: the purge reads only the matching keys (predicate pushed
+    into the snapshot read), tombstones ride the normal O(changes) keyed
+    merge on BOTH tables with per-table epoch manifests (exactly-once
+    across the lineage; crash between commits converges on resume —
+    tests/test_e2e_apply.py::test_purge_crash_between_tables)."""
+    import tempfile
+
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        Engine,
+        file_stats_derive,
+    )
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    key = f"{sf_dir}::purgecascade"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(os.path.join(loc, "file_stats"))):
+        loc = tempfile.mkdtemp(prefix="dex_engine_purgecascade_")
+        eng = Engine(spark, loc, n_buckets=8, mode="mor")
+        table = eng.snapshot_table("repo_files")
+        eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+        eng.apply_epoch(
+            _derived_demo_wal(spark, sf_dir), table, epoch=0, collect_metrics=False
+        )
+        eng.purge_where(table, "repo = 'src1'", epoch=1)
+        _LAKE_DEMO_CACHE[key] = loc
+    stats_t = LakeTable(spark, os.path.join(loc, "file_stats"))
+    return (
+        stats_t.snapshot()
+        .select(
+            "repo", "path", "lang", "n_lines", "n_tokens", "content_sha256", "last_lsn"
+        )
+        .orderBy("repo", "path")
+    )
+
+
+ORACLE_PURGE_CASCADE = """
+WITH body AS (
+  SELECT *, TRIM(text, chr(65279) || ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS b
+  FROM documents)
+SELECT source AS repo,
+       'doc/' || CAST(doc_id AS VARCHAR) AS path,
+       lang,
+       CAST(len(string_split(b, chr(10))) AS INT) AS n_lines,
+       CAST(len(list_filter(string_split(b, ' '), x -> len(x) > 0)) AS INT) AS n_tokens,
+       sha256(b) AS content_sha256,
+       CAST(doc_id * 2 + 1 AS BIGINT) AS last_lsn
+FROM body
+WHERE doc_id % 7 <> 0 AND len(b) > 0 AND source <> 'src1'
+ORDER BY repo, path
 """

@@ -1,0 +1,218 @@
+"""Deployable CLI for the CDC/incremental-ingest engine.
+
+The spark-submit surface the north rule names: package the library with
+``zip -r dex.zip data_exchange_hl7_spark`` and drive every lifecycle verb
+through one entrypoint on any cluster manager —
+
+    spark-submit --master yarn --py-files dex.zip cli.py ingest \
+        --warehouse s3a://lake/wh --wal s3a://wal/changes --mode mor \
+        --epoch-size 1000000 --compact-every 8 --expire-keep-last 4
+
+where ``cli.py`` is the two-liner ``from data_exchange_hl7_spark.__main__
+import main; main()`` (spark-submit needs a script file; ``python -m
+data_exchange_hl7_spark ...`` works directly in local mode). Reference
+analogue: the Azure Functions entry points (fn-debatcher/fn-validator/
+svc-hl7-replay HTTP triggers) collapsed into one batch/stream driver.
+
+Verbs: ingest (batch WAL replay in lsn-ordered epochs), stream (directory
+tail, exactly-once per micro-batch), replay (full/selective into a fresh
+table), compact / expire (maintenance), purge (lineage-wide takedown),
+inspect (metadata tables), metrics (per-epoch lineage).
+
+Everything here is a thin argparse shim over the public API — no logic
+lives in the CLI, so every verb stays covered by the library's tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="data_exchange_hl7_spark",
+        description="PySpark CDC/incremental-ingest engine CLI",
+    )
+    p.add_argument("--master", default=None, help="Spark master (default: env/local)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, table_default="repo_files"):
+        sp.add_argument("--warehouse", required=True)
+        sp.add_argument("--table", default=table_default)
+
+    sp = sub.add_parser("ingest", help="batch WAL replay in lsn-ordered epochs")
+    common(sp)
+    sp.add_argument("--wal", required=True)
+    sp.add_argument("--fmt", default="parquet", choices=["parquet", "jsonl", "csv"])
+    sp.add_argument("--epoch-size", type=int, default=100_000)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--mode", default="mor", choices=["cow", "mor"])
+    sp.add_argument("--compact-every", type=int, default=None)
+    sp.add_argument("--expire-keep-last", type=int, default=None)
+
+    sp = sub.add_parser("stream", help="tail a WAL directory (exactly-once)")
+    common(sp)
+    sp.add_argument("--wal", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--mode", default="mor", choices=["cow", "mor"])
+    sp.add_argument("--max-files-per-trigger", type=int, default=None)
+    sp.add_argument("--compact-every", type=int, default=None)
+    sp.add_argument("--expire-keep-last", type=int, default=None)
+    sp.add_argument(
+        "--follow", action="store_true",
+        help="keep running on a processing-time trigger instead of "
+        "draining the backlog and stopping (availableNow)",
+    )
+
+    sp = sub.add_parser("replay", help="full/selective replay into a fresh table")
+    common(sp, table_default="repo_files_replay")
+    sp.add_argument("--wal", required=True)
+    sp.add_argument("--fmt", default="parquet", choices=["parquet", "jsonl", "csv"])
+    sp.add_argument("--epoch-size", type=int, default=100_000)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--mode", default="mor", choices=["cow", "mor"])
+    sp.add_argument("--repo", default=None)
+    sp.add_argument("--path", default=None)
+    sp.add_argument("--lsn-range", type=int, nargs=2, default=None)
+    sp.add_argument("--reason", default="cli replay")
+
+    sp = sub.add_parser("compact", help="fold MoR deltas / re-cluster the base")
+    common(sp)
+    sp.add_argument("--max-delta-depth", type=int, default=None)
+    sp.add_argument("--files-per-bucket", type=int, default=None)
+    sp.add_argument("--zorder", default=None, help="comma-separated columns")
+
+    sp = sub.add_parser("expire", help="expire old snapshots")
+    common(sp)
+    sp.add_argument("--keep-last", type=int, required=True)
+
+    sp = sub.add_parser("purge", help="lineage-wide row takedown (Engine.purge_where)")
+    common(sp)
+    sp.add_argument("--predicate", required=True, help="SQL predicate over the table")
+    sp.add_argument("--epoch", type=int, required=True)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--mode", default="mor", choices=["cow", "mor"])
+
+    sp = sub.add_parser("inspect", help="metadata tables (files/snapshots/refs)")
+    common(sp)
+    sp.add_argument(
+        "--what", default="files", choices=["files", "snapshots", "refs"]
+    )
+
+    sp = sub.add_parser("metrics", help="per-epoch lineage/metrics table")
+    common(sp)
+    sp.add_argument("--buckets", type=int, default=64)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    import os
+
+    from data_exchange_hl7_spark.engine import Engine
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.session import build_session
+    from data_exchange_hl7_spark.sources import read_wal
+
+    spark = build_session(master=args.master)
+    loc = os.path.join(args.warehouse, args.table)
+
+    if args.cmd == "ingest":
+        from data_exchange_hl7_spark.streaming.runner import MicroBatchRunner
+
+        eng = Engine(spark, args.warehouse, n_buckets=args.buckets, mode=args.mode)
+        t = eng.snapshot_table(args.table)
+        stats = MicroBatchRunner(
+            eng,
+            epoch_size=args.epoch_size,
+            compact_every=args.compact_every,
+            expire_keep_last=args.expire_keep_last,
+        ).run(read_wal(spark, args.wal, fmt=args.fmt), t)
+        for s in stats:
+            print(json.dumps(s))
+        print(json.dumps({"table": args.table, "rows": t.snapshot().count()}))
+
+    elif args.cmd == "stream":
+        from data_exchange_hl7_spark.streaming.stream_ingest import stream_apply
+
+        eng = Engine(spark, args.warehouse, n_buckets=args.buckets, mode=args.mode)
+        t = eng.snapshot_table(args.table)
+        q = stream_apply(
+            spark,
+            eng,
+            args.wal,
+            t,
+            args.checkpoint,
+            available_now=not args.follow,
+            processing_time="10 seconds" if args.follow else None,
+            max_files_per_trigger=args.max_files_per_trigger,
+            compact_every=args.compact_every,
+            expire_keep_last=args.expire_keep_last,
+        )
+        q.awaitTermination()
+        print(json.dumps({"table": args.table, "rows": t.snapshot().count()}))
+
+    elif args.cmd == "replay":
+        from data_exchange_hl7_spark.streaming.runner import replay
+
+        eng = Engine(spark, args.warehouse, n_buckets=args.buckets, mode=args.mode)
+        t = replay(
+            eng,
+            read_wal(spark, args.wal, fmt=args.fmt),
+            table_name=args.table,
+            epoch_size=args.epoch_size,
+            repo=args.repo,
+            path=args.path,
+            lsn_range=tuple(args.lsn_range) if args.lsn_range else None,
+            reason=args.reason,
+        )
+        print(json.dumps({"table": args.table, "rows": t.snapshot().count()}))
+
+    elif args.cmd == "compact":
+        t = LakeTable(spark, loc)
+        kw = {}
+        if args.max_delta_depth is not None:
+            kw["max_delta_depth"] = args.max_delta_depth
+        if args.files_per_bucket is not None:
+            kw["files_per_bucket"] = args.files_per_bucket
+        if args.zorder:
+            kw["zorder_cols"] = args.zorder.split(",")
+        t.compact(**kw)
+        print(json.dumps({"table": args.table, "snapshot": t.current_snapshot()["snapshot_id"]}))
+
+    elif args.cmd == "expire":
+        t = LakeTable(spark, loc)
+        t.expire_snapshots(keep_last=args.keep_last)
+        print(json.dumps({"table": args.table, "kept_last": args.keep_last}))
+
+    elif args.cmd == "purge":
+        eng = Engine(spark, args.warehouse, n_buckets=args.buckets, mode=args.mode)
+        t = eng.snapshot_table(args.table)
+        r = eng.purge_where(t, args.predicate, epoch=args.epoch)
+        print(json.dumps(r, default=str))
+
+    elif args.cmd == "inspect":
+        t = LakeTable(spark, loc)
+        df = {
+            "files": t.meta_files,
+            "snapshots": t.meta_snapshots,
+            "refs": t.meta_refs,
+        }[args.what]()
+        for row in df.collect():  # metadata-sized by construction
+            print(json.dumps(row.asDict(), default=str))
+
+    elif args.cmd == "metrics":
+        eng = Engine(spark, args.warehouse, n_buckets=args.buckets)
+        for row in eng.metrics(args.table).collect():  # O(epochs) rows
+            print(json.dumps(row.asDict(), default=str))
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

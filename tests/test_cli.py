@@ -1,0 +1,65 @@
+"""The deployable CLI surface (python -m data_exchange_hl7_spark / the
+spark-submit two-liner): every verb is a thin shim over the public API, so
+this drives the full lifecycle — ingest, inspect, metrics, purge, compact,
+expire, replay — through real subprocesses and checks the printed JSON."""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(*args):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, "-m", "data_exchange_hl7_spark", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    return [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+
+
+def test_cli_lifecycle(spark):
+    from data_exchange_hl7_spark.datagen import change_events
+    from data_exchange_hl7_spark.sources import write_wal
+
+    wal = tempfile.mkdtemp(prefix="cli_wal_")
+    wh = tempfile.mkdtemp(prefix="cli_wh_")
+    write_wal(change_events(spark, 3000), wal)
+
+    out = _cli(
+        "ingest", "--warehouse", wh, "--wal", wal, "--epoch-size", "1500",
+        "--buckets", "8", "--mode", "mor", "--compact-every", "2",
+    )
+    assert out[-1]["rows"] > 0 and len(out) >= 2
+    assert all(s["applied"] for s in out[:-1])
+
+    files = _cli("inspect", "--warehouse", wh, "--what", "files")
+    assert files and {"base"} <= {f["kind"] for f in files}
+    snaps = _cli("inspect", "--warehouse", wh, "--what", "snapshots")
+    assert len(snaps) >= 2
+
+    metrics = _cli("metrics", "--warehouse", wh, "--buckets", "8")
+    assert len(metrics) == len(out) - 1  # one lineage row per applied epoch
+
+    victim = files and "org-0001/proj"
+    p = _cli(
+        "purge", "--warehouse", wh, "--predicate", f"repo = '{victim}'",
+        "--epoch", "9999", "--buckets", "8", "--mode", "mor",
+    )
+    assert p[-1]["applied"]
+
+    _cli("compact", "--warehouse", wh, "--max-delta-depth", "0")
+    _cli("expire", "--warehouse", wh, "--keep-last", "1")
+
+    rp = _cli(
+        "replay", "--warehouse", wh, "--wal", wal, "--table", "replay_t",
+        "--epoch-size", "1500", "--buckets", "8", "--repo", victim,
+    )
+    assert rp[-1]["table"] == "replay_t" and rp[-1]["rows"] > 0

@@ -4442,3 +4442,145 @@ FROM body
 WHERE doc_id % 7 <> 0 AND len(b) > 0 AND source <> 'src1'
 ORDER BY repo, path
 """
+
+
+def stream_stream_left_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER interval join under the oracle
+    gate — the half of the stream-join contract `stream_stream_join`
+    (inner) cannot certify: unmatched purchases must be EMITTED WITH NULLS,
+    and only once the watermark proves no matching click can still arrive
+    (state-eviction-driven emission, not a batch fallback). A left row's
+    latest possible match is c_ts = p_ts, so its null row becomes emittable
+    when the watermark passes p_ts; to flush the final rows when the
+    backlog ends, each side's file queue is closed by a far-future
+    SENTINEL event (ts = max + 10 days — the production heartbeat/flush
+    pattern for bounded replays of unbounded joins), filtered back out of
+    the result. The streamed rows must equal DuckDB's batch LEFT JOIN
+    exactly.
+
+    Scale shape: same symmetric-hash join as the inner variant — per-side
+    state bounded by (watermark delay + range) of event time, keyed and
+    co-partitioned on user_id; the null-emission adds no state, it is the
+    eviction path itself."""
+    import shutil
+    import tempfile
+
+    key = f"{sf_dir}::ssljoin"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and os.path.exists(os.path.join(loc, "result"))):
+        loc = tempfile.mkdtemp(prefix="dex_ssljoin_")
+        ev = _t(spark, sf_dir, "events")
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        n_files = 3
+        w = Window.orderBy("ts", "event_id")
+        sides = {
+            "p": ev.filter(F.col("event_type") == "purchase"),
+            "c": ev.filter(F.col("event_type") == "click"),
+        }
+        cols = ["event_id", "ts", "user_id", "event_type"]
+        for side, frame in sides.items():
+            chunked = frame.select(*cols).withColumn(
+                "__f", F.ntile(n_files).over(w)
+            )
+            src = os.path.join(loc, side)
+            os.makedirs(src, exist_ok=True)
+            flush = (
+                ev.limit(1)
+                .select(
+                    F.lit(-1).cast("long").alias("event_id"),
+                    (
+                        F.lit(max_ts).cast("timestamp")
+                        + F.expr("INTERVAL 240 HOURS")
+                    ).alias("ts"),
+                    F.lit(-999).cast("long").alias("user_id"),
+                    F.lit(side).alias("event_type"),
+                )
+            )
+            pieces = [
+                chunked.filter(F.col("__f") == i).drop("__f")
+                for i in range(1, n_files + 1)
+            ] + [flush]
+            for i, piece in enumerate(pieces, start=1):
+                stage = os.path.join(loc, f"stage_{side}{i}")
+                piece.coalesce(1).write.mode("overwrite").parquet(stage)
+                part = [
+                    f for f in os.listdir(stage) if f.endswith(".parquet")
+                ][0]
+                dst = os.path.join(src, f"{i:02d}.parquet")
+                shutil.move(os.path.join(stage, part), dst)
+                os.utime(dst, (1704067200 + i * 60, 1704067200 + i * 60))
+        schema = "event_id long, ts timestamp, user_id long, event_type string"
+        p = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(loc, "p"))
+            .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+            .withWatermark("ts", "48 hours")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        c = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(loc, "c"))
+            .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+            .withWatermark("ts", "48 hours")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        joined = p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "leftOuter",
+        )
+        qname = "ssljoin_" + os.path.basename(loc).replace("-", "_")
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                joined.select("purchase_id", "click_id", "user_id")
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(loc, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.table(qname).filter(F.col("purchase_id") >= 0).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(loc, "result"))
+        _LAKE_DEMO_CACHE[key] = loc
+    return (
+        spark.read.parquet(os.path.join(loc, "result"))
+        .select(
+            F.col("purchase_id").cast("bigint").alias("purchase_id"),
+            F.col("click_id").cast("bigint").alias("click_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+ORACLE_SSL_JOIN = """
+SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+       CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(p.user_id AS BIGINT) AS user_id
+FROM (SELECT event_id, ts, user_id FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT event_id, ts, user_id FROM events
+           WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
+ORDER BY purchase_id, click_id
+"""

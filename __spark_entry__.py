@@ -95,10 +95,13 @@ with sha256 replay invariant), contamination_overlap_score (per-doc
 fractional eval-overlap permille + release verdict), files_inspect_read
 (manifest-stats integrity: metadata-only table stats vs the oracle's
 semantic recomputation), purge_cascade_read (Engine.purge_where's
-derived-table sweep under the oracle), and stream_stream_left_join
+derived-table sweep under the oracle), stream_stream_left_join
 (the LEFT OUTER half of the stream-join contract: watermark-eviction-
 driven null emission, flushed by a far-future sentinel, streamed rows
-equal DuckDB's batch LEFT JOIN exactly). NOTE:
+equal DuckDB's batch LEFT JOIN exactly), and cdf_replica_read
+(streaming/cdf_tail.py — table-to-table incremental replication by
+tailing the change feed, offset = the replica's own epoch ledger,
+exactly-once re-polls, layout-independent across bucket counts). NOTE:
 tests/test_oracle_parity.py replicates the gate
 for ALL queries at sf0.01 in every pytest run, so tail queries are never
 unchecked — only externally un-refreshed. COVERAGE.md carries the
@@ -209,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_change_graph": q.co_change_graph,
         "stream_stream_join": q.stream_stream_join,
         "stream_stream_left_join": q.stream_stream_left_join,
+        "cdf_replica_read": q.cdf_replica_read,
         "join_view_read": q.join_view_read,
         "fim_transform": qt.fim_transform,
         "intradoc_line_dedup": qt.intradoc_line_dedup,
@@ -451,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "co_change_graph": q.ORACLE_CO_CHANGE,
         "stream_stream_join": q.ORACLE_SS_JOIN,
         "stream_stream_left_join": q.ORACLE_SSL_JOIN,
+        "cdf_replica_read": q.ORACLE_CDF_REPLICA,
         "join_view_read": q.ORACLE_JOIN_VIEW,
         "fim_transform": qt.ORACLE_FIM,
         "intradoc_line_dedup": qt.ORACLE_INTRADOC,

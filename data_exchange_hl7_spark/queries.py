@@ -1386,6 +1386,77 @@ ORDER BY user_id
 """
 
 
+def cdf_replica_read(spark, sf_dir):
+    """Table-to-table incremental replication under the oracle gate: an
+    INDEPENDENT downstream consumer tails the demo table's change feed by
+    snapshot offset (``streaming/cdf_tail.py`` — the Iceberg/Delta
+    'streaming read from a table' analogue; reference analogue: the replay
+    fan-out of svc-hl7-replay, with the upstream table's delta layers as
+    the persisted event window) and maintains a replica with a DIFFERENT
+    bucket count, one upstream snapshot per poll. Exactly-once is the
+    replica's own epoch ledger (epoch id = upstream snapshot id): the
+    second catch-up run must replicate nothing. The replica's resolved
+    state must equal DuckDB's latest-per-user over ALL events minus
+    deleted users — i.e. exactly the upstream state, reproduced through
+    the feed alone.
+
+    Scale shape: each poll reads only the window's delta files
+    (O(changes)), reduces with one key-hash shuffle, and merges through
+    the bucket-aligned MoR path — consumer cost tracks backlog size,
+    never table size."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.streaming.cdf_tail import CdfTailReplicator
+
+    up = _lake_demo_table(spark, sf_dir)
+    key = f"{sf_dir}::cdfreplica"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(loc)):
+        loc = tempfile.mkdtemp(prefix="dex_cdf_replica_")
+        rep = LakeTable.create(
+            spark,
+            loc,
+            schema=[
+                ("user_id", "bigint"),
+                ("event_type", "string"),
+                ("event_id", "bigint"),
+            ],
+            key_cols=["user_id"],
+            n_buckets=4,  # != upstream's 8: replication is layout-independent
+            mode="mor",
+            order_col="event_id",
+        )
+        tail = CdfTailReplicator(up, rep, max_snapshots_per_poll=1)
+        stats = tail.run_until_caught_up()
+        if [s["applied"] for s in stats] != [True, True]:
+            raise AssertionError(f"expected 2 applied polls, got {stats}")
+        again = tail.run_until_caught_up()
+        if any(s["applied"] for s in again):
+            raise AssertionError(f"re-poll must be exactly-once NO-OP: {again}")
+        _LAKE_DEMO_CACHE[key] = loc
+    rep = LakeTable(spark, loc)
+    return (
+        rep.snapshot()
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_CDF_REPLICA = """
+SELECT user_id, event_type AS last_op, event_id AS last_event_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
 def snapshot_diff(spark, sf_dir):
     """Snapshot-to-snapshot corpus diff: full-outer join of the table state
     at snapshot 1 (time travel) against the current state, classifying every

@@ -101,7 +101,10 @@ driven null emission, flushed by a far-future sentinel, streamed rows
 equal DuckDB's batch LEFT JOIN exactly), and cdf_replica_read
 (streaming/cdf_tail.py — table-to-table incremental replication by
 tailing the change feed, offset = the replica's own epoch ledger,
-exactly-once re-polls, layout-independent across bucket counts). NOTE:
+exactly-once re-polls, layout-independent across bucket counts) plus
+ivf_index_replica_read (incremental IVF index as a TRANSFORMED CDF-tail
+replica: O(changed vectors) per-epoch cell re-derivation, the vector
+sibling of incremental_minhash_index). NOTE:
 tests/test_oracle_parity.py replicates the gate
 for ALL queries at sf0.01 in every pytest run, so tail queries are never
 unchecked — only externally un-refreshed. COVERAGE.md carries the
@@ -213,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": q.stream_stream_join,
         "stream_stream_left_join": q.stream_stream_left_join,
         "cdf_replica_read": q.cdf_replica_read,
+        "ivf_index_replica_read": q.ivf_index_replica_read,
         "join_view_read": q.join_view_read,
         "fim_transform": qt.fim_transform,
         "intradoc_line_dedup": qt.intradoc_line_dedup,
@@ -456,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_stream_join": q.ORACLE_SS_JOIN,
         "stream_stream_left_join": q.ORACLE_SSL_JOIN,
         "cdf_replica_read": q.ORACLE_CDF_REPLICA,
+        "ivf_index_replica_read": q.ORACLE_IVF_INDEX_REPLICA,
         "join_view_read": q.ORACLE_JOIN_VIEW,
         "fim_transform": qt.ORACLE_FIM,
         "intradoc_line_dedup": qt.ORACLE_INTRADOC,

@@ -131,6 +131,9 @@ BENCH_QUERIES = [
     "contamination_overlap_score",
     "files_inspect_read",
     "purge_cascade_read",
+    "stream_stream_left_join",
+    "cdf_replica_read",
+    "ivf_index_replica_read",
 ]
 
 

@@ -1457,6 +1457,154 @@ ORDER BY user_id
 """
 
 
+def _ivf_index_derive(changes):
+    """Per-row IVF coarse-cell assignment over the change frame — the same
+    deterministic 4-centroid scheme as queries_text.ivf_partition_assign
+    (argmax of strided quantized sums over the 64-dim vector), evaluated as
+    pure array expressions: no explode, no shuffle, no centroid join.
+    D tombstones pass through (their null embedding yields a garbage cell
+    the merge never reads — deletes only need the key)."""
+    q = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("bigint"))
+    sums = [
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: F.element_at(q, i * 4 + j + 1),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias(f"__s{j}")
+        for j in range(4)
+    ]
+    df = changes.select("vec_id", "label", *sums, "lsn", "__op")
+    best = F.greatest(*[F.col(f"__s{j}") for j in range(4)])
+    cell = (
+        F.when(F.col("__s0") == best, 0)
+        .when(F.col("__s1") == best, 1)
+        .when(F.col("__s2") == best, 2)
+        .otherwise(3)
+    )
+    return df.select(
+        "vec_id", "label", cell.cast("int").alias("cell"), "lsn", "__op"
+    )
+
+
+def ivf_index_replica_read(spark, sf_dir):
+    """INCREMENTAL IVF index maintenance under the oracle gate — the
+    vector-side sibling of incremental_minhash_index, composed from the CDF
+    tail replicator: a vectors table keyed by vec_id evolves over two
+    epochs (epoch 0 INSERTs every vector with its dims REVERSED, epoch 1
+    UPDATEs vec_id%3==0 to the true embedding and DELETEs vec_id%7==0), and
+    an IVF-cell index table is maintained as a TRANSFORMED replica tailing
+    the change feed — each poll re-derives cells for exactly the window's
+    changed keys. The final index must equal DuckDB's assignment computed
+    straight from each key's FINAL vector, which certifies all three
+    incremental behaviors at once: untouched keys keep their epoch-0 cells
+    (never recomputed), updated keys are re-assigned from the new vector,
+    deleted keys leave no row.
+
+    Scale shape: at 10^9 vectors the IVF index refresh is O(changed
+    vectors) per epoch — the derive is a narrow per-row expression over the
+    window's delta files, and the index merge is bucket-aligned on vec_id;
+    the corpus of vectors never re-shuffles after ingest. ANN probes
+    (ivf_topk_trained) then scan only the probed cells of THIS index."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.streaming.cdf_tail import CdfTailReplicator
+
+    key = f"{sf_dir}::ivfreplica"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(os.path.join(loc, "index"))):
+        loc = tempfile.mkdtemp(prefix="dex_ivf_idx_")
+        up = LakeTable.create(
+            spark,
+            os.path.join(loc, "vectors"),
+            schema=[
+                ("vec_id", "bigint"),
+                ("label", "int"),
+                ("embedding", "array<float>"),
+                ("lsn", "bigint"),
+            ],
+            key_cols=["vec_id"],
+            n_buckets=8,
+            mode="mor",
+            order_col="lsn",
+        )
+        idx = LakeTable.create(
+            spark,
+            os.path.join(loc, "index"),
+            schema=[
+                ("vec_id", "bigint"),
+                ("label", "int"),
+                ("cell", "int"),
+                ("lsn", "bigint"),
+            ],
+            key_cols=["vec_id"],
+            n_buckets=4,
+            mode="mor",
+            order_col="lsn",
+        )
+        emb = _t(spark, sf_dir, "embeddings")
+        v1 = emb.select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.reverse("embedding").alias("embedding"),
+            (F.col("vec_id") * 2).alias("lsn"),
+            F.lit("U").alias("__op"),
+        )
+        v2 = emb.filter((F.col("vec_id") % 3 == 0) | (F.col("vec_id") % 7 == 0)).select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.when(F.col("vec_id") % 7 == 0, F.lit(None).cast("array<float>"))
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+            (F.col("vec_id") * 2 + 1).alias("lsn"),
+            F.when(F.col("vec_id") % 7 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("__op"),
+        )
+        up.merge(v1, epoch=0)
+        up.merge(v2, epoch=1)
+        tail = CdfTailReplicator(
+            up, idx, transform=_ivf_index_derive, max_snapshots_per_poll=1
+        )
+        stats = tail.run_until_caught_up()
+        if [s["applied"] for s in stats] != [True, True]:
+            raise AssertionError(f"expected 2 applied polls, got {stats}")
+        _LAKE_DEMO_CACHE[key] = loc
+    idx = LakeTable(spark, os.path.join(loc, "index"))
+    return (
+        idx.snapshot()
+        .select("vec_id", "label", "cell", F.col("lsn").alias("last_lsn"))
+        .orderBy("vec_id")
+    )
+
+
+_IVF_IDX_SUMS = ",\n".join(
+    "CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 15), "
+    f"i -> CAST(ROUND(emb[i * 4 + {j} + 1] * 1000) AS BIGINT))) AS BIGINT) AS s{j}"
+    for j in range(4)
+)
+ORACLE_IVF_INDEX_REPLICA = f"""
+WITH fin AS (
+  SELECT vec_id, label,
+         CASE WHEN vec_id % 3 = 0 THEN embedding
+              ELSE LIST_REVERSE(embedding) END AS emb,
+         CAST(CASE WHEN vec_id % 3 = 0 THEN vec_id * 2 + 1
+                   ELSE vec_id * 2 END AS BIGINT) AS last_lsn
+  FROM embeddings WHERE vec_id % 7 <> 0),
+s AS (SELECT vec_id, label, last_lsn, {_IVF_IDX_SUMS} FROM fin)
+SELECT vec_id, CAST(label AS INT) AS label,
+       CAST(CASE WHEN s0 = GREATEST(s0, s1, s2, s3) THEN 0
+                 WHEN s1 = GREATEST(s0, s1, s2, s3) THEN 1
+                 WHEN s2 = GREATEST(s0, s1, s2, s3) THEN 2
+                 ELSE 3 END AS INT) AS cell,
+       last_lsn
+FROM s ORDER BY vec_id
+"""
+
+
 def snapshot_diff(spark, sf_dir):
     """Snapshot-to-snapshot corpus diff: full-outer join of the table state
     at snapshot 1 (time travel) against the current state, classifying every

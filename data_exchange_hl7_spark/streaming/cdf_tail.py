@@ -26,9 +26,11 @@ snapshot in ``(offset, head]`` must still be un-expired; a consumer lagging
 past upstream ``expire_snapshots`` raises instead of silently skipping a
 window. Size upstream retention to the slowest consumer's lag.
 
-Schema evolution propagates forward: upstream columns absent from the
-replica are added (``add_column``) before the window merges, so a replica
-never drops data the upstream schema gained mid-tail.
+Schema evolution propagates forward on IDENTITY replicas: upstream columns
+absent from the replica are added (``add_column``) before the window
+merges, so a replica never drops data the upstream schema gained mid-tail.
+Transformed replicas own their schema — the transform decides what new
+upstream columns mean for the derived rows.
 
 Scale shape: one poll reads only the window's delta files (O(changes), no
 snapshot scan), reduces with a single key-hash shuffle, and merges through
@@ -109,7 +111,11 @@ class CdfTailReplicator:
         ).withColumnRenamed("_change_type", "__op")
         if self.transform is not None:
             changes = self.transform(changes)
-        self._propagate_schema(up_snap)
+        else:
+            # identity replicas track upstream schema evolution; a
+            # TRANSFORMED replica owns its schema (the transform decides
+            # what new upstream columns mean for the derived rows)
+            self._propagate_schema(up_snap)
         res = self.replica.merge(
             changes,
             epoch=to_sid,

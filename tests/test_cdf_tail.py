@@ -122,6 +122,25 @@ def test_partial_replica_via_transform(spark, tmp_path):
     assert CdfTailReplicator(up, rep).lag() == 0
 
 
+def test_transformed_replica_owns_its_schema(spark, tmp_path):
+    """Schema evolution must NOT auto-propagate into a transformed replica —
+    the transform decides what new upstream columns mean."""
+    up = _mk(spark, tmp_path / "up")
+    rep = _mk(spark, tmp_path / "rep")
+    up.merge(_changes(spark, [(1, "a", 1, "U")]), epoch=0)
+    up.add_column("extra", "string")
+    up.merge(
+        spark.createDataFrame(
+            [(2, "b", 2, "U", "x")],
+            "k bigint, v string, lsn bigint, __op string, extra string",
+        ),
+        epoch=1,
+    )
+    replicate(up, rep, transform=lambda df: df.select("k", "v", "lsn", "__op"))
+    assert "extra" not in [f["name"] for f in rep.schema_fields()]
+    assert sorted(r["k"] for r in rep.snapshot().collect()) == [1, 2]
+
+
 def test_lagging_past_retention_raises(spark, tmp_path):
     up = _mk(spark, tmp_path / "up")
     rep = _mk(spark, tmp_path / "rep")

@@ -1837,9 +1837,9 @@ def stratified_sample(spark, sf_dir):
 ORACLE_STRATIFIED = f"""
 WITH t AS (
   SELECT source,
-         100 + (CAST(SUBSTR(source, 4) AS BIGINT) * 37) % 800 AS rate_permille,
+         100 + (CAST(SUBSTR(source, 4, 10) AS BIGINT) * 37) % 800 AS rate_permille,
          CASE WHEN (doc_id * {SAMPLE_MULT}) % 4294967296 % 1000
-                   < 100 + (CAST(SUBSTR(source, 4) AS BIGINT) * 37) % 800
+                   < 100 + (CAST(SUBSTR(source, 4, 10) AS BIGINT) * 37) % 800
               THEN 1 ELSE 0 END AS keep
   FROM documents)
 SELECT source, rate_permille, COUNT(*) AS n_total,

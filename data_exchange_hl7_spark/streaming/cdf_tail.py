@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_exchange_hl7_spark.lake.table import LakeTable
-from data_exchange_hl7_spark.operators.dedup import latest_by_key
+from data_exchange_hl7_spark.operators.dedup import latest_by_key, latest_by_key_salted
 
 
 class CdfTailReplicator:
@@ -64,11 +64,18 @@ class CdfTailReplicator:
         replica: LakeTable,
         transform=None,
         max_snapshots_per_poll: int | None = None,
+        salt_hot_keys: int | None = None,
     ) -> None:
         self.upstream = upstream
         self.replica = replica
         self.transform = transform
         self.max_snapshots_per_poll = max_snapshots_per_poll
+        # opt-in two-phase reduce for windows where one key dominates (a
+        # repo/path rewritten millions of times between polls): spread the
+        # hot key over N salted reducers first — same tradeoff as the
+        # engine's salted apply (plain window wins to ~40M rows on one box,
+        # salting is the cluster-scale opt-in; BENCH.md skew section)
+        self.salt_hot_keys = salt_hot_keys
 
     # ------------------------------------------------------------ offsets
     def offset(self) -> int:
@@ -106,7 +113,12 @@ class CdfTailReplicator:
         # MoR read uses (max order_col/LSN — commit order is irrelevant for
         # an LSN-ordered table: a later commit may carry an older change,
         # which must lose here exactly as it loses upstream).
-        changes = latest_by_key(
+        reduce = latest_by_key
+        if self.salt_hot_keys:
+            reduce = lambda df, k, o: latest_by_key_salted(  # noqa: E731
+                df, k, o, n_salts=self.salt_hot_keys
+            )
+        changes = reduce(
             feed.drop("_commit_snapshot"), keys, [order_col]
         ).withColumnRenamed("_change_type", "__op")
         if self.transform is not None:

@@ -151,6 +151,24 @@ def test_lagging_past_retention_raises(spark, tmp_path):
         replicate(up, rep)
 
 
+def test_salted_reduce_matches_plain(spark, tmp_path):
+    """salt_hot_keys must change only the plan, never the result — the same
+    window replicated with and without salting yields identical replicas."""
+    up = _mk(spark, tmp_path / "up")
+    # 8 epochs re-writing the SAME 5 keys -> one poll window carries 8
+    # changes per key, so the reduce actually has duplicates to resolve
+    for e in range(8):
+        up.merge(
+            _changes(spark, [(k, f"v{e}_{k}", e * 5 + k, "U") for k in range(5)]),
+            epoch=e,
+        )
+    plain = _mk(spark, tmp_path / "plain")
+    salted = _mk(spark, tmp_path / "salted")
+    CdfTailReplicator(up, plain).run_until_caught_up()
+    CdfTailReplicator(up, salted, salt_hot_keys=8).run_until_caught_up()
+    assert _state(plain) == _state(salted) == _state(up)
+
+
 def test_replication_across_consolidation(spark, tmp_path):
     """A consolidation commit inside the window contributes no changes and
     must not break the feed (per-snapshot metadata is immutable)."""

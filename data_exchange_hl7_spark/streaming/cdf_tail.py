@@ -128,6 +128,21 @@ class CdfTailReplicator:
             # TRANSFORMED replica owns its schema (the transform decides
             # what new upstream columns mean for the derived rows)
             self._propagate_schema(up_snap)
+        # A window can PREDATE columns the replica already has (replica
+        # created from a later upstream schema, or columns added upstream
+        # after this window): rows written before a column existed carry
+        # null for it — fill explicitly so the merge's full-schema contract
+        # holds for every window. (Upstream renames/widens do NOT propagate
+        # as renames — fork the replica from the current upstream schema,
+        # or apply them to the replica by hand before the next poll.)
+        have = set(changes.columns)
+        changes = changes.withColumns(
+            {
+                f["name"]: F.lit(None).cast(f["type"])
+                for f in self.replica.schema_fields()
+                if f["name"] not in have
+            }
+        )
         res = self.replica.merge(
             changes,
             epoch=to_sid,

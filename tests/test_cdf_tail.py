@@ -151,6 +151,32 @@ def test_lagging_past_retention_raises(spark, tmp_path):
         replicate(up, rep)
 
 
+def test_replica_created_from_final_schema(spark, tmp_path):
+    """A replica forked from the CURRENT upstream schema must still replay
+    windows that PREDATE the newest columns (those rows fill null) —
+    regression for the engine-built bench table whose schema evolves
+    mid-stream."""
+    up = _mk(spark, tmp_path / "up")
+    up.merge(_changes(spark, [(1, "a", 1, "U")]), epoch=0)
+    up.add_column("lang", "string")
+    up.merge(
+        spark.createDataFrame(
+            [(2, "b", 2, "U", "py")],
+            "k bigint, v string, lsn bigint, __op string, lang string",
+        ),
+        epoch=1,
+    )
+    rep = _mk(
+        spark,
+        tmp_path / "rep",
+        cols=[(f["name"], f["type"]) for f in up.schema_fields()],
+    )
+    # one snapshot per poll: the FIRST window predates the lang column
+    replicate(up, rep, max_snapshots_per_poll=1)
+    got = {r["k"]: r["lang"] for r in rep.snapshot().collect()}
+    assert got == {1: None, 2: "py"}
+
+
 def test_salted_reduce_matches_plain(spark, tmp_path):
     """salt_hot_keys must change only the plan, never the result — the same
     window replicated with and without salting yields identical replicas."""

@@ -30,8 +30,11 @@ plan written at the end of r3):
   6. tail (51+): r3-green queries + the eight above (q1 likewise).
 
 ROUND-5 ROTATION PLAN (written during r4): rotate INTO the window first
-any never-green or red query from CORRECTNESS_r04, then queries added or
-module-touched during r5, then the six r4-touched-module queries the
+any never-green or red query from CORRECTNESS_r04 — note that the
+post-window additions 53+ (edit_pairs through ivf_index_replica_read,
+including stream_stream_left_join, cdf_replica_read and the CDF-tail
+replicator family) are never-green BY CONSTRUCTION and lead this group —
+then queries added or module-touched during r5, then the six r4-touched-module queries the
 temporal-CDC family displaced (derived_file_stats, aggregate_repo_stats,
 incremental_minhash_index, index_dup_candidates, dup_clusters,
 minhash_dup_pairs), then the remaining LSH family whose persist

@@ -480,3 +480,75 @@ def test_rollback_model_equivalence(spark, ops):
         assert got == model
     finally:
         shutil.rmtree(loc, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- cdf tail
+# Replication convergence: for ANY change log (duplicate keys, out-of-order
+# LSNs, deletes) and ANY partition of it into upstream epochs and ANY poll
+# window size, the CDF-tail replica must equal the upstream table — which a
+# brute-force Python oracle computes as max-LSN-per-key minus deleted keys.
+changelog_strategy = st.tuples(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),          # key
+            st.integers(0, 30),         # lsn
+            st.booleans(),              # is_delete
+        ),
+        min_size=1,
+        max_size=24,
+        unique_by=lambda r: r[1],       # unique LSNs (the engine contract)
+    ),
+    st.integers(1, 4),                  # number of upstream epochs
+    st.integers(1, 3),                  # max_snapshots_per_poll
+)
+
+
+def _python_replica(rows):
+    best = {}
+    for k, lsn, dele in rows:
+        if k not in best or lsn > best[k][0]:
+            best[k] = (lsn, dele)
+    return sorted((k, f"v{lsn}", lsn) for k, (lsn, dele) in best.items() if not dele)
+
+
+@given(changelog_strategy)
+@SPARK_SETTINGS
+def test_cdf_tail_replica_converges(spark, tmp_path_factory, case):
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.streaming.cdf_tail import replicate
+
+    rows, n_epochs, per_poll = case
+    base = tmp_path_factory.mktemp("cdf_prop")
+    cols = [("k", "bigint"), ("v", "string"), ("lsn", "bigint")]
+    up = LakeTable.create(
+        spark, str(base / "up"), schema=cols, key_cols=["k"],
+        n_buckets=4, mode="mor", order_col="lsn",
+    )
+    rep = LakeTable.create(
+        spark, str(base / "rep"), schema=cols, key_cols=["k"],
+        n_buckets=2, mode="mor", order_col="lsn",
+    )
+    for e in range(n_epochs):
+        chunk = rows[e::n_epochs]
+        if not chunk:
+            continue
+        # one row per key per merge: keep the chunk's max-lsn change per key
+        per_key = {}
+        for k, lsn, dele in chunk:
+            if k not in per_key or lsn > per_key[k][1]:
+                per_key[k] = (k, lsn, dele)
+        payload = [
+            (k, None if dele else f"v{lsn}", lsn, "D" if dele else "U")
+            for k, lsn, dele in per_key.values()
+        ]
+        up.merge(
+            spark.createDataFrame(payload, "k bigint, v string, lsn bigint, __op string"),
+            epoch=e,
+        )
+    replicate(up, rep, max_snapshots_per_poll=per_poll)
+    got = sorted(tuple(r) for r in rep.snapshot().collect())
+    # the oracle must be computed from the per-epoch REDUCED payloads (the
+    # engine's contract: one change per key per epoch), i.e. what upstream saw
+    up_state = sorted(tuple(r) for r in up.snapshot().collect())
+    assert got == up_state
+    assert got == _python_replica(rows)

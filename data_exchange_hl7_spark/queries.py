@@ -22,6 +22,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_exchange_hl7_spark import queries_text as qt
+
 # ---------------------------------------------------------------------------
 
 
@@ -1458,35 +1460,25 @@ ORDER BY user_id
 
 
 def _ivf_index_derive(changes):
-    """Per-row IVF coarse-cell assignment over the change frame — the same
-    deterministic 4-centroid scheme as queries_text.ivf_partition_assign
-    (argmax of strided quantized sums over the 64-dim vector), evaluated as
-    pure array expressions: no explode, no shuffle, no centroid join.
-    D tombstones pass through (their null embedding yields a garbage cell
-    the merge never reads — deletes only need the key)."""
-    q = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("bigint"))
-    sums = [
-        F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(15)),
-                lambda i: F.element_at(q, i * 4 + j + 1),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias(f"__s{j}")
-        for j in range(4)
-    ]
+    """Per-row IVF coarse-cell assignment over the change frame — THE
+    deterministic 4-centroid scheme, imported from queries_text
+    (ivf_cell_sums / ivf_cell_from_sums — one definition shared with
+    ivf_partition_assign, so the batch assignment and the index-maintenance
+    path cannot drift), evaluated as pure array expressions: no explode, no
+    shuffle, no centroid join. D tombstones pass through (their null
+    embedding yields a garbage cell the merge never reads — deletes only
+    need the key)."""
+    from data_exchange_hl7_spark.queries_text import (
+        ivf_cell_from_sums,
+        ivf_cell_sums,
+        quantize_expr,
+    )
+
+    q = quantize_expr(F.col("embedding"))
+    sums = [s.alias(f"__s{j}") for j, s in enumerate(ivf_cell_sums(q))]
     df = changes.select("vec_id", "label", *sums, "lsn", "__op")
-    best = F.greatest(*[F.col(f"__s{j}") for j in range(4)])
-    cell = (
-        F.when(F.col("__s0") == best, 0)
-        .when(F.col("__s1") == best, 1)
-        .when(F.col("__s2") == best, 2)
-        .otherwise(3)
-    )
-    return df.select(
-        "vec_id", "label", cell.cast("int").alias("cell"), "lsn", "__op"
-    )
+    cell = ivf_cell_from_sums(*[F.col(f"__s{j}") for j in range(4)])
+    return df.select("vec_id", "label", cell.alias("cell"), "lsn", "__op")
 
 
 def ivf_index_replica_read(spark, sf_dir):
@@ -1581,11 +1573,6 @@ def ivf_index_replica_read(spark, sf_dir):
     )
 
 
-_IVF_IDX_SUMS = ",\n".join(
-    "CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 15), "
-    f"i -> CAST(ROUND(emb[i * 4 + {j} + 1] * 1000) AS BIGINT))) AS BIGINT) AS s{j}"
-    for j in range(4)
-)
 ORACLE_IVF_INDEX_REPLICA = f"""
 WITH fin AS (
   SELECT vec_id, label,
@@ -1594,12 +1581,9 @@ WITH fin AS (
          CAST(CASE WHEN vec_id % 3 = 0 THEN vec_id * 2 + 1
                    ELSE vec_id * 2 END AS BIGINT) AS last_lsn
   FROM embeddings WHERE vec_id % 7 <> 0),
-s AS (SELECT vec_id, label, last_lsn, {_IVF_IDX_SUMS} FROM fin)
+s AS (SELECT vec_id, label, last_lsn, {qt.ivf_cell_sums_sql('emb')} FROM fin)
 SELECT vec_id, CAST(label AS INT) AS label,
-       CAST(CASE WHEN s0 = GREATEST(s0, s1, s2, s3) THEN 0
-                 WHEN s1 = GREATEST(s0, s1, s2, s3) THEN 1
-                 WHEN s2 = GREATEST(s0, s1, s2, s3) THEN 2
-                 ELSE 3 END AS INT) AS cell,
+       {qt.IVF_CELL_CASE_SQL} AS cell,
        last_lsn
 FROM s ORDER BY vec_id
 """
@@ -3147,7 +3131,9 @@ def stream_ingest_read(spark, sf_dir):
             compact_every=2,
             expire_keep_last=3,
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming drain did not finish within 300s")
         # the rate limit must have split the drain into several exactly-once
         # micro-batches — the property under test (not one giant batch)
         assert len(table.committed_epochs()) >= 3, table.committed_epochs()
@@ -3897,7 +3883,9 @@ def late_data_audit(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming drain did not finish within 300s")
         res = (
             spark.table(qname)
             .filter(~F.col("event_type").startswith("zzz_"))
@@ -4275,7 +4263,9 @@ def stream_stream_join(spark, sf_dir):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("streaming drain did not finish within 300s")
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.table(qname).write.mode("overwrite").parquet(
@@ -4773,7 +4763,9 @@ def stream_stream_left_join(spark, sf_dir):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("streaming drain did not finish within 300s")
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.table(qname).filter(F.col("purchase_id") >= 0).write.mode(

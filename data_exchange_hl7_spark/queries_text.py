@@ -811,11 +811,63 @@ SELECT doc_id, {_SIM_BITS} AS simhash{SIMHASH_BITS} FROM c ORDER BY doc_id
 # ======================== similarity search (ANN) =========================
 
 
+def quantize_expr(emb):
+    """Embedding -> integer milli-grid (array<bigint>). The SINGLE
+    quantization every IVF/ANN query and oracle derives from."""
+    return F.transform(emb, lambda x: F.round(x * 1000).cast("bigint"))
+
+
 def _quantized(spark, sf_dir):
     """Embeddings on the integer milli-grid: array<bigint>."""
     e = _t(spark, sf_dir, "embeddings")
-    q = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("bigint"))
-    return e.select("vec_id", "label", q.alias("q"))
+    return e.select("vec_id", "label", quantize_expr(F.col("embedding")).alias("q"))
+
+
+def ivf_cell_sums(q):
+    """Spark side of the shared 4-centroid coarse-assignment scheme: the
+    four strided sums over a QUANTIZED 64-dim vector. Used by
+    ivf_partition_assign AND the incremental IVF index replica
+    (queries._ivf_index_derive) — one definition, so the scheme cannot
+    drift between the batch assignment and the index maintenance path."""
+    return [
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: F.element_at(q, i * 4 + j + 1),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        for j in range(4)
+    ]
+
+
+def ivf_cell_from_sums(s0, s1, s2, s3):
+    """argmax over the four named sum columns -> cell int (first-wins on
+    ties, matching the SQL CASE)."""
+    best = F.greatest(s0, s1, s2, s3)
+    return (
+        F.when(s0 == best, 0)
+        .when(s1 == best, 1)
+        .when(s2 == best, 2)
+        .otherwise(3)
+    ).cast("int")
+
+
+def ivf_cell_sums_sql(emb_expr: str) -> str:
+    """DuckDB side of the same scheme: the s0..s3 select-list fragment over
+    an embedding expression (quantization inlined, identical constants)."""
+    return ",\n".join(
+        "CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 15), "
+        f"i -> CAST(ROUND(({emb_expr})[i * 4 + {j} + 1] * 1000) AS BIGINT))) AS BIGINT) AS s{j}"
+        for j in range(4)
+    )
+
+
+IVF_CELL_CASE_SQL = """CAST(CASE WHEN s0 = GREATEST(s0, s1, s2, s3) THEN 0
+                 WHEN s1 = GREATEST(s0, s1, s2, s3) THEN 1
+                 WHEN s2 = GREATEST(s0, s1, s2, s3) THEN 2
+                 ELSE 3 END AS INT)"""
 
 
 # ANN harness constants — oracles are generated from these, so the Python
@@ -877,42 +929,18 @@ def ivf_partition_assign(spark, sf_dir):
     (sum of every 4th quantized dim); argmax decides the cell. The scale
     path for ANN: search only the assigned cell."""
     e = _quantized(spark, sf_dir)
-    sums = [
-        F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(15)),
-                lambda i: F.element_at(F.col("q"), i * 4 + j + 1),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias(f"s{j}")
-        for j in range(4)
-    ]
+    sums = [s.alias(f"s{j}") for j, s in enumerate(ivf_cell_sums(F.col("q")))]
     df = e.select("vec_id", "label", *sums)
-    best = F.greatest(*[F.col(f"s{j}") for j in range(4)])
-    cell = (
-        F.when(F.col("s0") == best, 0)
-        .when(F.col("s1") == best, 1)
-        .when(F.col("s2") == best, 2)
-        .otherwise(3)
-    )
+    cell = ivf_cell_from_sums(*[F.col(f"s{j}") for j in range(4)])
     return df.select(
-        "vec_id", F.col("label").cast("int").alias("label"), cell.cast("int").alias("cell")
+        "vec_id", F.col("label").cast("int").alias("label"), cell.alias("cell")
     ).orderBy("vec_id")
 
 
-_IVF_SUMS = ",\n".join(
-    "CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 15), "
-    f"i -> CAST(ROUND(embedding[i * 4 + {j} + 1] * 1000) AS BIGINT))) AS BIGINT) AS s{j}"
-    for j in range(4)
-)
 ORACLE_IVF = f"""
-WITH s AS (SELECT vec_id, label, {_IVF_SUMS} FROM embeddings)
+WITH s AS (SELECT vec_id, label, {ivf_cell_sums_sql('embedding')} FROM embeddings)
 SELECT vec_id, CAST(label AS INT) AS label,
-       CAST(CASE WHEN s0 = GREATEST(s0, s1, s2, s3) THEN 0
-                 WHEN s1 = GREATEST(s0, s1, s2, s3) THEN 1
-                 WHEN s2 = GREATEST(s0, s1, s2, s3) THEN 2
-                 ELSE 3 END AS INT) AS cell
+       {IVF_CELL_CASE_SQL} AS cell
 FROM s ORDER BY vec_id
 """
 
@@ -1084,11 +1112,8 @@ def ivf_topk(spark, sf_dir, k: int = ANN_K, n_queries: int = ANN_QUERIES):
 _IVF_CELL_SQL = f"""
   SELECT vec_id,
          LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q,
-         CAST(CASE WHEN s0 = GREATEST(s0, s1, s2, s3) THEN 0
-                   WHEN s1 = GREATEST(s0, s1, s2, s3) THEN 1
-                   WHEN s2 = GREATEST(s0, s1, s2, s3) THEN 2
-                   ELSE 3 END AS INT) AS cell
-  FROM (SELECT vec_id, embedding, {_IVF_SUMS} FROM embeddings) s
+         {IVF_CELL_CASE_SQL} AS cell
+  FROM (SELECT vec_id, embedding, {ivf_cell_sums_sql('embedding')} FROM embeddings) s
 """
 ORACLE_IVF_TOPK = f"""
 WITH c AS ({_IVF_CELL_SQL}),

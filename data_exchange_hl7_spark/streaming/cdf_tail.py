@@ -110,17 +110,22 @@ class CdfTailReplicator:
         keys = up_snap["key_cols"]
         order_col = up_snap["order_col"]
         # One row per key per window, resolved by the SAME rule the upstream
-        # MoR read uses (max order_col/LSN — commit order is irrelevant for
-        # an LSN-ordered table: a later commit may carry an older change,
-        # which must lose here exactly as it loses upstream).
+        # MoR read uses: max order_col/LSN first (commit order is irrelevant
+        # for an LSN-ordered table — a later commit may carry an older
+        # change, which must lose here exactly as it loses upstream), then
+        # _commit_snapshot as the tie-break, mirroring upstream's
+        # layer-sequence rule that a future merge wins an order_col tie
+        # (lake/table.py read resolution).
         reduce = latest_by_key
         if self.salt_hot_keys:
             reduce = lambda df, k, o: latest_by_key_salted(  # noqa: E731
                 df, k, o, n_salts=self.salt_hot_keys
             )
-        changes = reduce(
-            feed.drop("_commit_snapshot"), keys, [order_col]
-        ).withColumnRenamed("_change_type", "__op")
+        changes = (
+            reduce(feed, keys, [order_col, "_commit_snapshot"])
+            .drop("_commit_snapshot")
+            .withColumnRenamed("_change_type", "__op")
+        )
         if self.transform is not None:
             changes = self.transform(changes)
         else:
@@ -157,14 +162,19 @@ class CdfTailReplicator:
 
     def run_until_caught_up(self, max_polls: int = 1_000_000) -> list[dict]:
         """Poll until the replica's offset reaches the upstream head (bounded
-        by ``max_polls`` as a runaway guard). Returns the poll statuses."""
+        by ``max_polls`` as a runaway guard — raises if the budget runs out
+        before catching up, so a caller can never mistake a still-lagging
+        replica for a synced one). Returns the poll statuses."""
         out: list[dict] = []
         for _ in range(max_polls):
             st = self.poll()
             out.append(st)
             if st["to_sid"] >= st["head"]:
-                break
-        return out
+                return out
+        raise RuntimeError(
+            f"replica still {out[-1]['head'] - out[-1]['to_sid']} snapshots "
+            f"behind after {max_polls} polls (last status: {out[-1]})"
+        )
 
 
 def replicate(

@@ -92,6 +92,27 @@ def test_out_of_lsn_order_window_resolves_like_upstream(spark, tmp_path):
     assert _state(rep2) == _state(up)
 
 
+def test_order_col_tie_across_commits_resolves_like_upstream(spark, tmp_path):
+    """Two commits carrying the SAME (key, lsn): upstream's MoR read keeps
+    the LATER commit's row (layer sequence breaks order_col ties); the
+    replica reduce must apply the same tie-break (_commit_snapshot), not an
+    arbitrary winner — regression for the replica=='a' divergence."""
+    up = _mk(spark, tmp_path / "up")
+    up.merge(_changes(spark, [(1, "a", 5, "U")]), epoch=0)
+    up.merge(_changes(spark, [(1, "b", 5, "U")]), epoch=1)
+    assert _state(up) == [(1, "b", 5)]
+    rep = _mk(spark, tmp_path / "rep")
+    replicate(up, rep)  # one window spanning both commits
+    assert _state(rep) == [(1, "b", 5)]
+    # and the D-vs-U flavor: the later commit's delete must win the tie
+    up2 = _mk(spark, tmp_path / "up2")
+    up2.merge(_changes(spark, [(1, "a", 5, "U")]), epoch=0)
+    up2.merge(_changes(spark, [(1, None, 5, "D")]), epoch=1)
+    rep2 = _mk(spark, tmp_path / "rep2")
+    replicate(up2, rep2)
+    assert _state(rep2) == _state(up2) == []
+
+
 def test_schema_evolution_propagates(spark, tmp_path):
     up = _mk(spark, tmp_path / "up")
     rep = _mk(spark, tmp_path / "rep")

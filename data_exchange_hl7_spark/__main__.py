@@ -5,8 +5,13 @@ The spark-submit surface the north rule names: package the library with
 through one entrypoint on any cluster manager —
 
     spark-submit --master yarn --py-files dex.zip cli.py ingest \
-        --warehouse s3a://lake/wh --wal s3a://wal/changes --mode mor \
-        --epoch-size 1000000 --compact-every 8 --expire-keep-last 4
+        --warehouse /mnt/shared/lake/wh --wal /mnt/shared/wal/changes \
+        --mode mor --epoch-size 1000000 --compact-every 8 --expire-keep-last 4
+
+The table METADATA/ledger layer uses POSIX filesystem semantics (O_EXCL
+commit arbitration, os.replace) — point ``--warehouse`` at a mount every
+node shares (NFS/Lustre/local in local mode); an object-store catalog
+would swap in at the LakeTable metadata layer, not here.
 
 where ``cli.py`` is the two-liner ``from data_exchange_hl7_spark.__main__
 import main; main()`` (spark-submit needs a script file; ``python -m
@@ -89,12 +94,21 @@ def _build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--keep-last", type=int, required=True)
 
-    sp = sub.add_parser("purge", help="lineage-wide row takedown (Engine.purge_where)")
+    sp = sub.add_parser(
+        "purge",
+        help="row takedown (Engine.purge_where) — REFUSES if the warehouse "
+        "registry lists derived tables this process hasn't re-registered "
+        "(their derive fns are code); --main-only sweeps just the main table",
+    )
     common(sp)
     sp.add_argument("--predicate", required=True, help="SQL predicate over the table")
     sp.add_argument("--epoch", type=int, required=True)
     sp.add_argument("--buckets", type=int, default=64)
     sp.add_argument("--mode", default="mor", choices=["cow", "mor"])
+    sp.add_argument(
+        "--main-only", action="store_true",
+        help="deliberately skip the derived-table cascade",
+    )
 
     sp = sub.add_parser("inspect", help="metadata tables (files/snapshots/refs)")
     common(sp)
@@ -104,7 +118,6 @@ def _build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("metrics", help="per-epoch lineage/metrics table")
     common(sp)
-    sp.add_argument("--buckets", type=int, default=64)
 
     return p
 
@@ -142,12 +155,21 @@ def main(argv: list[str] | None = None) -> int:
 
         eng = Engine(spark, args.warehouse, n_buckets=args.buckets, mode=args.mode)
         t = eng.snapshot_table(args.table)
+        # a tail started before any producer wrote cannot infer a schema
+        # from existing files — fall back to the canonical WAL schema
+        from data_exchange_hl7_spark.sources import wal_schema
+
+        try:
+            schema = spark.read.parquet(args.wal).schema
+        except Exception:
+            schema = wal_schema()
         q = stream_apply(
             spark,
             eng,
             args.wal,
             t,
             args.checkpoint,
+            schema=schema,
             available_now=not args.follow,
             processing_time="10 seconds" if args.follow else None,
             max_files_per_trigger=args.max_files_per_trigger,
@@ -191,9 +213,16 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"table": args.table, "kept_last": args.keep_last}))
 
     elif args.cmd == "purge":
+        if not LakeTable.exists(loc):
+            # snapshot_table would CREATE an empty table here — a typo'd
+            # --table must fail the takedown loudly, not report success
+            print(json.dumps({"error": f"no table at {loc}"}), file=sys.stderr)
+            return 2
         eng = Engine(spark, args.warehouse, n_buckets=args.buckets, mode=args.mode)
         t = eng.snapshot_table(args.table)
-        r = eng.purge_where(t, args.predicate, epoch=args.epoch)
+        r = eng.purge_where(
+            t, args.predicate, epoch=args.epoch, main_only=args.main_only
+        )
         print(json.dumps(r, default=str))
 
     elif args.cmd == "inspect":
@@ -207,8 +236,14 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(row.asDict(), default=str))
 
     elif args.cmd == "metrics":
-        eng = Engine(spark, args.warehouse, n_buckets=args.buckets)
-        for row in eng.metrics(args.table).collect():  # O(epochs) rows
+        # read the metrics parquet directly (Engine.metrics' path) — no
+        # Engine construction, so a typo'd warehouse fails loudly instead
+        # of makedirs-ing a junk directory
+        base = os.path.join(args.warehouse, "_metrics", args.table)
+        df = spark.read.option("basePath", base).parquet(
+            os.path.join(base, "epoch=*")
+        )
+        for row in df.collect():  # O(epochs) rows
             print(json.dumps(row.asDict(), default=str))
 
     return 0

@@ -427,6 +427,41 @@ class Engine:
         # the fn rather than double-merging the same table per epoch
         regs[:] = [r for r in regs if r[0].location != t.location]
         regs.append((t, fn, kind))
+        self._persist_registration(main, t, kind)
+
+    def _registry_path(self, main: str) -> str:
+        return os.path.join(self.warehouse, "_registry", f"{main}.json")
+
+    def _persist_registration(self, main: str, t: LakeTable, kind: str) -> None:
+        """Durable record that ``main`` HAS derived consumers (name + kind
+        only — the derive fn is code and lives in the registering process).
+        A compliance purge/redact from a process that has NOT re-registered
+        them consults this file and fails loud instead of silently sweeping
+        the main table alone (see ``_purge_or_redact``)."""
+        import json as _json
+
+        path = self._registry_path(main)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        entries: dict[str, dict] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                entries = _json.load(f)
+        entries[os.path.basename(t.location)] = {"kind": kind}
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            _json.dump(entries, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+
+    def registered_derived(self, main: str = "repo_files") -> dict[str, dict]:
+        """Every derived table ever registered for ``main`` in THIS
+        warehouse (durable across processes), name -> {kind}."""
+        import json as _json
+
+        path = self._registry_path(main)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return _json.load(f)
 
     def aggregate_table(
         self,
@@ -1343,6 +1378,7 @@ class Engine:
         predicate: str,
         epoch: int,
         epoch_info: dict | None = None,
+        main_only: bool = False,
     ) -> dict:
         """Row-level takedown across the WHOLE lineage: tombstones every
         current main-table row matching the SQL ``predicate`` AND, in the
@@ -1363,8 +1399,20 @@ class Engine:
         ``compact()`` + ``expire_snapshots()`` on the main AND each derived
         table (reference analogue: the Cosmos upsert sink's keyed delete,
         K3 semantics).
+
+        Raises if the warehouse's durable registry lists derived tables not
+        re-registered in THIS process (their derive fns are code this
+        process doesn't hold, so the cascade CANNOT reach them) — a purge
+        that silently misses signature indexes is a compliance failure, not
+        a convenience. ``main_only=True`` overrides, sweeping the main
+        table alone on purpose — recoverable: re-running the SAME epoch
+        with the deriveds registered completes the cascade through the
+        partial-commit resume path (the change frame is recomputed from
+        the pre-purge snapshot).
         """
-        return self._purge_or_redact(table, predicate, epoch, None, epoch_info)
+        return self._purge_or_redact(
+            table, predicate, epoch, None, epoch_info, main_only=main_only
+        )
 
     def redact_where(
         self,
@@ -1373,6 +1421,7 @@ class Engine:
         set_exprs: dict[str, str],
         epoch: int,
         epoch_info: dict | None = None,
+        main_only: bool = False,
     ) -> dict:
         """In-place redaction across the lineage: like ``purge_where`` but
         rewrites ``set_exprs`` (column -> SQL expression) on the matching
@@ -1381,8 +1430,11 @@ class Engine:
         preserve the table invariant (override by setting them explicitly),
         and every registered derived table re-derives from the REDACTED rows
         in the same epoch — e.g. the MinHash index re-signs the scrubbed
-        text, so the old content stops matching near-dup probes."""
-        return self._purge_or_redact(table, predicate, epoch, set_exprs, epoch_info)
+        text, so the old content stops matching near-dup probes. Same
+        unregistered-derived refusal contract as ``purge_where``."""
+        return self._purge_or_redact(
+            table, predicate, epoch, set_exprs, epoch_info, main_only=main_only
+        )
 
     def _purge_or_redact(
         self,
@@ -1391,9 +1443,26 @@ class Engine:
         epoch: int,
         set_exprs: dict[str, str] | None,
         epoch_info: dict | None,
+        main_only: bool = False,
     ) -> dict:
         name = table_name(table)
         derived = self._derived.get(name, [])
+        if not main_only:
+            # the durable registry knows every derived table EVER registered
+            # for this main; if some aren't re-registered in this process,
+            # the cascade cannot reach them (their derive fns are code) —
+            # fail loud rather than ship a purge that misses signature rows
+            live = {os.path.basename(t.location) for t, _, _ in derived}
+            missing = sorted(set(self.registered_derived(name)) - live)
+            if missing:
+                raise RuntimeError(
+                    f"purge/redact on '{name}' would MISS derived tables "
+                    f"registered in this warehouse but not in this process: "
+                    f"{missing}. Re-register them (derived_table / "
+                    f"aggregate_table / scd2_table / join_table) before the "
+                    f"sweep, or pass main_only=True to sweep the main table "
+                    f"alone on purpose."
+                )
         pending = [
             (t, fn, kind)
             for t, fn, kind in derived

@@ -68,12 +68,14 @@ def scd2(
     out = (
         df.withColumn("valid_from", F.col(ts_col))
         .withColumn("valid_to", F.lead(ts_col).over(w))
-        .withColumn("is_current", F.lead(ts_col).over(w).isNull())
+        .withColumn("is_current", F.col("valid_to").isNull())
     )
     if delete_predicate is not None:
-        out = out.filter(~delete_predicate)
-    wv = Window.partitionBy(*key_cols).orderBy(*order_cols)
-    return out.withColumn("version_no", F.row_number().over(wv))
+        # NULL-predicate rows are NOT deletes (matching changelog_normalize /
+        # net_changes, where a NULL falls through to the upsert branch) —
+        # a bare ~NULL filter would silently drop the version instead
+        out = out.filter(~F.coalesce(delete_predicate, F.lit(False)))
+    return out.withColumn("version_no", F.row_number().over(w))
 
 
 def asof_join(
@@ -95,6 +97,14 @@ def asof_join(
     ``{prefix}{col}`` (NULL when no dimension row precedes the fact).
     """
     fact_cols = facts.columns
+    clash = [c for c in dim_cols if prefix + c in fact_cols]
+    if clash:
+        # withColumn would silently OVERWRITE the fact column and the final
+        # select would name it twice — refuse instead
+        raise ValueError(
+            f"facts already carries column(s) {[prefix + c for c in clash]}; "
+            f"pass a different prefix="
+        )
     d = dim.select(
         *key_cols,
         F.col(lsn_col),

@@ -45,7 +45,7 @@ def test_cli_lifecycle(spark):
     snaps = _cli("inspect", "--warehouse", wh, "--what", "snapshots")
     assert len(snaps) >= 2
 
-    metrics = _cli("metrics", "--warehouse", wh, "--buckets", "8")
+    metrics = _cli("metrics", "--warehouse", wh)
     assert len(metrics) == len(out) - 1  # one lineage row per applied epoch
 
     victim = files and "org-0001/proj"
@@ -63,3 +63,67 @@ def test_cli_lifecycle(spark):
         "--epoch-size", "1500", "--buckets", "8", "--repo", victim,
     )
     assert rp[-1]["table"] == "replay_t" and rp[-1]["rows"] > 0
+
+
+def _cli_raw(*args):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    return subprocess.run(
+        [sys.executable, "-m", "data_exchange_hl7_spark", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+    )
+
+
+def test_cli_purge_refuses_typod_table_and_unregistered_deriveds(spark):
+    """A typo'd --table must fail loudly (exit 2), not create an empty
+    table and report a 0-row purge; a warehouse with registered deriveds
+    must refuse a CLI purge without --main-only."""
+    from data_exchange_hl7_spark.datagen import change_events
+    from data_exchange_hl7_spark.engine import (
+        MINHASH_INDEX_SCHEMA,
+        Engine,
+        minhash_index_derive,
+    )
+    from data_exchange_hl7_spark.streaming.runner import MicroBatchRunner
+
+    wh = tempfile.mkdtemp(prefix="cli_purge_wh_")
+    eng = Engine(spark, wh, n_buckets=4, mode="mor")
+    t = eng.snapshot_table("repo_files")
+    eng.derived_table("minhash_index", MINHASH_INDEX_SCHEMA, minhash_index_derive)
+    MicroBatchRunner(eng, epoch_size=1500).run(change_events(spark, 1500), t)
+
+    r = _cli_raw(
+        "purge", "--warehouse", wh, "--table", "repo_fiels",
+        "--predicate", "repo = 'x'", "--epoch", "5",
+    )
+    assert r.returncode == 2 and "no table at" in r.stderr
+    assert not os.path.exists(os.path.join(wh, "repo_fiels"))
+
+    # the CLI process holds no derive fns -> the cascade cannot run: refuse
+    r = _cli_raw(
+        "purge", "--warehouse", wh, "--predicate", "repo = 'x'", "--epoch", "5",
+    )
+    assert r.returncode != 0 and "minhash_index" in (r.stderr + r.stdout)
+
+    # the deliberate override sweeps the main table alone
+    victim = t.snapshot().select("repo").first()["repo"]
+    out = _cli(
+        "purge", "--warehouse", wh, "--predicate", f"repo = '{victim}'",
+        "--epoch", "9999", "--main-only",
+    )
+    assert out[-1]["applied"]
+
+
+def test_cli_stream_starts_on_empty_wal_dir(spark):
+    """The tail must start (canonical WAL schema fallback) when no producer
+    has written yet, drain nothing, and exit cleanly under availableNow."""
+    wal = tempfile.mkdtemp(prefix="cli_wal_empty_")
+    wh = tempfile.mkdtemp(prefix="cli_wh_empty_")
+    ckpt = tempfile.mkdtemp(prefix="cli_ckpt_")
+    out = _cli(
+        "stream", "--warehouse", wh, "--wal", wal, "--checkpoint", ckpt,
+        "--buckets", "4",
+    )
+    assert out[-1]["rows"] == 0

@@ -1255,3 +1255,50 @@ def test_publish_of_branch_with_nested_fast_forward(spark, tmp_path):
     with pytest.raises(ValueError, match="fast_forward"):
         eng2.publish(t2, c)
     events.unpersist()
+
+
+def test_purge_refuses_when_deriveds_not_reregistered(spark, tmp_path):
+    """The durable warehouse registry records every derived table ever
+    registered; a purge from a NEW process (fresh Engine, no derive fns)
+    must refuse rather than silently sweep only the main table — the
+    compliance failure mode of a CLI/cron purge against a warehouse whose
+    deriveds were registered by the library pipeline. main_only=True is the
+    deliberate override."""
+    import pytest as _pytest
+
+    from data_exchange_hl7_spark.engine import (
+        MINHASH_INDEX_SCHEMA,
+        minhash_index_derive,
+    )
+
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh, n_buckets=4, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    idx_t = eng.derived_table("minhash_index", MINHASH_INDEX_SCHEMA, minhash_index_derive)
+    events = change_events(spark, 1500)
+    MicroBatchRunner(eng, epoch_size=1500).run(events, table)
+    victim = table.snapshot().select("repo").first()["repo"]
+
+    # fresh process: new Engine on the same warehouse, nothing re-registered
+    eng2 = Engine(spark, wh, n_buckets=4, mode="mor")
+    t2 = eng2.snapshot_table("repo_files")
+    assert set(eng2.registered_derived("repo_files")) == {"minhash_index"}
+    with _pytest.raises(RuntimeError, match="minhash_index"):
+        eng2.purge_where(t2, f"repo = '{victim}'", epoch=9100)
+    # nothing was swept by the refused call
+    assert t2.snapshot().filter(F.col("repo") == victim).count() > 0
+
+    # deliberate main-only override works and says so
+    r = eng2.purge_where(t2, f"repo = '{victim}'", epoch=9100, main_only=True)
+    assert r["applied"]
+    assert t2.snapshot().filter(F.col("repo") == victim).count() == 0
+    # the derived rows are (by design of the override) still alive
+    assert idx_t.snapshot().filter(F.col("repo") == victim).count() > 0
+
+    # re-registering + re-running the SAME epoch completes the cascade via
+    # the partial-commit resume path (the change frame is recomputed from
+    # the PRE-purge snapshot, so the derived tombstones land even though
+    # the main rows are already gone) — a main-only purge is recoverable
+    eng2.derived_table("minhash_index", MINHASH_INDEX_SCHEMA, minhash_index_derive)
+    eng2.purge_where(t2, f"repo = '{victim}'", epoch=9100)
+    assert idx_t.snapshot().filter(F.col("repo") == victim).count() == 0

@@ -327,3 +327,37 @@ def test_edit_pairs_plan_single_exchange_no_python(spark):
     )
     assert_no_python_udf(out)
     assert explain_str(out).count("Exchange") <= 2  # one key exchange (+AQE)
+
+
+def test_scd2_null_delete_predicate_rows_are_not_deletes(spark):
+    """A NULL delete-predicate row must be treated as an upsert (matching
+    changelog_normalize / net_changes), not silently dropped by ~NULL."""
+    df = spark.createDataFrame(
+        [(1, "k", "2024-01-01", False, "a"),
+         (2, "k", "2024-01-02", None, "b"),   # NULL flag: NOT a delete
+         (3, "k", "2024-01-03", True, None)],
+        "lsn bigint, key string, ts_s string, is_del boolean, payload string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = temporal.scd2(
+        df, key_cols=["key"], order_cols=["ts", "lsn"], ts_col="ts",
+        delete_predicate=F.col("is_del"),
+    ).orderBy("version_no")
+    rows = out.select("lsn", "version_no", "is_current").collect()
+    # both non-delete versions survive; the NULL-flag row is version 2,
+    # closed by the trailing delete (so NOT current)
+    assert [(r["lsn"], r["version_no"], r["is_current"]) for r in rows] == [
+        (1, 1, False), (2, 2, False),
+    ]
+
+
+def test_asof_join_refuses_prefixed_column_collision(spark):
+    import pytest as _pytest
+
+    facts = spark.createDataFrame(
+        [(1, "k", "x")], "lsn bigint, key string, asof_status string"
+    )
+    dim = spark.createDataFrame(
+        [(0, "k", "ok")], "lsn bigint, key string, status string"
+    )
+    with _pytest.raises(ValueError, match="asof_status"):
+        temporal.asof_join(facts, dim, ["key"], "lsn", ["status"])

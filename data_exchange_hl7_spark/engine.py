@@ -432,25 +432,49 @@ class Engine:
     def _registry_path(self, main: str) -> str:
         return os.path.join(self.warehouse, "_registry", f"{main}.json")
 
+    def _registry_update(self, main: str, mutate) -> None:
+        """Read-modify-write of the registry JSON under an O_EXCL lock file
+        (the same cross-process arbitration the table commit uses): two
+        processes registering different deriveds concurrently must not
+        last-writer-wins each other's entry out of the compliance gate."""
+        import json as _json
+        import time as _time
+
+        path = self._registry_path(main)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        lock = f"{path}.lock"
+        deadline = _time.time() + 30
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                if _time.time() > deadline:
+                    raise RuntimeError(f"registry lock {lock} held too long")
+                _time.sleep(0.02)
+        try:
+            entries: dict[str, dict] = {}
+            if os.path.exists(path):
+                with open(path) as f:
+                    entries = _json.load(f)
+            mutate(entries)
+            tmp = f"{path}.tmp"
+            with open(tmp, "w") as f:
+                _json.dump(entries, f, indent=1, sort_keys=True)
+            os.replace(tmp, path)
+        finally:
+            os.unlink(lock)
+
     def _persist_registration(self, main: str, t: LakeTable, kind: str) -> None:
         """Durable record that ``main`` HAS derived consumers (name + kind
         only — the derive fn is code and lives in the registering process).
         A compliance purge/redact from a process that has NOT re-registered
         them consults this file and fails loud instead of silently sweeping
         the main table alone (see ``_purge_or_redact``)."""
-        import json as _json
-
-        path = self._registry_path(main)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        entries: dict[str, dict] = {}
-        if os.path.exists(path):
-            with open(path) as f:
-                entries = _json.load(f)
-        entries[os.path.basename(t.location)] = {"kind": kind}
-        tmp = f"{path}.tmp"
-        with open(tmp, "w") as f:
-            _json.dump(entries, f, indent=1, sort_keys=True)
-        os.replace(tmp, path)
+        self._registry_update(
+            main, lambda e: e.__setitem__(table_name(t), {"kind": kind})
+        )
 
     def registered_derived(self, main: str = "repo_files") -> dict[str, dict]:
         """Every derived table ever registered for ``main`` in THIS
@@ -462,6 +486,16 @@ class Engine:
             return {}
         with open(path) as f:
             return _json.load(f)
+
+    def deregister_derived(self, main: str, name: str) -> None:
+        """Remove a derived table from BOTH the in-process registrations and
+        the durable registry — the escape hatch after a derived table is
+        decommissioned (deleted from disk); without it one stale entry
+        would force main_only purges forever."""
+        self._derived[main] = [
+            r for r in self._derived.get(main, []) if table_name(r[0]) != name
+        ]
+        self._registry_update(main, lambda e: e.pop(name, None))
 
     def aggregate_table(
         self,
@@ -626,7 +660,15 @@ class Engine:
         dtypes = {f["name"]: f["type"] for f in dim.schema_fields()}
         if "last_lsn" not in mtypes:
             raise ValueError("join views need the main table's last_lsn order column")
-        bad = set(main_cols) & (set(mkeys) | {"last_lsn"}) or set(dim_cols) & set(on)
+        # union (|), not `or`: the `or` form reported only the FIRST
+        # non-empty overlap and never checked main_cols against dim_cols at
+        # all — that overlap registered fine and died epochs later with an
+        # ambiguous-column AnalysisException inside the first view refresh
+        bad = (
+            (set(main_cols) & (set(mkeys) | {"last_lsn"}))
+            | (set(dim_cols) & set(on))
+            | (set(main_cols) & set(dim_cols))
+        )
         if bad:
             raise ValueError(f"duplicated columns in the view schema: {sorted(bad)}")
         schema = (
@@ -922,6 +964,11 @@ class Engine:
                 order_col=ssnap["order_col"],
                 resolve=ssnap["resolve"],
             )
+        # the rebuilt copy holds the SAME content-derived rows as the
+        # original — record it in the durable registry so a purge that
+        # cannot reach it REFUSES instead of letting it silently escape
+        # every future compliance sweep
+        self._persist_registration(table_name(main), tgt, kind)
         epoch_commits = self._epoch_commits(main)
         missing = set(main.committed_epochs()) - {
             str(e) for e, _sid, _parent in epoch_commits
@@ -1125,6 +1172,11 @@ class Engine:
             .drop("report", "report_entries")
             .persist()
         )
+        # keep the PERSISTED handle: ev is rebound below (observe wraps the
+        # plan in a CollectMetrics node, which no longer sameResult-matches
+        # the cached subtree), so unpersisting the rebound frame would leak
+        # one full cached epoch slice per apply — fatal over 10^5 epochs
+        ev_cached = ev
 
         # metrics ride along as an Observation: collected during the reject
         # write's pass over ev — zero extra jobs (replaces a separate agg)
@@ -1299,7 +1351,7 @@ class Engine:
             if collect_metrics:
                 stats.update(self._write_metrics(table, obs, changes, epoch))
         finally:
-            ev.unpersist()
+            ev_cached.unpersist()
             changes.unpersist()
         return stats
 
@@ -1452,7 +1504,7 @@ class Engine:
             # for this main; if some aren't re-registered in this process,
             # the cascade cannot reach them (their derive fns are code) —
             # fail loud rather than ship a purge that misses signature rows
-            live = {os.path.basename(t.location) for t, _, _ in derived}
+            live = {table_name(t) for t, _, _ in derived}
             missing = sorted(set(self.registered_derived(name)) - live)
             if missing:
                 raise RuntimeError(
@@ -1514,17 +1566,25 @@ class Engine:
                     # image columns of every version (content-derived
                     # columns are scrubbed to NULL — the pre-redaction
                     # content no longer exists to recompute them from).
-                    # When every predicate column exists in the history
-                    # schema the predicate applies DIRECTLY — this also
-                    # sweeps versions of keys already deleted from the main
-                    # table (absent from the change frame). Otherwise (e.g.
-                    # a content-based predicate) the sweep falls back to the
-                    # matched keys, O(matched keys' versions) via the subset
-                    # keys_in semi join pushed below the MoR resolve.
+                    # Victim keys = the keys the MAIN purge matched PLUS any
+                    # key with a history version matching the predicate
+                    # directly (keys already deleted from the main table
+                    # still have compliance-relevant history; and a
+                    # non-key predicate — content_sha256 = <leaked hash> —
+                    # must sweep the matched keys' OTHER versions too, not
+                    # just the individually-matching rows). The direct leg
+                    # drops out only when the predicate references columns
+                    # the history schema lacks (AnalysisException at plan
+                    # bind — never a silent fallback on a transient error).
+                    from pyspark.errors import AnalysisException
+
+                    victim_keys = changes.select(*KEY_COLS)
                     try:
-                        hrows = dt.snapshot().filter(predicate)
-                    except Exception:
-                        hrows = dt.snapshot(keys_in=changes.select(*KEY_COLS))
+                        direct = dt.snapshot().filter(predicate).select(*KEY_COLS)
+                        victim_keys = victim_keys.unionByName(direct).distinct()
+                    except AnalysisException:
+                        pass  # predicate uses main-only columns
+                    hrows = dt.snapshot(keys_in=victim_keys)
                     if set_exprs is None:
                         dchanges = hrows.withColumn("__op", F.lit("D"))
                     else:

@@ -131,9 +131,18 @@ class MicroBatchRunner:
         # the pending derived merges run (the main merge no-ops on its own
         # manifest) — see Engine.derived_table
         committed = set(table.committed_epochs().keys())
-        for dt, *_ in self.engine._derived.get(_tname(table), []):
-            committed &= set(dt.committed_epochs().keys())
-        n_run = 0
+        for dt, _fn, kind in self.engine._derived.get(_tname(table), []):
+            # a join view namespaces its manifest ids by parent
+            # ("repo_files:3"), so the intersection must compare via the
+            # SAME key derivation or it is always empty and resume re-enters
+            # apply_epoch for every committed epoch (metadata reads per
+            # epoch — ruinous on a 10^5-epoch resume)
+            done = set(dt.committed_epochs().keys())
+            committed = {
+                e
+                for e in committed
+                if str(self.engine._epoch_key(table, kind, int(e))) in done
+            }
         spark = self.engine.spark
         conf_key = "spark.sql.files.maxPartitionBytes"
         prev_split = spark.conf.get(conf_key)
@@ -217,6 +226,8 @@ def replay(
     ts_range: tuple | None = None,
     reason: str = "manual replay",
     starting_process: str = "apply",
+    compact_every: int | None = None,
+    expire_keep_last: int | None = None,
 ) -> LakeTable:
     """Deterministic full/selective replay into a fresh table.
 
@@ -253,5 +264,12 @@ def replay(
         flt = flt.filter((F.col("ts") >= ts_range[0]) & (F.col("ts") <= ts_range[1]))
         meta["filter"]["ts_range"] = [str(t) for t in ts_range]
     table = engine.snapshot_table(table_name)
-    MicroBatchRunner(engine, epoch_size).run(flt, table, replay_meta=meta)
+    # maintenance cadence matters for LARGE replays: without it a mor-mode
+    # replay accretes one delta layer per epoch for the whole run
+    MicroBatchRunner(
+        engine,
+        epoch_size,
+        compact_every=compact_every,
+        expire_keep_last=expire_keep_last,
+    ).run(flt, table, replay_meta=meta)
     return table

@@ -1302,3 +1302,14 @@ def test_purge_refuses_when_deriveds_not_reregistered(spark, tmp_path):
     eng2.derived_table("minhash_index", MINHASH_INDEX_SCHEMA, minhash_index_derive)
     eng2.purge_where(t2, f"repo = '{victim}'", epoch=9100)
     assert idx_t.snapshot().filter(F.col("repo") == victim).count() == 0
+
+
+def test_apply_epoch_releases_persisted_frames(spark, tmp_path):
+    """apply_epoch persists the validated slice per epoch and MUST release
+    it — the metrics Observation rebinds the frame (CollectMetrics node),
+    so unpersisting the rebound handle leaked one cached epoch per apply
+    (regression: 3 leaked frames after 3 epochs before the fix)."""
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=4, mode="mor")
+    t = eng.snapshot_table("repo_files")
+    MicroBatchRunner(eng, epoch_size=1000).run(change_events(spark, 3000), t)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

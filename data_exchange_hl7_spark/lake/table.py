@@ -140,14 +140,26 @@ class LakeTable:
         """
         if resolve not in ("latest", "sum"):
             raise ValueError(f"unknown resolve {resolve!r}")
+        # reject unsupported type strings NOW, not as an opaque KeyError at
+        # the first read/merge of an already-committed table
+        for n, ty in schema:
+            try:
+                _spark_type(ty)
+            except (KeyError, ValueError, IndexError):
+                raise ValueError(
+                    f"unsupported type {ty!r} for column {n!r}; "
+                    f"supported scalars: {sorted(_TYPE_MAP)} "
+                    "(plus array<...> / map<...> of these)"
+                ) from None
         if resolve == "sum":
             if mode != "mor":
                 raise ValueError("additive (resolve='sum') tables require mode='mor'")
-            _numeric = ("int", "bigint", "long", "smallint", "tinyint",
-                        "float", "double", "decimal")
+            # exact membership, not prefix: every name here must both be
+            # summable and exist in _TYPE_MAP
+            _numeric = {"int", "bigint", "long", "float", "double"}
             bad = [
                 (n, ty) for n, ty in schema
-                if n not in key_cols and not ty.lower().startswith(_numeric)
+                if n not in key_cols and ty.lower() not in _numeric
             ]
             if bad:
                 raise ValueError(f"additive tables need numeric value columns; got {bad}")
@@ -545,15 +557,22 @@ class LakeTable:
             name = os.path.basename(os.path.normpath(dest_location))
         if LakeTable.exists(dest_location):
             raise ValueError(f"destination {dest_location!r} is already a table")
-        if f"__branch_{name}" in self.tags():
-            raise ValueError(
-                f"branch name {name!r} is already pinned on this table — "
-                "publish or drop the live branch first. If a previous fork "
-                "crashed before materializing its table (the tag is written "
-                "first so the base can never be expired unpinned), clear it "
-                f"with drop_tag('__branch_{name}') and re-fork"
-            )
-        self.create_tag(f"__branch_{name}", base["snapshot_id"])
+        # check-and-pin atomically: with the exists check outside the lock,
+        # two concurrent forks of the same name would both pass and the
+        # second create_tag would silently overwrite the first pin —
+        # unpinning a live branch's base against expire_snapshots
+        with _commit_lock(self.meta_dir):
+            tags = self.tags()
+            if f"__branch_{name}" in tags:
+                raise ValueError(
+                    f"branch name {name!r} is already pinned on this table — "
+                    "publish or drop the live branch first. If a previous fork "
+                    "crashed before materializing its table (the tag is written "
+                    "first so the base can never be expired unpinned), clear it "
+                    f"with drop_tag('__branch_{name}') and re-fork"
+                )
+            tags[f"__branch_{name}"] = base["snapshot_id"]
+            self._write_tags(tags)
         b = LakeTable(self.spark, dest_location)
         os.makedirs(b.meta_dir, exist_ok=True)
         os.makedirs(b.data_dir, exist_ok=True)
@@ -623,7 +642,13 @@ class LakeTable:
         cur = self.current_snapshot()
         bsnap = branch.current_snapshot()
         bo = bsnap.get("branch_of")
-        if not bo or not os.path.samefile(bo["location"], self.location):
+        try:
+            is_parent = bool(bo) and os.path.samefile(bo["location"], self.location)
+        except FileNotFoundError:
+            # the recorded parent path no longer exists (parent moved/renamed
+            # since the fork) — not-a-branch, not an uncaught OSError
+            is_parent = False
+        if not is_parent:
             raise ValueError("fast_forward target is not a branch of this table")
         if bo["base_snapshot"] != cur["snapshot_id"]:
             # crash-resume self-heal: the publish commit may have LANDED but
@@ -1137,7 +1162,10 @@ class LakeTable:
                     # physical __op column in delta files is never selected
                     parts.append(self._read_files(files, d["schema_version"], snap))
             if not parts:
-                return self._empty_df(fields)
+                out = self._empty_df(fields)
+                # keep the with_tombstones column contract independent of
+                # compaction state (additive layers carry no tombstones)
+                return out.withColumn("__op", F.lit("U")) if with_tombstones else out
             allp = parts[0]
             for p in parts[1:]:
                 allp = allp.unionByName(p)
@@ -1150,6 +1178,8 @@ class LakeTable:
                 if f["name"] not in keys
             ]
             out = allp.groupBy(*keys).agg(*aggs).select(*[f["name"] for f in fields])
+            if with_tombstones:
+                out = out.withColumn("__op", F.lit("U"))
             return out.filter(self._where_expr(where)) if where else out
 
         parts = []
@@ -1375,9 +1405,6 @@ class LakeTable:
         if snap.get("mode") == "mor":
             return self._merge_mor(changes, snap, epoch, epoch_info, publish)
 
-        cur_fields = self.schema_fields(snap)
-        cur_names = [f["name"] for f in cur_fields]
-        keys = snap["key_cols"]
         new_sid = snap["snapshot_id"] + 1
 
         # persist: changes feed the bucket-list collect, the anti-join key
@@ -1385,6 +1412,22 @@ class LakeTable:
         if "__bucket" not in changes.columns:
             changes = changes.withColumn("__bucket", self._bucket_expr(snap))
         changes = changes.persist()
+        # unpersist on EVERY exit: a write failure or a lost commit CAS
+        # (ConcurrentCommitError retried by the streaming runner) must not
+        # leave the cached frame pinned in executor storage across retries
+        try:
+            return self._merge_cow(
+                changes, snap, new_sid, epoch, epoch_info, publish
+            )
+        finally:
+            changes.unpersist()
+
+    def _merge_cow(
+        self, changes: DataFrame, snap: dict, new_sid: int, epoch, epoch_info, publish: bool
+    ) -> dict:
+        cur_fields = self.schema_fields(snap)
+        cur_names = [f["name"] for f in cur_fields]
+        keys = snap["key_cols"]
         # bounded by n_buckets — metadata-sized collect, never data-sized
         changed_buckets = sorted(
             r["__bucket"]
@@ -1392,7 +1435,6 @@ class LakeTable:
         )
         if not changed_buckets:
             # still record the epoch (empty micro-batch must advance manifest)
-            changes.unpersist()
             return self._commit_manifest_only(snap, new_sid, epoch, epoch_info, publish)
 
         # old rows of the touched buckets, minus keys present in the changes
@@ -1464,7 +1506,6 @@ class LakeTable:
         new_snap["properties"] = props
         new_snap["committed_at"] = time.time()
         token = self._commit_or_stage(new_snap, publish)
-        changes.unpersist()
         out = {
             "applied": publish,
             "snapshot_id": new_sid,
@@ -1569,10 +1610,30 @@ class LakeTable:
         by this call and will outlive the purge. Use ``Engine.purge_where``
         (or ``Engine.redact_where``), which tombstones the lineage in the
         same epoch.
+
+        Not available on additive (resolve='sum') tables: their read path
+        sums every layer per key and never consults ``__op``, so a
+        tombstone row would be ADDED to the sum instead of deleting it.
+        Removal from an additive domain is a negative delta by contract
+        (see ``create``) — merge rows carrying the negated current values.
         """
+        self._reject_additive_row_ops("delete_where")
         rows = self.snapshot().filter(predicate)
         changes = rows.withColumn("__op", F.lit("D"))
         return self.merge(changes, epoch=epoch, epoch_info=epoch_info)
+
+    def _reject_additive_row_ops(self, op: str) -> None:
+        """delete_where/update_where write RESOLVED ABSOLUTE rows back as
+        deltas; on an additive table the sum-resolution would add them to
+        the existing partials (doubling values) rather than replacing —
+        silently wrong data, so refuse loudly."""
+        if self.current_snapshot().get("resolve", "latest") == "sum":
+            raise ValueError(
+                f"{op} is not supported on additive (resolve='sum') tables: "
+                "reads sum all layers per key, so a resolved row written "
+                "back would double the value instead of replacing it. "
+                "Express removal/correction as a negative delta via merge()"
+            )
 
     def update_where(
         self,
@@ -1588,7 +1649,9 @@ class LakeTable:
         The natural companion to ``delete_where`` for takedown requests that
         redact rather than remove (e.g. scrub secrets from content while
         keeping the file row). Same compliance posture: logical until
-        ``compact()`` + ``expire_snapshots()``."""
+        ``compact()`` + ``expire_snapshots()``. Like ``delete_where``,
+        refused on additive tables (see its docstring)."""
+        self._reject_additive_row_ops("update_where")
         rows = self.snapshot().filter(predicate)
         for col, expr in set_exprs.items():
             rows = rows.withColumn(col, F.expr(expr))
@@ -1732,25 +1795,35 @@ class LakeTable:
         new_sid = snap["snapshot_id"] + 1
         out_rel = self._staging_rel("s", new_sid)
         out_abs = os.path.join(self.data_dir, out_rel)
-        staged = resolved.withColumn("__bucket", self._bucket_expr(snap))
-        n_out = max(len(dirty) * max(files_per_bucket, 1), 1)
-        if sort_cols:
-            # range partitioning on (bucket, sort_cols) gives each output
-            # file a disjoint key range inside its bucket; partitionBy below
-            # re-splits the rare range partition that straddles two buckets
-            staged = staged.repartitionByRange(
-                n_out, "__bucket", *sort_cols
-            ).sortWithinPartitions("__bucket", *sort_cols)
-        elif zorder_cols:
-            staged = (
-                staged.withColumn("__z", self._zorder_expr(resolved, zorder_cols))
-                .repartitionByRange(n_out, "__bucket", "__z")
-                .sortWithinPartitions("__bucket", "__z")
-                .drop("__z")
-            )
-        else:
-            staged = staged.repartition(max(len(dirty), 1), "__bucket")
-        self._bucketed_writer(staged, snap).parquet(out_abs)
+        # z-order pays several driver-triggered jobs over `resolved` (a
+        # distinct count + boundary collects PER clustered column) before the
+        # final write — persist so the base+delta MoR resolution runs once,
+        # not 2-3x per column
+        if zorder_cols:
+            resolved = resolved.persist()
+        try:
+            staged = resolved.withColumn("__bucket", self._bucket_expr(snap))
+            n_out = max(len(dirty) * max(files_per_bucket, 1), 1)
+            if sort_cols:
+                # range partitioning on (bucket, sort_cols) gives each output
+                # file a disjoint key range inside its bucket; partitionBy below
+                # re-splits the rare range partition that straddles two buckets
+                staged = staged.repartitionByRange(
+                    n_out, "__bucket", *sort_cols
+                ).sortWithinPartitions("__bucket", *sort_cols)
+            elif zorder_cols:
+                staged = (
+                    staged.withColumn("__z", self._zorder_expr(resolved, zorder_cols))
+                    .repartitionByRange(n_out, "__bucket", "__z")
+                    .sortWithinPartitions("__bucket", "__z")
+                    .drop("__z")
+                )
+            else:
+                staged = staged.repartition(max(len(dirty), 1), "__bucket")
+            self._bucketed_writer(staged, snap).parquet(out_abs)
+        finally:
+            if zorder_cols:
+                resolved.unpersist()
         dirty_set = set(dirty)
         buckets = {
             b: e for b, e in snap["buckets"].items() if int(b) not in dirty_set
@@ -1770,14 +1843,22 @@ class LakeTable:
                 "stats": self._collect_stats(cfiles, snap),
             }
         # drop the compacted buckets from every delta layer; clean buckets'
-        # delta entries survive untouched
+        # delta entries survive untouched — INCLUDING their per-file stats
+        # (losing them would silently disable min/max pruning on every
+        # surviving delta file until that layer is itself rewritten)
         new_deltas = []
         for d in deltas:
             kept_files = {
                 b: fs for b, fs in d["files"].items() if int(b) not in dirty_set
             }
             if kept_files:
-                new_deltas.append({"files": kept_files, "schema_version": d["schema_version"]})
+                entry = {"files": kept_files, "schema_version": d["schema_version"]}
+                old_stats = d.get("stats") or {}
+                kept_set = {p for fs in kept_files.values() for p in fs}
+                stats = {p: s for p, s in old_stats.items() if p in kept_set}
+                if stats:
+                    entry["stats"] = stats
+                new_deltas.append(entry)
         new_snap = dict(snap)
         new_snap["snapshot_id"] = new_sid
         new_snap["parent"] = snap["snapshot_id"]
@@ -2032,9 +2113,12 @@ class LakeTable:
     # ------------------------------------------------- schema evolution
     def _evolve(self, mutate) -> None:
         snap = self.current_snapshot()
-        fields = [dict(f) for f in self.schema_fields(snap)]
+        before = [dict(f) for f in self.schema_fields(snap)]
+        fields = [dict(f) for f in before]
         next_id = snap["next_field_id"]
         fields, next_id = mutate(fields, next_id)
+        if fields == before and next_id == snap["next_field_id"]:
+            return  # idempotent re-run: don't churn a no-op snapshot
         new_sv = snap["schema_version"] + 1
         new_snap = dict(snap)
         new_snap["snapshot_id"] = snap["snapshot_id"] + 1
@@ -2051,14 +2135,21 @@ class LakeTable:
     def add_column(self, name: str, type_str: str = "string") -> None:
         def mutate(fields, next_id):
             if any(f["name"] == name for f in fields):
-                return fields, next_id  # idempotent
+                return fields, next_id  # idempotent (no-op commit skipped)
             fields.append({"id": next_id, "name": name, "type": type_str})
             return fields, next_id + 1
 
         self._evolve(mutate)
 
     def rename_column(self, old: str, new: str) -> None:
+        # validate the target exists: a typo'd rename must fail HERE, not
+        # commit a bumped-schema no-op and surface later as an unresolved
+        # column far from the call site
         def mutate(fields, next_id):
+            if not any(f["name"] == old for f in fields):
+                raise ValueError(f"no column {old!r} in the current schema")
+            if old != new and any(f["name"] == new for f in fields):
+                raise ValueError(f"column {new!r} already exists")
             for f in fields:
                 if f["name"] == old:
                     f["name"] = new  # field ID unchanged -> old files still map
@@ -2068,6 +2159,8 @@ class LakeTable:
 
     def widen_column(self, name: str, new_type: str) -> None:
         def mutate(fields, next_id):
+            if not any(f["name"] == name for f in fields):
+                raise ValueError(f"no column {name!r} in the current schema")
             for f in fields:
                 if f["name"] == name:
                     if (f["type"], new_type) not in _WIDEN_OK:
@@ -2110,10 +2203,16 @@ class LakeTable:
 
         referenced: set[str] = set()
         for f in os.listdir(self.meta_dir):
-            if not _re.match(r"^v\d{8}\.json$", f):
+            # staged (write-audit-publish) manifests are live references too:
+            # a pending stage's files are not orphans — they are awaiting
+            # publish_staged / discard_staged
+            if not _re.match(r"^(v\d{8}|staged-[0-9a-f]+)\.json$", f):
                 continue
-            with open(os.path.join(self.meta_dir, f)) as fh:
-                ks = json.load(fh)
+            try:
+                with open(os.path.join(self.meta_dir, f)) as fh:
+                    ks = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                continue  # crashed mid-stage write; roots are uuid-private
             for entry in ks["buckets"].values():
                 referenced.update(entry["files"])
             for d in ks.get("deltas", []):
@@ -2185,9 +2284,23 @@ class LakeTable:
                 kept_ids.append(sid)
 
         referenced: set[str] = set()
+        manifests: list[dict] = []
         for sid in kept_ids:
             with open(os.path.join(self.meta_dir, f"v{sid:08d}.json")) as f:
-                ks = json.load(f)
+                manifests.append(json.load(f))
+        # pending write-audit-publish stages reference files under roots that
+        # can fall at or below entry_sid once ANOTHER commit advances current
+        # past the staged sid — without this, expiry deletes a stage's data
+        # out from under a concurrent snapshot(staged=token) audit, breaking
+        # the protection discard_staged promises other tokens
+        for fname in os.listdir(self.meta_dir):
+            if fname.startswith("staged-") and fname.endswith(".json"):
+                try:
+                    with open(os.path.join(self.meta_dir, fname)) as f:
+                        manifests.append(json.load(f))
+                except (json.JSONDecodeError, OSError):
+                    continue  # crashed mid-stage write; roots are uuid-private
+        for ks in manifests:
             for entry in ks["buckets"].values():
                 referenced.update(entry["files"])
             for d in ks.get("deltas", []):

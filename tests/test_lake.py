@@ -1486,3 +1486,203 @@ def test_files_inspect_matches_snapshot_scan(spark):
         F.max("event_id").alias("max_last_event_id"),
     ).collect()[0]
     assert meta == {k: truth[k] for k in meta}
+
+
+def _mk_sum(spark, tmp_path, name="addt"):
+    return LakeTable.create(
+        spark,
+        str(tmp_path / name),
+        schema=[("k", "string"), ("n", "bigint")],
+        key_cols=["k"],
+        n_buckets=2,
+        mode="mor",
+        resolve="sum",
+    )
+
+
+def test_additive_rejects_row_level_delete_update(spark, tmp_path):
+    """delete_where/update_where would write RESOLVED ABSOLUTE rows as
+    deltas; the additive read path sums every layer ignoring __op, so the
+    value would double instead of disappearing. The table must refuse
+    loudly — the additive contract is removal-as-negative-delta."""
+    t = _mk_sum(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame([("a", 10, "U")], "k string, n long, __op string"),
+        epoch=0,
+    )
+    with pytest.raises(ValueError, match="negative delta"):
+        t.delete_where("k = 'a'")
+    with pytest.raises(ValueError, match="additive"):
+        t.update_where("k = 'a'", {"n": "0"})
+    # the documented path still works: a negative delta zeroes the key
+    t.merge(
+        spark.createDataFrame([("a", -10, "U")], "k string, n long, __op string"),
+        epoch=1,
+    )
+    assert {r["k"]: r["n"] for r in t.snapshot().collect()} == {"a": 0}
+
+
+def test_additive_with_tombstones_schema_stable(spark, tmp_path):
+    """snapshot(with_tombstones=True) must expose __op on an additive table
+    in EVERY compaction state (empty, live deltas, folded base) — the SCD2
+    maintenance selects it unconditionally."""
+    t = _mk_sum(spark, tmp_path)
+    # state 1: brand-new table, no deltas at all
+    assert "__op" in t.snapshot(with_tombstones=True).columns
+    t.merge(
+        spark.createDataFrame([("a", 1, "U")], "k string, n long, __op string"),
+        epoch=0,
+    )
+    # state 2: live delta layers
+    df = t.snapshot(with_tombstones=True)
+    assert "__op" in df.columns
+    assert [r["__op"] for r in df.collect()] == ["U"]
+    # state 2b: delta layers exist but the requested bucket slice is empty
+    empty_bucket = next(
+        b for b in range(2)
+        if str(b) not in t.current_snapshot()["deltas"][0]["files"]
+    )
+    assert "__op" in t.snapshot(buckets=[empty_bucket], with_tombstones=True).columns
+    # state 3: folded base (compact drops deltas)
+    t.compact()
+    df = t.snapshot(with_tombstones=True)
+    assert "__op" in df.columns and df.collect()[0]["__op"] == "U"
+
+
+def test_concurrent_branch_forks_single_winner(spark, tmp_path):
+    """Two concurrent forks of the SAME branch name: exactly one wins the
+    pin; the loser raises instead of silently overwriting the winner's
+    base tag (which would unpin it against expire_snapshots)."""
+    import threading as th
+
+    t = _mk(spark, tmp_path)
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    results = {}
+
+    def fork(i):
+        try:
+            results[i] = t.branch(str(tmp_path / f"b{i}"), name="dup")
+        except ValueError as e:
+            results[i] = e
+
+    ts = [th.Thread(target=fork, args=(i,)) for i in range(2)]
+    [x.start() for x in ts]
+    [x.join() for x in ts]
+    winners = [r for r in results.values() if isinstance(r, LakeTable)]
+    losers = [r for r in results.values() if isinstance(r, ValueError)]
+    assert len(winners) == 1 and len(losers) == 1
+    assert "already pinned" in str(losers[0])
+    # the winner's pin survived
+    assert "__branch_dup" in t.tags()
+
+
+def test_merge_unpersists_on_failed_commit(spark, tmp_path):
+    """A merge that loses the commit CAS (or any write failure) must not
+    leave the persisted changes frame pinned in executor storage — the
+    streaming runner retries merges in a loop."""
+    t = _mk(spark, tmp_path)
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    # force the CAS to lose: move current forward behind merge's back
+    orig = t._commit_or_stage
+
+    def sabotage(snap, publish):
+        raise ConcurrentCommitError("synthetic race")
+
+    t._commit_or_stage = sabotage
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            t.merge(_changes(spark, [("b", "2", 2, 2, "U")]), epoch=1)
+    finally:
+        t._commit_or_stage = orig
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_incremental_compact_keeps_clean_delta_stats(spark, tmp_path):
+    """Incremental compact rewrites dirty buckets only; the surviving delta
+    layers of CLEAN buckets must keep their per-file min/max stats, or
+    pruning silently dies for them until their own rewrite."""
+    t = _mk(spark, tmp_path, mode="mor")
+    # bucket-targeted merges: find keys landing in different buckets
+    t.merge(_changes(spark, [(f"k{i}", "v", i, i, "U") for i in range(8)]), epoch=0)
+    t.merge(_changes(spark, [("k0", "w", 9, 9, "U")]), epoch=1)
+    t.merge(_changes(spark, [("k0", "x", 10, 10, "U")]), epoch=2)
+    snap = t.current_snapshot()
+    assert all(d.get("stats") for d in snap["deltas"])
+    # depth threshold 2: only k0's bucket is dirty; others keep one layer
+    r = t.compact(max_delta_depth=2)
+    assert r["compacted"]
+    snap = t.current_snapshot()
+    assert snap["deltas"], "clean buckets' delta layers must survive"
+    for d in snap["deltas"]:
+        kept = {p for fs in d["files"].values() for p in fs}
+        assert kept <= set(d.get("stats", {})), (
+            "surviving delta files lost their stats in incremental compact"
+        )
+
+
+def test_expire_protects_pending_staged_snapshot(spark, tmp_path):
+    """A pending WAP stage's data files must survive expire_snapshots even
+    after another commit advances current past the staged sid — otherwise
+    a concurrent snapshot(staged=token) audit reads deleted files."""
+    t = _mk(spark, tmp_path)
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    staged = t.merge(_changes(spark, [("b", "2", 2, 2, "U")]), epoch=1, publish=False)
+    token = staged["staged"]
+    # an unrelated commit moves current past the staged sid
+    t.merge(_changes(spark, [("c", "3", 3, 3, "U")]), epoch=2)
+    t.expire_snapshots(keep_last=1)
+    # the staged state is still fully readable
+    rows = {r["k"] for r in t.snapshot(staged=token).collect()}
+    assert rows == {"a", "b"}
+    # and it is not reported as orphaned either
+    assert t.orphan_files().count() == 0
+
+
+def test_schema_evolution_validates_and_skips_noops(spark, tmp_path):
+    """rename/widen of a nonexistent column raise at the call site (not a
+    silent no-op commit); idempotent add_column does not churn snapshots."""
+    t = _mk(spark, tmp_path)
+    sid0 = t.current_snapshot()["snapshot_id"]
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("contnet", "content_raw")
+    with pytest.raises(ValueError, match="no column"):
+        t.widen_column("nope", "bigint")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("v", "n")
+    t.add_column("extra", "string")
+    sid1 = t.current_snapshot()["snapshot_id"]
+    t.add_column("extra", "string")  # idempotent: no new snapshot
+    assert t.current_snapshot()["snapshot_id"] == sid1 == sid0 + 1
+
+
+def test_create_rejects_unsupported_types(spark, tmp_path):
+    """Unsupported type strings fail at create(), not as a KeyError at the
+    first read of an already-committed table."""
+    with pytest.raises(ValueError, match="unsupported type"):
+        LakeTable.create(
+            spark, str(tmp_path / "bad"),
+            schema=[("k", "string"), ("amt", "decimal")],
+            key_cols=["k"],
+        )
+    # additive prefix trap: 'decimal' starts with a numeric-ish prefix but
+    # has no spark type here
+    with pytest.raises(ValueError):
+        LakeTable.create(
+            spark, str(tmp_path / "bad2"),
+            schema=[("k", "string"), ("amt", "decimal")],
+            key_cols=["k"], mode="mor", resolve="sum",
+        )
+
+
+def test_fast_forward_moved_parent_raises_value_error(spark, tmp_path):
+    """A branch whose recorded parent path no longer exists must fail the
+    parentage check with the designed ValueError, not FileNotFoundError."""
+    import shutil as sh
+
+    t = _mk(spark, tmp_path, name="parent_orig")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    b = t.branch(str(tmp_path / "br"), name="x")
+    sh.move(str(tmp_path / "parent_orig"), str(tmp_path / "parent_moved"))
+    moved = LakeTable(spark, str(tmp_path / "parent_moved"))
+    with pytest.raises(ValueError, match="not a branch"):
+        moved.fast_forward(b)

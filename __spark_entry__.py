@@ -101,7 +101,11 @@ semantic recomputation), purge_cascade_read (Engine.purge_where's
 derived-table sweep under the oracle), stream_stream_left_join
 (the LEFT OUTER half of the stream-join contract: watermark-eviction-
 driven null emission, flushed by a far-future sentinel, streamed rows
-equal DuckDB's batch LEFT JOIN exactly), and cdf_replica_read
+equal DuckDB's batch LEFT JOIN exactly), constraint_gate_read +
+quarantine_read (LakeTable.add_check_constraint — write-time CHECK
+constraints with DLT-expectation quarantine semantics; violating upserts
+divert to a per-epoch idempotent sidecar instead of merging, tombstones
+exempt, NULL passes per SQL-standard CHECK), and cdf_replica_read
 (streaming/cdf_tail.py — table-to-table incremental replication by
 tailing the change feed, offset = the replica's own epoch ledger,
 exactly-once re-polls, layout-independent across bucket counts) plus
@@ -226,6 +230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap_score": qt.contamination_overlap_score,
         "files_inspect_read": q.files_inspect_read,
         "purge_cascade_read": q.purge_cascade_read,
+        "constraint_gate_read": q.constraint_gate_read,
+        "quarantine_read": q.quarantine_read,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -470,4 +476,6 @@ def oracle_sql() -> dict[str, str]:
         "contamination_overlap_score": qt.ORACLE_CONTAM_SCORE,
         "files_inspect_read": q.ORACLE_FILES_INSPECT,
         "purge_cascade_read": q.ORACLE_PURGE_CASCADE,
+        "constraint_gate_read": q.ORACLE_CONSTRAINT_GATE,
+        "quarantine_read": q.ORACLE_QUARANTINE,
     }

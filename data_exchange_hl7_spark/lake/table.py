@@ -82,6 +82,10 @@ class ConcurrentCommitError(RuntimeError):
     pass
 
 
+class CheckConstraintError(RuntimeError):
+    """Existing rows violate a CHECK constraint being added."""
+
+
 # One lock per table meta dir: serializes the commit critical section for
 # in-process concurrent writers (threads sharing one SparkSession — the
 # local deployment mode). Cross-process arbitration is the O_EXCL create in
@@ -1402,25 +1406,89 @@ class LakeTable:
                 "snapshot_id": snap["snapshot_id"],
                 "buckets_rewritten": 0,
             }
-        if snap.get("mode") == "mor":
-            return self._merge_mor(changes, snap, epoch, epoch_info, publish)
 
-        new_sid = snap["snapshot_id"] + 1
-
-        # persist: changes feed the bucket-list collect, the anti-join key
-        # broadcast, and the upsert union — compute the window once
-        if "__bucket" not in changes.columns:
-            changes = changes.withColumn("__bucket", self._bucket_expr(snap))
-        changes = changes.persist()
-        # unpersist on EVERY exit: a write failure or a lost commit CAS
-        # (ConcurrentCommitError retried by the streaming runner) must not
-        # leave the cached frame pinned in executor storage across retries
-        try:
-            return self._merge_cow(
-                changes, snap, new_sid, epoch, epoch_info, publish
+        # write-time CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT
+        # ... CHECK` / DLT expectation analogue): violating upserts are
+        # diverted to the per-epoch quarantine sidecar instead of merging,
+        # so a bad producer cannot poison current state while the full
+        # payload stays queryable + re-drivable. Tombstones (`D`) always
+        # pass — a delete carries no payload to validate.
+        cons = snap["properties"].get("check_constraints") or {}
+        tagged_handle = None
+        n_quarantined = 0
+        if cons:
+            changes, n_quarantined, tagged_handle = self._enforce_check_constraints(
+                changes, cons, snap, epoch
             )
+        try:
+            if snap.get("mode") == "mor":
+                result = self._merge_mor(changes, snap, epoch, epoch_info, publish)
+            else:
+                new_sid = snap["snapshot_id"] + 1
+                # persist: changes feed the bucket-list collect, the anti-join
+                # key broadcast, and the upsert union — compute the window once
+                if "__bucket" not in changes.columns:
+                    changes = changes.withColumn("__bucket", self._bucket_expr(snap))
+                changes = changes.persist()
+                # unpersist on EVERY exit: a write failure or a lost commit CAS
+                # (ConcurrentCommitError retried by the streaming runner) must
+                # not leave the cached frame pinned across retries
+                try:
+                    result = self._merge_cow(
+                        changes, snap, new_sid, epoch, epoch_info, publish
+                    )
+                finally:
+                    changes.unpersist()
+            if cons:
+                result["quarantined"] = n_quarantined
+            return result
         finally:
-            changes.unpersist()
+            if tagged_handle is not None:
+                tagged_handle.unpersist()
+
+    def _enforce_check_constraints(
+        self, changes: DataFrame, cons: dict, snap: dict, epoch
+    ) -> tuple[DataFrame, int, DataFrame]:
+        """Split ``changes`` into (passing, quarantined) under the table's
+        CHECK constraints and persist the violating rows to the
+        ``_quarantine/epoch=N`` sidecar (idempotent per-epoch overwrite, so
+        an exactly-once replay of the epoch rewrites the identical rows).
+
+        SQL-standard CHECK semantics: a row passes when the expression is
+        TRUE **or NULL** (unknown); only a definitive FALSE quarantines.
+        Returns (passing_frame, n_quarantined, persisted_handle) — the
+        caller unpersists the handle after the merge consumes the passing
+        side."""
+        checks = [
+            (name, F.expr(expr).cast("boolean")) for name, expr in sorted(cons.items())
+        ]
+        viol = F.array_compact(
+            F.array(
+                *[
+                    F.when(~F.coalesce(chk, F.lit(True)), F.lit(name))
+                    for name, chk in checks
+                ]
+            )
+        )
+        viol = F.when(
+            F.col("__op") == F.lit("D"), F.array().cast("array<string>")
+        ).otherwise(viol)
+        tagged = changes.withColumn("__violated", viol).persist()
+        bad = tagged.filter(F.size("__violated") > 0)
+        qcols = [
+            f["name"] for f in self.schema_fields(snap) if f["name"] in tagged.columns
+        ] + ["__op", "__violated"]
+        n_bad = bad.count()
+        if n_bad:
+            qkey = epoch if epoch is not None else -(snap["snapshot_id"] + 1)
+            # repartition, not coalesce: quarantined rows are usually a thin
+            # slice, but the exchange keeps the (already-persisted) upstream
+            # parallel and caps the sidecar at 8 files per epoch
+            bad.select(*qcols).repartition(8).write.mode("overwrite").parquet(
+                os.path.join(self.location, "_quarantine", f"epoch={qkey}")
+            )
+        good = tagged.filter(F.size("__violated") == 0).drop("__violated")
+        return good, n_bad, tagged
 
     def _merge_cow(
         self, changes: DataFrame, snap: dict, new_sid: int, epoch, epoch_info, publish: bool
@@ -2109,6 +2177,75 @@ class LakeTable:
         new_snap["properties"] = props
         new_snap["committed_at"] = time.time()
         self._write_snapshot(new_snap, expected_parent=snap["snapshot_id"])
+
+    # ------------------------------------------------ CHECK constraints
+    def check_constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: {name: sql_expression}."""
+        return dict(self.current_snapshot()["properties"].get("check_constraints", {}))
+
+    def add_check_constraint(
+        self, name: str, expr: str, validate_existing: bool = True
+    ) -> None:
+        """Delta ``ALTER TABLE ADD CONSTRAINT ... CHECK`` analogue.
+
+        Every subsequent ``merge`` evaluates ``expr`` against upsert rows;
+        rows where it is definitively FALSE are diverted to the
+        ``_quarantine`` sidecar (see ``quarantine()``) instead of merging —
+        the DLT-expectation behavior, which at stream scale beats failing
+        the whole epoch for one bad producer row. NULL passes (SQL-standard
+        CHECK). ``validate_existing=True`` scans current live rows first
+        and refuses the constraint if any violate it, so a constraint can
+        never be added that the table already breaks (Delta parity).
+        """
+        snap = self.current_snapshot()
+        if snap.get("resolve") == "sum":
+            raise ValueError(
+                "CHECK constraints are undefined on additive (resolve='sum') "
+                "tables: merge rows are per-key deltas, not row states"
+            )
+        # analysis-check the expression against the current schema NOW, not
+        # as an opaque failure inside some future epoch's merge
+        probe = self._empty_df(self.schema_fields(snap))
+        probe.select(F.expr(expr).cast("boolean"))
+        if validate_existing:
+            n_bad = (
+                self.snapshot()
+                .filter(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
+                .limit(1)
+                .count()
+            )
+            if n_bad:
+                raise CheckConstraintError(
+                    f"existing rows violate CHECK constraint {name!r}: {expr}"
+                )
+        cons = dict(snap["properties"].get("check_constraints", {}))
+        cons[name] = expr
+        self.set_properties({"check_constraints": cons})
+
+    def drop_check_constraint(self, name: str) -> None:
+        cons = self.check_constraints()
+        if name in cons:
+            del cons[name]
+            self.set_properties({"check_constraints": cons})
+
+    def quarantine(self) -> DataFrame:
+        """Rows diverted by CHECK constraints, all epochs: current-schema
+        payload columns + ``__op`` + ``__violated`` (array of constraint
+        names) + ``epoch`` (partition-discovered). Pair with a corrected
+        re-merge for the dead-letter re-drive workflow."""
+        qdir = os.path.join(self.location, "_quarantine")
+        have = os.path.isdir(qdir) and any(
+            d.startswith("epoch=") for d in os.listdir(qdir)
+        )
+        if not have:
+            empty = self._empty_df(self.schema_fields(self.current_snapshot()))
+            return (
+                empty.withColumn("__op", F.lit("U"))
+                .withColumn("__violated", F.array().cast("array<string>"))
+                .withColumn("epoch", F.lit(0).cast("int"))
+                .limit(0)
+            )
+        return self.spark.read.parquet(qdir)
 
     # ------------------------------------------------- schema evolution
     def _evolve(self, mutate) -> None:

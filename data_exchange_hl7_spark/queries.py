@@ -2669,6 +2669,153 @@ ORDER BY user_id
 """
 
 
+# ------------------- write-time CHECK constraints (quarantine) -------------
+
+_CONSTRAINT_DEMO_CACHE: dict[str, str] = {}
+
+
+def _constraint_demo(spark, sf_dir):
+    """Two-epoch MoR apply under two CHECK constraints
+    (`LakeTable.add_check_constraint` — the Delta `ADD CONSTRAINT ... CHECK`
+    / DLT-expectation analogue): upsert winners whose `event_type` is
+    'signup' or whose `event_id % 7 == 0` are diverted to the quarantine
+    sidecar instead of merging, so the key keeps its previous value (or
+    stays absent). Tombstones (event_type='error' -> D) always pass.
+
+    Scale shape: the gate is one narrow boolean projection over the
+    already-persisted change frame — no extra shuffle, no extra scan; the
+    quarantine write moves only the violating slice. Reference analogue:
+    the validation reject branch (K2) applied at the storage boundary."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key
+
+    loc = _CONSTRAINT_DEMO_CACHE.get(sf_dir)
+    if loc and LakeTable.exists(loc):
+        return LakeTable(spark, loc)
+    loc = tempfile.mkdtemp(prefix="dex_constraint_demo_")
+    t = LakeTable.create(
+        spark,
+        loc,
+        schema=[
+            ("user_id", "bigint"),
+            ("event_type", "string"),
+            ("event_id", "bigint"),
+        ],
+        key_cols=["user_id"],
+        n_buckets=8,
+        mode="mor",
+        order_col="event_id",
+    )
+    t.add_check_constraint("no_signup_state", "event_type <> 'signup'")
+    t.add_check_constraint("event_id_mod7", "event_id % 7 <> 0")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+    for epoch, parity in ((1, 0), (2, 1)):
+        half = ev.filter(F.col("event_id") % 2 == parity)
+        changes = latest_by_key(half, ["user_id"], ["event_id"]).withColumn(
+            "__op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+        )
+        t.merge(changes, epoch=epoch)
+    _CONSTRAINT_DEMO_CACHE[sf_dir] = loc
+    return t
+
+
+def constraint_gate_read(spark, sf_dir):
+    """Final table state after two constraint-gated epochs: a quarantined
+    winner never merges, so the key resolves to the best *passing* row
+    across epochs (MoR latest-per-key by the order column over merged rows
+    only), honoring D tombstones. The oracle replays the same per-epoch
+    winner -> gate -> latest-surviving algebra in SQL."""
+    t = _constraint_demo(spark, sf_dir)
+    return (
+        t.snapshot()
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# Per-epoch winner (latest event_id within the epoch's parity class), then
+# the gate: D rows (event_type='error') always apply; U rows apply only when
+# BOTH constraints hold. Final state = latest-by-event_id among the rows
+# that actually merged (MoR order-col resolution), tombstones removing.
+ORACLE_CONSTRAINT_GATE = """
+WITH e1 AS (
+  SELECT user_id, event_type, event_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+e2 AS (
+  SELECT user_id, event_type, event_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 1) WHERE rn = 1),
+p1 AS (
+  SELECT user_id, event_type, event_id, (event_type = 'error') AS dead
+  FROM e1
+  WHERE event_type = 'error'
+     OR (event_type <> 'signup' AND event_id % 7 <> 0)),
+p2 AS (
+  SELECT user_id, event_type, event_id, (event_type = 'error') AS dead
+  FROM e2
+  WHERE event_type = 'error'
+     OR (event_type <> 'signup' AND event_id % 7 <> 0))
+SELECT user_id, event_type AS last_op, event_id AS last_event_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2))
+WHERE rn = 1 AND NOT dead
+ORDER BY user_id
+"""
+
+
+def quarantine_read(spark, sf_dir):
+    """The quarantine sidecar exploded to one row per (epoch, key, violated
+    constraint): the full payload rides along, so a corrected re-merge (the
+    dead-letter re-drive pattern) needs no other source. Certifies both the
+    violation predicate (SQL-standard CHECK: only definitive FALSE
+    quarantines) and the per-epoch idempotent sidecar layout."""
+    t = _constraint_demo(spark, sf_dir)
+    return (
+        t.quarantine()
+        .select(
+            F.col("epoch").cast("bigint").alias("epoch"),
+            "user_id",
+            F.explode("__violated").alias("violated"),
+            F.col("event_type").alias("ev_type"),
+            F.col("event_id").alias("ev_id"),
+        )
+        .orderBy("epoch", "user_id", "violated")
+    )
+
+
+ORACLE_QUARANTINE = """
+WITH e1 AS (
+  SELECT user_id, event_type, event_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+e2 AS (
+  SELECT user_id, event_type, event_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 1) WHERE rn = 1),
+w AS (
+  SELECT CAST(1 AS BIGINT) AS epoch, * FROM e1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT) AS epoch, * FROM e2)
+SELECT epoch, user_id, violated, event_type AS ev_type, event_id AS ev_id
+FROM (
+  SELECT epoch, user_id, 'event_id_mod7' AS violated, event_type, event_id
+  FROM w WHERE event_type <> 'error' AND event_id % 7 = 0
+  UNION ALL
+  SELECT epoch, user_id, 'no_signup_state', event_type, event_id
+  FROM w WHERE event_type <> 'error' AND event_type = 'signup')
+ORDER BY epoch, user_id, violated
+"""
+
+
 _ROLLBACK_DEMO_CACHE: dict[str, str] = {}
 
 

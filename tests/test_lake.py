@@ -1686,3 +1686,103 @@ def test_fast_forward_moved_parent_raises_value_error(spark, tmp_path):
     moved = LakeTable(spark, str(tmp_path / "parent_moved"))
     with pytest.raises(ValueError, match="not a branch"):
         moved.fast_forward(b)
+
+
+# ---------------------------------------------------------------- constraints
+
+
+def test_check_constraint_quarantines_and_gates(spark, tmp_path):
+    """Violating upserts divert to the quarantine sidecar; passing rows and
+    tombstones merge normally. NULL evaluates as pass (SQL-standard CHECK)."""
+    t = _mk(spark, tmp_path, name="cons", mode="mor")
+    t.add_check_constraint("n_pos", "n > 0")
+    r = t.merge(
+        _changes(
+            spark,
+            [
+                ("a", "ok", 1, 1, "U"),
+                ("b", "bad", -5, 2, "U"),
+                ("c", "nullpass", None, 3, "U"),
+                ("d", None, -9, 4, "D"),  # tombstone: never checked
+            ],
+        ),
+        epoch=0,
+    )
+    assert r["quarantined"] == 1
+    live = {row["k"] for row in t.snapshot().collect()}
+    assert live == {"a", "c"}
+    qrows = t.quarantine().collect()
+    assert len(qrows) == 1
+    assert qrows[0]["k"] == "b" and qrows[0]["__violated"] == ["n_pos"]
+    assert qrows[0]["epoch"] == 0
+
+
+def test_check_constraint_multiple_names_and_redrive(spark, tmp_path):
+    """A row violating two constraints lists both; a corrected re-merge of
+    the quarantined payload lands it (the dead-letter re-drive shape)."""
+    t = _mk(spark, tmp_path, name="cons2", mode="mor")
+    t.add_check_constraint("n_pos", "n > 0")
+    t.add_check_constraint("v_short", "length(v) <= 3")
+    t.merge(_changes(spark, [("x", "toolong", -1, 1, "U")]), epoch=0)
+    q = t.quarantine().collect()
+    assert sorted(q[0]["__violated"]) == ["n_pos", "v_short"]
+    # corrected re-drive under a new epoch
+    r = t.merge(_changes(spark, [("x", "ok", 1, 2, "U")]), epoch=1)
+    assert r["quarantined"] == 0
+    assert {row["k"] for row in t.snapshot().collect()} == {"x"}
+
+
+def test_check_constraint_replay_idempotent(spark, tmp_path):
+    """Re-merging a committed epoch is a no-op: state AND quarantine remain
+    byte-identical (the quarantine write precedes the commit, but per-epoch
+    overwrite makes a crash-retry rewrite the identical rows)."""
+    t = _mk(spark, tmp_path, name="cons3", mode="mor")
+    t.add_check_constraint("n_pos", "n > 0")
+    rows = [("a", "1", 1, 1, "U"), ("b", "2", -2, 2, "U")]
+    t.merge(_changes(spark, rows), epoch=0)
+    before = sorted(map(tuple, t.quarantine().collect()))
+    r2 = t.merge(_changes(spark, rows), epoch=0)
+    assert not r2["applied"]
+    assert sorted(map(tuple, t.quarantine().collect())) == before
+    assert {row["k"] for row in t.snapshot().collect()} == {"a"}
+
+
+def test_add_check_constraint_validates_existing_rows(spark, tmp_path):
+    from data_exchange_hl7_spark.lake.table import CheckConstraintError
+
+    t = _mk(spark, tmp_path, name="cons4", mode="mor")
+    t.merge(_changes(spark, [("a", "1", -1, 1, "U")]), epoch=0)
+    with pytest.raises(CheckConstraintError):
+        t.add_check_constraint("n_pos", "n > 0")
+    # the refused constraint must not have been recorded
+    assert t.check_constraints() == {}
+    t.add_check_constraint("n_pos", "n > 0", validate_existing=False)
+    assert t.check_constraints() == {"n_pos": "n > 0"}
+    t.drop_check_constraint("n_pos")
+    assert t.check_constraints() == {}
+
+
+def test_check_constraint_rejected_on_additive_tables(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "add"),
+        schema=[("k", "string"), ("n", "bigint")],
+        key_cols=["k"], mode="mor", resolve="sum",
+    )
+    with pytest.raises(ValueError, match="additive"):
+        t.add_check_constraint("n_pos", "n > 0")
+
+
+def test_check_constraint_bad_expression_fails_fast(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="cons5", mode="mor")
+    with pytest.raises(Exception):
+        t.add_check_constraint("bad", "no_such_column > 0")
+    assert t.check_constraints() == {}
+
+
+def test_quarantine_empty_when_no_violations(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="cons6", mode="mor")
+    t.add_check_constraint("n_pos", "n > 0")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    assert t.quarantine().count() == 0
+    cols = set(t.quarantine().columns)
+    assert {"__op", "__violated", "epoch"} <= cols

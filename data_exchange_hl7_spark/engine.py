@@ -1297,9 +1297,25 @@ class Engine:
         )
 
         info = {"start_lsn": start_lsn, "end_lsn": end_lsn}
+        # CHECK constraints gate HERE, before the derived fan-out: the main
+        # merge, every derived table, and every aggregate view must see the
+        # SAME gated change rows (gating inside merge alone would leak
+        # quarantined rows into deriveds — the purge-cascade consistency
+        # class). merge() re-enforcement is disabled for this pre-gated
+        # frame.
+        cons = snap["properties"].get("check_constraints") or {}
+        gate_handle = None
+        n_quarantined = None
+        if cons:
+            changes, n_quarantined, gate_handle = table._enforce_check_constraints(
+                changes, cons, snap, epoch
+            )
         changes = changes.persist()  # feeds the merge write, lineage, deriveds
         try:
-            result = table.merge(changes, epoch=epoch, epoch_info=info)
+            result = table.merge(
+                changes, epoch=epoch, epoch_info=info,
+                enforce_constraints=not cons,
+            )
             stats = {"epoch": epoch, **result}
             # derived tables: same epoch id, own manifest per table. On a
             # resume after a partial multi-table commit, the main merge above
@@ -1348,11 +1364,15 @@ class Engine:
                 )
             if derived:
                 stats["derived_applied"] = [table_name(t) for t, *_ in derived_pending]
+            if n_quarantined is not None:
+                stats["quarantined"] = n_quarantined
             if collect_metrics:
                 stats.update(self._write_metrics(table, obs, changes, epoch))
         finally:
             ev_cached.unpersist()
             changes.unpersist()
+            if gate_handle is not None:
+                gate_handle.unpersist()
         return stats
 
     def _write_metrics(self, table, obs, changes: DataFrame, epoch: int) -> dict:

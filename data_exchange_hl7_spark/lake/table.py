@@ -1382,9 +1382,16 @@ class LakeTable:
         epoch: int | None = None,
         epoch_info: dict | None = None,
         publish: bool = True,
+        enforce_constraints: bool = True,
     ) -> dict:
         """Keyed copy-on-write MERGE (upsert + delete) — the Iceberg
         ``MERGE INTO`` analogue, and the engine's exactly-once apply step.
+
+        ``enforce_constraints=False`` is for callers that already ran
+        ``_enforce_check_constraints`` on this frame (``Engine.apply_epoch``
+        pre-gates so derived tables see the SAME gated rows the main merge
+        lands — gating inside merge alone would let a quarantined row leak
+        into the derived fan-out).
 
         ``changes`` must have at most one row per key, a ``__op`` column with
         values ``U`` (upsert) or ``D`` (delete), and every current-schema
@@ -1413,7 +1420,9 @@ class LakeTable:
         # so a bad producer cannot poison current state while the full
         # payload stays queryable + re-drivable. Tombstones (`D`) always
         # pass — a delete carries no payload to validate.
-        cons = snap["properties"].get("check_constraints") or {}
+        cons = (
+            snap["properties"].get("check_constraints") or {}
+        ) if enforce_constraints else {}
         tagged_handle = None
         n_quarantined = 0
         if cons:

@@ -1313,3 +1313,53 @@ def test_apply_epoch_releases_persisted_frames(spark, tmp_path):
     t = eng.snapshot_table("repo_files")
     MicroBatchRunner(eng, epoch_size=1000).run(change_events(spark, 3000), t)
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_check_constraints_gate_before_derived_fanout(spark, tmp_path):
+    """CHECK constraints on the engine's main table gate BEFORE the derived
+    fan-out: the main table, the derived table, and the quarantine sidecar
+    partition the epoch's change keys consistently (a quarantined row must
+    never surface in a derived table — the purge-cascade consistency
+    class)."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        Engine,
+        file_stats_derive,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    table.add_check_constraint("size_mod3", "size_bytes % 3 <> 0")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    events = change_events(spark, 3000)
+    res = MicroBatchRunner(eng, epoch_size=1500).run(events, table)
+    assert sum(r.get("quarantined", 0) for r in res) > 0
+
+    main_keys = {
+        (r["repo"], r["path"]) for r in table.snapshot().select("repo", "path").collect()
+    }
+    derived_keys = {
+        (r["repo"], r["path"])
+        for r in stats_t.snapshot().select("repo", "path").collect()
+    }
+    assert derived_keys == main_keys
+    # every live row satisfies the constraint; every quarantined row breaks it
+    assert (
+        table.snapshot().filter(F.expr("size_bytes % 3 = 0")).count() == 0
+    )
+    q = table.quarantine()
+    assert q.count() > 0
+    assert q.filter(F.expr("size_bytes % 3 <> 0")).count() == 0
+    # quarantined keys absent from BOTH outputs unless a later epoch's
+    # passing row landed them (check per-epoch: a key quarantined in the
+    # FINAL epoch with no passing row anywhere must be absent)
+    last_epoch = max(int(e) for e in table.committed_epochs())
+    final_q_keys = {
+        (r["repo"], r["path"])
+        for r in q.filter(F.col("epoch") == last_epoch).select("repo", "path").collect()
+    }
+    landed_anywhere = main_keys | derived_keys
+    for k in final_q_keys:
+        # if present, it must be from an earlier passing version, which the
+        # derived table must agree on (already asserted by set equality)
+        assert (k in landed_anywhere) == (k in main_keys)

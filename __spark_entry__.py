@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purge_cascade_read": q.purge_cascade_read,
         "constraint_gate_read": q.constraint_gate_read,
         "quarantine_read": q.quarantine_read,
+        "bitemporal_read": q.bitemporal_read,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -478,4 +479,5 @@ def oracle_sql() -> dict[str, str]:
         "purge_cascade_read": q.ORACLE_PURGE_CASCADE,
         "constraint_gate_read": q.ORACLE_CONSTRAINT_GATE,
         "quarantine_read": q.ORACLE_QUARANTINE,
+        "bitemporal_read": q.ORACLE_BITEMPORAL,
     }

@@ -3849,6 +3849,23 @@ def scd2_history_read(spark, sf_dir):
     frame to the O(changes) pre-epoch state the engine already computes for
     aggregate views — the history table itself is never scanned, and
     unchanged keys' version rows are never rewritten."""
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    loc = _scd2_demo(spark, sf_dir)
+    hist = LakeTable(spark, os.path.join(loc, "scd2_history"))
+    return (
+        hist.snapshot()
+        .select(
+            "repo", "path", "valid_from_lsn", "commit", "lang",
+            "valid_to_lsn", "is_current",
+        )
+        .orderBy("repo", "path", "valid_from_lsn")
+    )
+
+
+def _scd2_demo(spark, sf_dir) -> str:
+    """Shared two-epoch SCD2 engine demo (see scd2_history_read docstring
+    for the event algebra); returns the warehouse location."""
     import tempfile
 
     from data_exchange_hl7_spark.engine import Engine
@@ -3912,15 +3929,7 @@ def scd2_history_read(spark, sf_dir):
         eng.apply_epoch(_wal(v1), table, epoch=0, collect_metrics=False)
         eng.apply_epoch(_wal(v2), table, epoch=1, collect_metrics=False)
         _LAKE_DEMO_CACHE[key] = loc
-    hist = LakeTable(spark, os.path.join(loc, "scd2_history"))
-    return (
-        hist.snapshot()
-        .select(
-            "repo", "path", "valid_from_lsn", "commit", "lang",
-            "valid_to_lsn", "is_current",
-        )
-        .orderBy("repo", "path", "valid_from_lsn")
-    )
+    return loc
 
 
 # Expected SCD2 from the event algebra: v1 for every doc (closed iff an
@@ -3945,6 +3954,93 @@ SELECT repo, path, valid_from_lsn,
        valid_to_lsn, is_current
 FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
 ORDER BY repo, path, valid_from_lsn
+"""
+
+
+def bitemporal_read(spark, sf_dir):
+    """BITEMPORAL query: transaction time x valid time, composed from two
+    primitives this lake already certifies separately — time travel on the
+    engine-maintained SCD2 history table (transaction axis: what the system
+    had RECORDED as of snapshot S) and the `[valid_from, valid_to)` interval
+    probe (valid axis: what was TRUE of the modeled world at lsn V).
+
+    The same valid-time probe V (= max doc_id, so half the keys exist at V)
+    is asked at two transaction times: `post_e0` (the history table's
+    snapshot right after epoch 0 committed — the epoch-1 updates/deletes
+    were not yet known, so every existing key answers with its open v1) and
+    `final` (epoch 1 recorded: keys modified at lsn <= V now answer v2, keys
+    deleted at lsn <= V answer nothing). The difference between the two row
+    sets is exactly the late-arriving knowledge — the property a
+    backfill-auditing pipeline needs ("what did the model training job see
+    when it ran?").
+
+    Scale shape: both reads are snapshot reads of the SAME history table
+    (one bucket-pruned scan each, stats-skippable on valid_from_lsn); no
+    join, no window — the interval probe is a narrow filter. Reference
+    analogue: lake time travel (SURVEY §2.9) composed with SCD2 (T-family);
+    Engine.scd2_table maintains the history incrementally per epoch."""
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    loc = _scd2_demo(spark, sf_dir)
+    hist = LakeTable(spark, os.path.join(loc, "scd2_history"))
+    # committing snapshot of epoch 0 on the HISTORY table (its manifest
+    # carries the same epoch ids as the main): metadata walk, O(snapshots)
+    sid0 = min(
+        h["snapshot_id"] for h in hist.history() if "0" in h.get("epochs", {})
+    )
+    probe = _t(spark, sf_dir, "documents").agg(F.max("doc_id")).collect()[0][0]
+
+    def _valid_at(df):
+        return df.filter(
+            (F.col("valid_from_lsn") <= F.lit(probe))
+            & (F.coalesce(F.col("valid_to_lsn"), F.lit(1 << 62)) > F.lit(probe))
+        )
+
+    def _shape(df, tx):
+        return df.select(
+            F.lit(tx).alias("tx"),
+            "repo",
+            "path",
+            "valid_from_lsn",
+            F.when(F.col("valid_from_lsn") % 2 == 1, F.lit("v2"))
+            .otherwise(F.lit("v1"))
+            .alias("version"),
+        )
+
+    return (
+        _shape(_valid_at(hist.snapshot(as_of=sid0)), "post_e0")
+        .unionByName(_shape(_valid_at(hist.snapshot()), "final"))
+        .orderBy("tx", "repo", "path", "valid_from_lsn")
+    )
+
+
+# Valid-time algebra at probe = MAX(doc_id): a doc exists at the probe iff
+# its insert lsn (2*doc_id) <= probe. At tx=post_e0 nothing else was
+# recorded. At tx=final a modification at 2*doc_id+1 <= probe closes v1 —
+# updates (%3, not %7) answer v2, deletes (%7) answer nothing.
+ORACLE_BITEMPORAL = """
+WITH m AS (SELECT MAX(doc_id) AS probe FROM documents),
+docs AS (
+  SELECT doc_id, source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents),
+post_e0 AS (
+  SELECT 'post_e0' AS tx, repo, path,
+         CAST(doc_id * 2 AS BIGINT) AS valid_from_lsn, 'v1' AS version
+  FROM docs, m WHERE doc_id * 2 <= m.probe),
+final_rows AS (
+  SELECT 'final' AS tx, repo, path,
+         CAST(doc_id * 2 AS BIGINT) AS valid_from_lsn, 'v1' AS version
+  FROM docs, m
+  WHERE doc_id * 2 <= m.probe
+    AND NOT ((doc_id % 3 = 0 OR doc_id % 7 = 0) AND doc_id * 2 + 1 <= m.probe)
+  UNION ALL
+  SELECT 'final', repo, path, CAST(doc_id * 2 + 1 AS BIGINT), 'v2'
+  FROM docs, m
+  WHERE doc_id % 3 = 0 AND doc_id % 7 <> 0 AND doc_id * 2 + 1 <= m.probe)
+SELECT tx, repo, path, valid_from_lsn, version
+FROM (SELECT * FROM post_e0 UNION ALL SELECT * FROM final_rows)
+ORDER BY tx, repo, path, valid_from_lsn
 """
 
 

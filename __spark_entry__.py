@@ -33,7 +33,11 @@ ROUND-5 ROTATION PLAN (written during r4): rotate INTO the window first
 any never-green or red query from CORRECTNESS_r04 — note that the
 post-window additions 53+ (edit_pairs through ivf_index_replica_read,
 including stream_stream_left_join, cdf_replica_read and the CDF-tail
-replicator family) are never-green BY CONSTRUCTION and lead this group —
+replicator family, plus the continuation-session additions
+constraint_gate_read + quarantine_read (write-time CHECK constraints,
+which also touched lake/table.py merge and engine.py apply_epoch — the
+queries riding those modules rotate too) and bitemporal_read) are
+never-green BY CONSTRUCTION and lead this group —
 then queries added or module-touched during r5, then the six r4-touched-module queries the
 temporal-CDC family displaced (derived_file_stats, aggregate_repo_stats,
 incremental_minhash_index, index_dup_candidates, dup_clusters,

@@ -1310,7 +1310,13 @@ class Engine:
             changes, n_quarantined, gate_handle = table._enforce_check_constraints(
                 changes, cons, snap, epoch
             )
-        changes = changes.persist()  # feeds the merge write, lineage, deriveds
+            # the gate's tagged frame IS the epoch cache (full slice,
+            # content-heavy); persisting the filtered view again would
+            # materialize a duplicate copy — the filter re-reads the cache
+            changes_handle = gate_handle
+        else:
+            changes = changes.persist()  # feeds merge write, lineage, deriveds
+            changes_handle = changes
         try:
             result = table.merge(
                 changes, epoch=epoch, epoch_info=info,
@@ -1370,9 +1376,7 @@ class Engine:
                 stats.update(self._write_metrics(table, obs, changes, epoch))
         finally:
             ev_cached.unpersist()
-            changes.unpersist()
-            if gate_handle is not None:
-                gate_handle.unpersist()
+            changes_handle.unpersist()
         return stats
 
     def _write_metrics(self, table, obs, changes: DataFrame, epoch: int) -> dict:

@@ -1435,10 +1435,15 @@ class LakeTable:
             else:
                 new_sid = snap["snapshot_id"] + 1
                 # persist: changes feed the bucket-list collect, the anti-join
-                # key broadcast, and the upsert union — compute the window once
+                # key broadcast, and the upsert union — compute the window once.
+                # When the constraint gate ran, its tagged frame is already
+                # the cache and the filtered view reads through it; a second
+                # persist would materialize a duplicate copy.
                 if "__bucket" not in changes.columns:
                     changes = changes.withColumn("__bucket", self._bucket_expr(snap))
-                changes = changes.persist()
+                own_persist = tagged_handle is None
+                if own_persist:
+                    changes = changes.persist()
                 # unpersist on EVERY exit: a write failure or a lost commit CAS
                 # (ConcurrentCommitError retried by the streaming runner) must
                 # not leave the cached frame pinned across retries
@@ -1447,7 +1452,8 @@ class LakeTable:
                         changes, snap, new_sid, epoch, epoch_info, publish
                     )
                 finally:
-                    changes.unpersist()
+                    if own_persist:
+                        changes.unpersist()
             if cons:
                 result["quarantined"] = n_quarantined
             return result

@@ -36,7 +36,9 @@ including stream_stream_left_join, cdf_replica_read and the CDF-tail
 replicator family, plus the continuation-session additions
 constraint_gate_read + quarantine_read (write-time CHECK constraints,
 which also touched lake/table.py merge and engine.py apply_epoch — the
-queries riding those modules rotate too) and bitemporal_read) are
+queries riding those modules rotate too), bitemporal_read, and txn_read
+(lake/txn.py MultiTableTransaction — atomic multi-table commit with
+crash-window + conflict-compensation property tests)) are
 never-green BY CONSTRUCTION and lead this group —
 then queries added or module-touched during r5, then the six r4-touched-module queries the
 temporal-CDC family displaced (derived_file_stats, aggregate_repo_stats,
@@ -237,6 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_gate_read": q.constraint_gate_read,
         "quarantine_read": q.quarantine_read,
         "bitemporal_read": q.bitemporal_read,
+        "txn_read": q.txn_read,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -484,4 +487,5 @@ def oracle_sql() -> dict[str, str]:
         "constraint_gate_read": q.ORACLE_CONSTRAINT_GATE,
         "quarantine_read": q.ORACLE_QUARANTINE,
         "bitemporal_read": q.ORACLE_BITEMPORAL,
+        "txn_read": q.ORACLE_TXN_READ,
     }

@@ -2816,6 +2816,101 @@ ORDER BY epoch, user_id, violated
 """
 
 
+# ------------------- atomic multi-table transaction ------------------------
+
+_TXN_DEMO_CACHE: dict[str, str] = {}
+
+
+def txn_read(spark, sf_dir):
+    """Atomic multi-table commit under the oracle gate
+    (`lake/txn.MultiTableTransaction` — the Iceberg REST-catalog
+    multi-table-commit analogue): ONE transaction stages a keyed merge on
+    two independent tables (per-user latest state; per-event-type high
+    watermark) and publishes both from a single O_EXCL manifest decide
+    point. The read joins the two tables, so a torn outcome (one table's
+    epoch published without the other) could not hash-match the oracle,
+    which recomputes both relations from the raw events. Crash-window and
+    conflict-compensation behavior is property-tested in tests/test_txn.py;
+    this query certifies the committed end state.
+
+    Scale shape: the decide and publish steps are metadata-only (one CAS
+    rename per member table); all data work happened in the parallel staged
+    merges — the transaction adds zero data reads/writes at any table
+    size."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.lake.txn import MultiTableTransaction
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key
+
+    loc = _TXN_DEMO_CACHE.get(sf_dir)
+    if not (loc and LakeTable.exists(os.path.join(loc, "facts"))):
+        loc = tempfile.mkdtemp(prefix="dex_txn_demo_")
+        facts = LakeTable.create(
+            spark,
+            os.path.join(loc, "facts"),
+            schema=[
+                ("user_id", "bigint"),
+                ("event_type", "string"),
+                ("event_id", "bigint"),
+            ],
+            key_cols=["user_id"],
+            n_buckets=8,
+            mode="mor",
+            order_col="event_id",
+        )
+        marks = LakeTable.create(
+            spark,
+            os.path.join(loc, "marks"),
+            schema=[("event_type", "string"), ("hi_event_id", "bigint")],
+            key_cols=["event_type"],
+            n_buckets=4,
+            mode="mor",
+            order_col="hi_event_id",
+        )
+        ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+        fact_ch = latest_by_key(ev, ["user_id"], ["event_id"]).withColumn(
+            "__op", F.lit("U")
+        )
+        mark_ch = (
+            ev.groupBy("event_type")
+            .agg(F.max("event_id").alias("hi_event_id"))
+            .withColumn("__op", F.lit("U"))
+        )
+        txn = MultiTableTransaction(spark, os.path.join(loc, "_txn"))
+        txn.stage(facts, fact_ch, epoch=1)
+        txn.stage(marks, mark_ch, epoch=1)
+        txn.commit()
+        _TXN_DEMO_CACHE[sf_dir] = loc
+    facts = LakeTable(spark, os.path.join(loc, "facts"))
+    marks = LakeTable(spark, os.path.join(loc, "marks"))
+    return (
+        facts.snapshot()
+        .join(marks.snapshot(), on="event_type", how="inner")
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("hi_event_id").alias("type_hi_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_TXN_READ = """
+WITH latest AS (
+  SELECT user_id, event_type, event_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events) WHERE rn = 1),
+marks AS (
+  SELECT event_type, MAX(event_id) AS hi_event_id FROM events GROUP BY event_type)
+SELECT l.user_id, l.event_type AS last_op, l.event_id AS last_event_id,
+       m.hi_event_id AS type_hi_event_id
+FROM latest l JOIN marks m ON l.event_type = m.event_type
+ORDER BY l.user_id
+"""
+
+
 _ROLLBACK_DEMO_CACHE: dict[str, str] = {}
 
 

@@ -1,0 +1,145 @@
+"""Atomic multi-table transaction tests: happy path, every crash window,
+conflict compensation, replay idempotence (lake/txn.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_exchange_hl7_spark.lake.table import ConcurrentCommitError, LakeTable
+from data_exchange_hl7_spark.lake.txn import (
+    MultiTableTransaction,
+    TransactionStateError,
+)
+
+SCHEMA = [("k", "string"), ("v", "string"), ("lsn", "bigint")]
+
+
+def _mk(spark, tmp_path, name):
+    return LakeTable.create(
+        spark, str(tmp_path / name), SCHEMA, ["k"], n_buckets=4,
+        mode="mor", order_col="lsn",
+    )
+
+
+def _ch(spark, rows):
+    return spark.createDataFrame(rows, "k string, v string, lsn long, __op string")
+
+
+def _pair(spark, tmp_path):
+    a = _mk(spark, tmp_path, "a")
+    b = _mk(spark, tmp_path, "b")
+    a.merge(_ch(spark, [("k1", "a0", 1, "U")]), epoch=0)
+    b.merge(_ch(spark, [("k1", "b0", 1, "U")]), epoch=0)
+    return a, b
+
+
+def test_txn_commit_publishes_both(spark, tmp_path):
+    a, b = _pair(spark, tmp_path)
+    txn = MultiTableTransaction(spark, str(tmp_path / "_txn"))
+    txn.stage(a, _ch(spark, [("k1", "a1", 2, "U")]), epoch=1)
+    # nothing visible before the decide point
+    assert a.snapshot().collect()[0]["v"] == "a0"
+    txn.stage(b, _ch(spark, [("k1", "b1", 2, "U")]), epoch=1)
+    r = txn.commit()
+    assert len(r["published"]) == 2
+    assert a.snapshot().collect()[0]["v"] == "a1"
+    assert b.snapshot().collect()[0]["v"] == "b1"
+    assert "1" in a.committed_epochs() and "1" in b.committed_epochs()
+    # a finished txn refuses further use
+    with pytest.raises(TransactionStateError):
+        txn.stage(a, _ch(spark, []), epoch=2)
+
+
+def test_txn_crash_before_decide_leaves_no_trace(spark, tmp_path):
+    a, b = _pair(spark, tmp_path)
+    txn = MultiTableTransaction(spark, str(tmp_path / "_txn"))
+    txn.stage(a, _ch(spark, [("k1", "a1", 2, "U")]), epoch=1)
+    txn.stage(b, _ch(spark, [("k1", "b1", 2, "U")]), epoch=1)
+    # "crash": the txn object is dropped without commit; recovery sees no
+    # manifest and publishes nothing
+    assert MultiTableTransaction.recover(spark, str(tmp_path / "_txn")) == []
+    assert a.snapshot().collect()[0]["v"] == "a0"
+    assert b.snapshot().collect()[0]["v"] == "b0"
+    assert "1" not in a.committed_epochs()
+
+
+def test_txn_crash_after_decide_rolls_forward(spark, tmp_path):
+    a, b = _pair(spark, tmp_path)
+    txn = MultiTableTransaction(spark, str(tmp_path / "_txn"))
+    txn.stage(a, _ch(spark, [("k1", "a1", 2, "U")]), epoch=1)
+    txn.stage(b, _ch(spark, [("k1", "b1", 2, "U")]), epoch=1)
+    txn._decide()  # crash exactly at the commit point
+    assert a.snapshot().collect()[0]["v"] == "a0"  # not yet published
+    rec = MultiTableTransaction.recover(spark, str(tmp_path / "_txn"))
+    assert len(rec) == 1 and len(rec[0]["published"]) == 2
+    assert a.snapshot().collect()[0]["v"] == "a1"
+    assert b.snapshot().collect()[0]["v"] == "b1"
+    # recovery is idempotent
+    assert MultiTableTransaction.recover(spark, str(tmp_path / "_txn")) == []
+
+
+def test_txn_crash_mid_publish_rolls_forward_remainder(spark, tmp_path):
+    a, b = _pair(spark, tmp_path)
+    txn = MultiTableTransaction(spark, str(tmp_path / "_txn"))
+    txn.stage(a, _ch(spark, [("k1", "a1", 2, "U")]), epoch=1)
+    txn.stage(b, _ch(spark, [("k1", "b1", 2, "U")]), epoch=1)
+    txn._decide()
+    # publish only the FIRST entry, then "crash"
+    e0 = txn._entries[0]
+    LakeTable(spark, e0["location"]).publish_staged(e0["staged"])
+    rec = MultiTableTransaction.recover(spark, str(tmp_path / "_txn"))
+    assert len(rec) == 1 and len(rec[0]["published"]) == 2
+    assert a.snapshot().collect()[0]["v"] == "a1"
+    assert b.snapshot().collect()[0]["v"] == "b1"
+
+
+def test_txn_conflict_compensates_all_or_nothing(spark, tmp_path):
+    a, b = _pair(spark, tmp_path)
+    txn = MultiTableTransaction(spark, str(tmp_path / "_txn"))
+    txn.stage(a, _ch(spark, [("k1", "a1", 2, "U")]), epoch=1)
+    txn.stage(b, _ch(spark, [("k1", "b1", 2, "U")]), epoch=1)
+    # a foreign commit lands on b between stage and publish -> b's CAS fails
+    b.merge(_ch(spark, [("k9", "intruder", 5, "U")]), epoch=77)
+    with pytest.raises(ConcurrentCommitError):
+        txn.commit()
+    # compensation: a was published first, then rolled back — final state
+    # shows NO trace of the transaction on either table
+    assert a.snapshot().collect()[0]["v"] == "a0"
+    assert "1" not in a.committed_epochs()
+    vals = {r["k"]: r["v"] for r in b.snapshot().collect()}
+    assert vals == {"k1": "b0", "k9": "intruder"}
+    # the manifest is retired as aborted; recovery has nothing to do
+    assert MultiTableTransaction.recover(spark, str(tmp_path / "_txn")) == []
+
+
+def test_txn_abort_discards_staged(spark, tmp_path):
+    a, b = _pair(spark, tmp_path)
+    txn = MultiTableTransaction(spark, str(tmp_path / "_txn"))
+    txn.stage(a, _ch(spark, [("k1", "a1", 2, "U")]), epoch=1)
+    txn.abort()
+    assert a.snapshot().collect()[0]["v"] == "a0"
+    # staged metadata reclaimed
+    import os
+
+    meta = [f for f in os.listdir(str(tmp_path / "a" / "_meta")) if f.startswith("staged-")]
+    assert meta == []
+    with pytest.raises(TransactionStateError):
+        txn.commit()
+
+
+def test_txn_replay_after_rollforward_noops(spark, tmp_path):
+    """Re-running the whole transaction after a completed roll-forward:
+    every member's epoch is committed, so the stages no-op and commit
+    publishes nothing new."""
+    a, b = _pair(spark, tmp_path)
+    txn = MultiTableTransaction(spark, str(tmp_path / "_txn"))
+    txn.stage(a, _ch(spark, [("k1", "a1", 2, "U")]), epoch=1)
+    txn.stage(b, _ch(spark, [("k1", "b1", 2, "U")]), epoch=1)
+    txn.commit()
+    sid_a = a.current_snapshot()["snapshot_id"]
+    txn2 = MultiTableTransaction(spark, str(tmp_path / "_txn"))
+    r1 = txn2.stage(a, _ch(spark, [("k1", "a1", 2, "U")]), epoch=1)
+    r2 = txn2.stage(b, _ch(spark, [("k1", "b1", 2, "U")]), epoch=1)
+    assert not r1["applied"] and not r2["applied"]
+    out = txn2.commit()
+    assert out["published"] == []
+    assert a.current_snapshot()["snapshot_id"] == sid_a

@@ -1148,8 +1148,24 @@ class Engine:
         start_lsn: int | None = None,
         end_lsn: int | None = None,
         collect_metrics: bool = True,
+        atomic: bool = False,
     ) -> dict:
-        """Apply one epoch's change events to the snapshot table, exactly once."""
+        """Apply one epoch's change events to the snapshot table, exactly once.
+
+        ``atomic=True`` publishes the main merge and EVERY derived/aggregate
+        merge from one multi-table transaction (lake/txn.py): all data work
+        is staged (WAP), one manifest write is the commit point, and a crash
+        at any step leaves either the complete epoch or no trace — readers
+        can never observe the main table ahead of its deriveds. The default
+        (False) keeps the per-table-idempotence contract: a crash between
+        the main and a derived commit is visible until the resumed run
+        converges it. Schema-DDL events remain separate linear commits in
+        both modes (Delta parity), and metrics/lineage/reject sidecars are
+        per-epoch-overwrite idempotent, not transactional. The atomic path
+        first rolls forward any decided-but-unfinished transaction in the
+        warehouse (single-writer deployment contract) — without that, a
+        re-staged epoch and the pending transaction would collide at the
+        same snapshot id."""
         derived = self._derived.get(table_name(table), [])
         derived_pending = [
             (t, fn, kind)
@@ -1317,11 +1333,24 @@ class Engine:
         else:
             changes = changes.persist()  # feeds merge write, lineage, deriveds
             changes_handle = changes
+        txn = None
+        if atomic:
+            from data_exchange_hl7_spark.lake.txn import MultiTableTransaction
+
+            txn_dir = os.path.join(self.warehouse, "_txn")
+            MultiTableTransaction.recover(self.spark, txn_dir)
+            txn = MultiTableTransaction(self.spark, txn_dir)
         try:
-            result = table.merge(
-                changes, epoch=epoch, epoch_info=info,
-                enforce_constraints=not cons,
-            )
+            if txn is not None:
+                result = txn.stage(
+                    table, changes, epoch=epoch, epoch_info=info,
+                    enforce_constraints=not cons,
+                )
+            else:
+                result = table.merge(
+                    changes, epoch=epoch, epoch_info=info,
+                    enforce_constraints=not cons,
+                )
             stats = {"epoch": epoch, **result}
             # derived tables: same epoch id, own manifest per table. On a
             # resume after a partial multi-table commit, the main merge above
@@ -1334,7 +1363,13 @@ class Engine:
                 # pre-epoch state of the changed keys only: bucket-pruned
                 # time-travel read + semi join — O(changes) work, not
                 # O(table). Computed once, shared by every aggregate view.
-                pre_sid = self._pre_epoch_sid(table, epoch, result)
+                # atomic fresh stage: the main merge is staged, not
+                # committed, so the walk-based resolver cannot see it — the
+                # pre-epoch state is simply the pre-stage current snapshot
+                if txn is not None and result.get("staged"):
+                    pre_sid = result["snapshot_id"] - 1
+                else:
+                    pre_sid = self._pre_epoch_sid(table, epoch, result)
                 chg_buckets = [
                     r[0] for r in changes.select("__bucket").distinct().collect()
                 ]  # bounded by n_buckets — metadata-sized
@@ -1363,11 +1398,24 @@ class Engine:
                     dchanges = fn(changes.drop("__bucket"), old_live)
                 else:
                     dchanges = fn(changes.drop("__bucket"))
-                dt.merge(
-                    dchanges,
-                    epoch=self._epoch_key(table, kind, epoch),
-                    epoch_info=info,
-                )
+                if txn is not None:
+                    txn.stage(
+                        dt,
+                        dchanges,
+                        epoch=self._epoch_key(table, kind, epoch),
+                        epoch_info=info,
+                    )
+                else:
+                    dt.merge(
+                        dchanges,
+                        epoch=self._epoch_key(table, kind, epoch),
+                        epoch_info=info,
+                    )
+            if txn is not None:
+                txn_out = txn.commit()
+                if result.get("staged"):
+                    stats["applied"] = True
+                stats["txn_id"] = txn_out["txn_id"]
             if derived:
                 stats["derived_applied"] = [table_name(t) for t, *_ in derived_pending]
             if n_quarantined is not None:

@@ -97,15 +97,23 @@ class MultiTableTransaction:
         changes: DataFrame,
         epoch: int | None = None,
         epoch_info: dict | None = None,
+        enforce_constraints: bool = True,
     ) -> dict:
         """Run the data work for one table (bucketed write + staged
         snapshot); nothing becomes visible until ``commit``. A table whose
         epoch is already committed (replay after roll-forward) records as a
-        no-op entry."""
+        no-op entry. ``enforce_constraints`` forwards to ``merge`` (False
+        when the caller pre-gated the frame, e.g. the engine's apply)."""
         if self._state != "open":
             raise TransactionStateError(f"transaction is {self._state}")
         pre_sid = table.current_snapshot()["snapshot_id"]
-        result = table.merge(changes, epoch=epoch, epoch_info=epoch_info, publish=False)
+        result = table.merge(
+            changes,
+            epoch=epoch,
+            epoch_info=epoch_info,
+            publish=False,
+            enforce_constraints=enforce_constraints,
+        )
         token = result.get("staged")
         # fingerprint the staged snapshot so recovery can tell OUR published
         # v<sid>.json from a foreign commit that landed at the same sid

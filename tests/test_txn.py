@@ -143,3 +143,127 @@ def test_txn_replay_after_rollforward_noops(spark, tmp_path):
     out = txn2.commit()
     assert out["published"] == []
     assert a.current_snapshot()["snapshot_id"] == sid_a
+
+
+# ------------------------------------------------ engine atomic epochs
+
+
+def _engine_pair(spark, tmp_path):
+    from data_exchange_hl7_spark.datagen import change_events
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        Engine,
+        file_stats_derive,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    events = change_events(spark, 3000)
+    return eng, table, stats_t, events
+
+
+def test_engine_atomic_epoch_commits_main_and_derived(spark, tmp_path):
+    eng, table, stats_t, events = _engine_pair(spark, tmp_path)
+    r = eng.apply_epoch(events, table, epoch=0, collect_metrics=False, atomic=True)
+    assert r["applied"] and "txn_id" in r
+    main_keys = {
+        (x["repo"], x["path"]) for x in table.snapshot().select("repo", "path").collect()
+    }
+    derived_keys = {
+        (x["repo"], x["path"])
+        for x in stats_t.snapshot().select("repo", "path").collect()
+    }
+    assert main_keys == derived_keys and main_keys
+    assert "0" in table.committed_epochs() and "0" in stats_t.committed_epochs()
+    # replay no-ops
+    r2 = eng.apply_epoch(events, table, epoch=0, collect_metrics=False, atomic=True)
+    assert not r2.get("applied")
+
+
+def test_engine_atomic_epoch_crash_at_decide_recovers(spark, tmp_path, monkeypatch):
+    """Crash exactly at the decide point: neither table published; the NEXT
+    atomic apply first rolls the decided transaction forward, then no-ops
+    its own merge — main and derived move together, never apart."""
+    from data_exchange_hl7_spark.lake import txn as txnmod
+
+    eng, table, stats_t, events = _engine_pair(spark, tmp_path)
+
+    real_commit = txnmod.MultiTableTransaction.commit
+
+    def crash_commit(self):
+        self._decide()
+        raise RuntimeError("simulated crash after decide")
+
+    monkeypatch.setattr(txnmod.MultiTableTransaction, "commit", crash_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.apply_epoch(events, table, epoch=0, collect_metrics=False, atomic=True)
+    # nothing visible yet on either output
+    assert "0" not in table.committed_epochs()
+    assert "0" not in stats_t.committed_epochs()
+    monkeypatch.setattr(txnmod.MultiTableTransaction, "commit", real_commit)
+    r = eng.apply_epoch(events, table, epoch=0, collect_metrics=False, atomic=True)
+    # the recovery published the decided txn; this apply's own merge no-ops
+    assert "0" in table.committed_epochs() and "0" in stats_t.committed_epochs()
+    main_keys = {
+        (x["repo"], x["path"]) for x in table.snapshot().select("repo", "path").collect()
+    }
+    derived_keys = {
+        (x["repo"], x["path"])
+        for x in stats_t.snapshot().select("repo", "path").collect()
+    }
+    assert main_keys == derived_keys and main_keys
+
+
+def test_engine_atomic_epoch_crash_before_decide_leaves_no_trace(
+    spark, tmp_path, monkeypatch
+):
+    from data_exchange_hl7_spark.lake import txn as txnmod
+
+    eng, table, stats_t, events = _engine_pair(spark, tmp_path)
+
+    def crash_commit(self):
+        raise RuntimeError("simulated crash before decide")
+
+    real_commit = txnmod.MultiTableTransaction.commit
+    monkeypatch.setattr(txnmod.MultiTableTransaction, "commit", crash_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.apply_epoch(events, table, epoch=0, collect_metrics=False, atomic=True)
+    monkeypatch.setattr(txnmod.MultiTableTransaction, "commit", real_commit)
+    assert "0" not in table.committed_epochs()
+    assert "0" not in stats_t.committed_epochs()
+    # clean re-run stages fresh and commits both
+    r = eng.apply_epoch(events, table, epoch=0, collect_metrics=False, atomic=True)
+    assert r["applied"]
+    assert "0" in table.committed_epochs() and "0" in stats_t.committed_epochs()
+
+
+def test_engine_atomic_epoch_with_constraints_and_aggregate(spark, tmp_path):
+    """Atomic + constraint gate + additive aggregate view together: the
+    published trio agrees on the gated change rows."""
+    from data_exchange_hl7_spark.datagen import change_events
+    from data_exchange_hl7_spark.engine import (
+        REPO_STATS_SCHEMA,
+        Engine,
+        repo_stats_delta,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    table.add_check_constraint("size_mod3", "size_bytes % 3 <> 0")
+    view = eng.aggregate_table("repo_stats", REPO_STATS_SCHEMA, repo_stats_delta)
+    events = change_events(spark, 3000)
+    r = eng.apply_epoch(events, table, epoch=0, collect_metrics=False, atomic=True)
+    assert r["applied"] and r.get("quarantined", 0) > 0
+    got = {x["repo"]: (x["n_files"], x["total_bytes"]) for x in view.snapshot().collect()}
+    exp = {
+        x["repo"]: (x["n_files"], x["total_bytes"])
+        for x in table.snapshot()
+        .groupBy("repo")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.col("size_bytes").cast("bigint")).alias("total_bytes"),
+        )
+        .collect()
+    }
+    assert got == exp

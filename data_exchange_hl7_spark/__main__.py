@@ -56,6 +56,12 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--mode", default="mor", choices=["cow", "mor"])
     sp.add_argument("--compact-every", type=int, default=None)
     sp.add_argument("--expire-keep-last", type=int, default=None)
+    sp.add_argument(
+        "--atomic", action="store_true",
+        help="publish each epoch's main + derived merges from one "
+        "multi-table transaction (all-or-nothing; default converges by "
+        "per-table idempotence)",
+    )
 
     sp = sub.add_parser("stream", help="tail a WAL directory (exactly-once)")
     common(sp)
@@ -113,11 +119,21 @@ def _build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("inspect", help="metadata tables (files/snapshots/refs)")
     common(sp)
     sp.add_argument(
-        "--what", default="files", choices=["files", "snapshots", "refs"]
+        "--what",
+        default="files",
+        choices=["files", "snapshots", "refs", "quarantine"],
     )
 
     sp = sub.add_parser("metrics", help="per-epoch lineage/metrics table")
     common(sp)
+
+    sp = sub.add_parser(
+        "recover",
+        help="roll forward (or compensate) every decided-but-unfinished "
+        "multi-table transaction in the warehouse — run before a new "
+        "writer after a crash of an --atomic ingest",
+    )
+    sp.add_argument("--warehouse", required=True)
 
     return p
 
@@ -133,7 +149,11 @@ def main(argv: list[str] | None = None) -> int:
     from data_exchange_hl7_spark.sources import read_wal
 
     spark = build_session(master=args.master)
-    loc = os.path.join(args.warehouse, args.table)
+    loc = (
+        os.path.join(args.warehouse, args.table)
+        if getattr(args, "table", None)
+        else args.warehouse
+    )
 
     if args.cmd == "ingest":
         from data_exchange_hl7_spark.streaming.runner import MicroBatchRunner
@@ -145,6 +165,7 @@ def main(argv: list[str] | None = None) -> int:
             epoch_size=args.epoch_size,
             compact_every=args.compact_every,
             expire_keep_last=args.expire_keep_last,
+            atomic=args.atomic,
         ).run(read_wal(spark, args.wal, fmt=args.fmt), t)
         for s in stats:
             print(json.dumps(s))
@@ -231,9 +252,19 @@ def main(argv: list[str] | None = None) -> int:
             "files": t.meta_files,
             "snapshots": t.meta_snapshots,
             "refs": t.meta_refs,
+            "quarantine": t.quarantine,
         }[args.what]()
         for row in df.collect():  # metadata-sized by construction
+            # (quarantine is O(violations); a takedown audit wants the rows)
             print(json.dumps(row.asDict(), default=str))
+
+    elif args.cmd == "recover":
+        from data_exchange_hl7_spark.lake.txn import MultiTableTransaction
+
+        out = MultiTableTransaction.recover(
+            spark, os.path.join(args.warehouse, "_txn")
+        )
+        print(json.dumps({"recovered": out}, default=str))
 
     elif args.cmd == "metrics":
         # read the metrics parquet directly (Engine.metrics' path) — no

@@ -1413,8 +1413,8 @@ class Engine:
                     )
             if txn is not None:
                 txn_out = txn.commit()
-                if result.get("staged"):
-                    stats["applied"] = True
+                if stats.pop("staged", None):
+                    stats["applied"] = True  # published by the txn commit
                 stats["txn_id"] = txn_out["txn_id"]
             if derived:
                 stats["derived_applied"] = [table_name(t) for t, *_ in derived_pending]

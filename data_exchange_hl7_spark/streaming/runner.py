@@ -90,9 +90,13 @@ class MicroBatchRunner:
         compact_every: int | None = None,
         expire_keep_last: int | None = None,
         compact_opts: dict | None = None,
+        atomic: bool = False,
     ):
         self.engine = engine
         self.epoch_size = epoch_size
+        # atomic=True publishes each epoch's main + derived merges from one
+        # multi-table transaction (Engine.apply_epoch atomic semantics)
+        self.atomic = atomic
         # mor maintenance cadence: fold deltas into base every K applied
         # epochs (bounds read amplification at K delta layers)
         self.compact_every = compact_every
@@ -173,7 +177,8 @@ class MicroBatchRunner:
             t0 = time.time()
             sl = events.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
             info = self.engine.apply_epoch(
-                sl, table, epoch=epoch, start_lsn=lo, end_lsn=hi - 1
+                sl, table, epoch=epoch, start_lsn=lo, end_lsn=hi - 1,
+                atomic=self.atomic,
             )
             info["wall_s"] = round(time.time() - t0, 3)
             if replay_meta:

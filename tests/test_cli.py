@@ -127,3 +127,36 @@ def test_cli_stream_starts_on_empty_wal_dir(spark):
         "--buckets", "4",
     )
     assert out[-1]["rows"] == 0
+
+
+def test_cli_atomic_ingest_recover_and_quarantine(spark):
+    """--atomic ingest publishes per-epoch transactions; `recover` is a
+    clean no-op afterwards; a CHECK constraint's diverted rows surface
+    through `inspect --what quarantine`."""
+    from data_exchange_hl7_spark.datagen import change_events
+    from data_exchange_hl7_spark.engine import Engine
+    from data_exchange_hl7_spark.sources import write_wal
+
+    wal = tempfile.mkdtemp(prefix="cli_wal_a_")
+    wh = tempfile.mkdtemp(prefix="cli_wh_a_")
+    write_wal(change_events(spark, 3000), wal)
+    # pre-create the table with a firing constraint so the CLI ingest gates
+    eng = Engine(spark, wh, n_buckets=8, mode="mor")
+    eng.snapshot_table("repo_files").add_check_constraint(
+        "size_mod3", "size_bytes % 3 <> 0"
+    )
+
+    out = _cli(
+        "ingest", "--warehouse", wh, "--wal", wal, "--epoch-size", "1500",
+        "--buckets", "8", "--mode", "mor", "--atomic",
+    )
+    assert out[-1]["rows"] > 0
+    applied = [s for s in out[:-1] if s.get("applied")]
+    assert applied and all("txn_id" in s for s in applied)
+    assert sum(s.get("quarantined", 0) for s in applied) > 0
+
+    rec = _cli("recover", "--warehouse", wh)
+    assert rec[-1]["recovered"] == []
+
+    q = _cli("inspect", "--warehouse", wh, "--what", "quarantine")
+    assert q and all(r["__violated"] == ["size_mod3"] for r in q)

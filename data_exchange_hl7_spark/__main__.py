@@ -77,6 +77,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="keep running on a processing-time trigger instead of "
         "draining the backlog and stopping (availableNow)",
     )
+    sp.add_argument(
+        "--atomic", action="store_true",
+        help="publish each micro-batch's main + derived merges from one "
+        "multi-table transaction",
+    )
 
     sp = sub.add_parser("replay", help="full/selective replay into a fresh table")
     common(sp, table_default="repo_files_replay")
@@ -196,6 +201,7 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
             compact_every=args.compact_every,
             expire_keep_last=args.expire_keep_last,
+            atomic=args.atomic,
         )
         q.awaitTermination()
         print(json.dumps({"table": args.table, "rows": t.snapshot().count()}))

@@ -38,6 +38,7 @@ def stream_apply(
     compact_every: int | None = None,
     expire_keep_last: int | None = None,
     compact_opts: dict | None = None,
+    atomic: bool = False,
 ):
     """Tail ``source_dir`` for new WAL parquet files and apply each
     micro-batch exactly once. Returns the StreamingQuery.
@@ -84,7 +85,11 @@ def stream_apply(
         os.replace(tmp, base_path)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        engine.apply_epoch(batch_df, table, epoch=epoch_base + batch_id)
+        # atomic=True: each micro-batch's main + derived merges publish from
+        # one multi-table transaction (Engine.apply_epoch atomic semantics)
+        engine.apply_epoch(
+            batch_df, table, epoch=epoch_base + batch_id, atomic=atomic
+        )
         # maintenance cadence (MicroBatchRunner.compact_every analogue): a
         # long-lived stream otherwise accretes one delta layer per batch
         # without bound. MUST be consolidate_deltas, not compact: file

@@ -510,3 +510,37 @@ def test_stream_apply_maintains_scd2_history(spark, tmp_path):
     # churn reached the history: multi-version keys exist
     assert h.groupBy("repo", "path").count().filter("count >= 2").count() > 0
     ev.unpersist()
+
+
+def test_stream_apply_atomic_batches(spark, tmp_path):
+    """atomic=True on the streaming path: every micro-batch publishes its
+    main + derived merges from one transaction; the drained state matches
+    the non-atomic contract (derived == derive(main), same epoch sets) and
+    no transaction is left pending."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        file_stats_derive,
+    )
+    from data_exchange_hl7_spark.lake.txn import MultiTableTransaction
+
+    src = str(tmp_path / "wal_stream")
+    change_events(spark, 2000).write.mode("overwrite").parquet(src)
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=16, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+
+    q = stream_apply(spark, eng, src, table, str(tmp_path / "ckpt"), atomic=True)
+    q.awaitTermination(120)
+
+    assert set(stats_t.committed_epochs()) == set(table.committed_epochs())
+    main_keys = {
+        (r["repo"], r["path"]) for r in table.snapshot().select("repo", "path").collect()
+    }
+    derived_keys = {
+        (r["repo"], r["path"])
+        for r in stats_t.snapshot().select("repo", "path").collect()
+    }
+    assert main_keys == derived_keys and main_keys
+    # all transactions retired
+    assert MultiTableTransaction.recover(spark, str(tmp_path / "wh" / "_txn")) == []

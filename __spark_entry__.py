@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine_read": q.quarantine_read,
         "bitemporal_read": q.bitemporal_read,
         "txn_read": q.txn_read,
+        "temperature_mixing": qt.temperature_mixing,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -488,4 +489,5 @@ def oracle_sql() -> dict[str, str]:
         "quarantine_read": q.ORACLE_QUARANTINE,
         "bitemporal_read": q.ORACLE_BITEMPORAL,
         "txn_read": q.ORACLE_TXN_READ,
+        "temperature_mixing": qt.ORACLE_TEMP_MIX,
     }

@@ -6056,3 +6056,106 @@ FROM scored ORDER BY doc_id
 ORACLE_CONTAM_SCORE = ORACLE_CONTAM_SCORE.format(
     synth=_SYNTH_DUP_SQL, ngrams=_ngram_sql("corpus", DECON_NGRAM)
 )
+
+
+# ------------------- temperature-scaled mixture sampling --------------------
+
+TEMP_MIX_BUDGET_PERMILLE = 1500  # budget = 1.5 corpus-epochs of tokens
+TEMP_MIX_MAX_EPOCHS = 4  # upsampling cap: no source repeats more than 4x
+
+
+def temperature_mixing(spark, sf_dir):
+    """Temperature-scaled mixture weights at tau = 1/2 (the mT5/multilingual
+    sampling family, Xue et al. 2021: p_s proportional to (n_s/N)^tau) —
+    the smooth interpolation between size-proportional mixing
+    (domain_mix_plan, tau=1) and UniMax-style flattening (unimax_mixing):
+    small sources are upsampled, large ones damped, monotonically in size.
+
+    Cross-engine float determinism is ENGINEERED, not hoped for: tau = 1/2
+    makes the power a SQRT, which IEEE 754 requires to be correctly
+    rounded — Spark and DuckDB produce the bit-identical double for the
+    same bigint token count. That one double is immediately floored to an
+    integer weight (w = floor(sqrt(tokens) * 1e6)); every downstream step
+    (weight sum, allocation split, rate, epoch cap) is exact bigint
+    arithmetic, so the plan hash-matches the oracle byte-for-byte. A
+    general tau would need POW, which has no cross-engine rounding
+    guarantee — that variant belongs behind a tolerance gate, not a hash
+    gate (same policy as the sketch-vs-exact percentile split).
+
+    Scale shape: one corpus-wide hash agg to the per-source dim, then all
+    arithmetic on the tiny dim (broadcast folds, no corpus re-scan) — the
+    identical shape as unimax_mixing/domain_mix_plan. Reference analogue:
+    A3-family reporting aggregations."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    ).cast("bigint")
+    dim = (
+        d.select("source", ntok.alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("tokens_src"))
+        .withColumn(
+            "w_sqrt",
+            F.floor(F.sqrt(F.col("tokens_src")) * F.lit(1_000_000)).cast("bigint"),
+        )
+    )
+    tot = dim.groupBy().agg(
+        F.sum("tokens_src").alias("__T"), F.sum("w_sqrt").alias("__W")
+    )
+    out = (
+        dim.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__budget", F.expr(f"__T * {TEMP_MIX_BUDGET_PERMILLE} DIV 1000")
+        )
+        .withColumn(
+            "alloc_tokens",
+            F.expr(
+                f"LEAST(tokens_src * {TEMP_MIX_MAX_EPOCHS}, "
+                "__budget * w_sqrt DIV __W)"
+            ),
+        )
+        .withColumn("rate_permille", F.expr("alloc_tokens * 1000 DIV tokens_src"))
+        .withColumn(
+            "prop_rate_permille",
+            F.expr("(__budget * tokens_src DIV __T) * 1000 DIV tokens_src"),
+        )
+        .withColumn(
+            "boost_permille", F.col("rate_permille") - F.col("prop_rate_permille")
+        )
+    )
+    return out.select(
+        "source", "tokens_src", "w_sqrt", "alloc_tokens", "rate_permille",
+        "prop_rate_permille", "boost_permille",
+    ).orderBy("source")
+
+
+ORACLE_TEMP_MIX = f"""
+WITH dim AS (
+  SELECT source,
+         CAST(SUM(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> LEN(x) > 0)))
+              AS BIGINT) AS tokens_src
+  FROM documents GROUP BY source),
+wdim AS (
+  SELECT source, tokens_src,
+         CAST(FLOOR(SQRT(tokens_src) * 1000000) AS BIGINT) AS w_sqrt
+  FROM dim),
+tot AS (SELECT SUM(tokens_src) AS T, SUM(w_sqrt) AS W FROM wdim),
+alloc AS (
+  SELECT d.source, d.tokens_src, d.w_sqrt,
+         T * {TEMP_MIX_BUDGET_PERMILLE} // 1000 AS budget, T, W
+  FROM wdim d, tot)
+SELECT source, tokens_src, w_sqrt,
+       CAST(LEAST(tokens_src * {TEMP_MIX_MAX_EPOCHS},
+                  budget * w_sqrt // W) AS BIGINT) AS alloc_tokens,
+       CAST(LEAST(tokens_src * {TEMP_MIX_MAX_EPOCHS},
+                  budget * w_sqrt // W) * 1000 // tokens_src AS BIGINT)
+           AS rate_permille,
+       CAST((budget * tokens_src // T) * 1000 // tokens_src AS BIGINT)
+           AS prop_rate_permille,
+       CAST(LEAST(tokens_src * {TEMP_MIX_MAX_EPOCHS},
+                  budget * w_sqrt // W) * 1000 // tokens_src
+            - (budget * tokens_src // T) * 1000 // tokens_src AS BIGINT)
+           AS boost_permille
+FROM alloc
+ORDER BY source
+"""

@@ -134,6 +134,13 @@ BENCH_QUERIES = [
     "stream_stream_left_join",
     "cdf_replica_read",
     "ivf_index_replica_read",
+    # continuation-session additions: constraint gate + quarantine,
+    # bitemporal SCD2 probe, atomic multi-table txn, temperature mixing
+    "constraint_gate_read",
+    "quarantine_read",
+    "bitemporal_read",
+    "txn_read",
+    "temperature_mixing",
 ]
 
 

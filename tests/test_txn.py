@@ -267,3 +267,29 @@ def test_engine_atomic_epoch_with_constraints_and_aggregate(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+@pytest.mark.parametrize("crash_after", [0, 1, 2, 3])
+def test_txn_all_or_nothing_at_every_crash_point(spark, tmp_path, crash_after):
+    """Sweep the crash point across a 3-table publish sequence (crash after
+    k successful publishes, k = 0..3): recovery must always land ALL three
+    tables at the post state — the decide point was written, so the only
+    legal outcome is roll-forward, regardless of where the crash fell."""
+    tables = []
+    for i in range(3):
+        t = _mk(spark, tmp_path, f"t{i}")
+        t.merge(_ch(spark, [("k1", f"v{i}_old", 1, "U")]), epoch=0)
+        tables.append(t)
+    txn = MultiTableTransaction(spark, str(tmp_path / "_txn"))
+    for i, t in enumerate(tables):
+        txn.stage(t, _ch(spark, [("k1", f"v{i}_new", 2, "U")]), epoch=1)
+    txn._decide()
+    # publish the first k entries manually, then "crash"
+    for e in txn._entries[:crash_after]:
+        LakeTable(spark, e["location"]).publish_staged(e["staged"])
+    rec = MultiTableTransaction.recover(spark, str(tmp_path / "_txn"))
+    assert len(rec) == 1 and len(rec[0]["published"]) == 3
+    for i, t in enumerate(tables):
+        assert t.snapshot().collect()[0]["v"] == f"v{i}_new"
+        assert "1" in t.committed_epochs()
+    assert MultiTableTransaction.recover(spark, str(tmp_path / "_txn")) == []

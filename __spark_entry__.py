@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitemporal_read": q.bitemporal_read,
         "txn_read": q.txn_read,
         "temperature_mixing": qt.temperature_mixing,
+        "cdf_preimages_read": q.cdf_preimages_read,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -490,4 +491,5 @@ def oracle_sql() -> dict[str, str]:
         "bitemporal_read": q.ORACLE_BITEMPORAL,
         "txn_read": q.ORACLE_TXN_READ,
         "temperature_mixing": qt.ORACLE_TEMP_MIX,
+        "cdf_preimages_read": q.ORACLE_CDF_PREIMAGES,
     }

@@ -1344,6 +1344,102 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def changes_with_preimages(
+        self, from_sid: int, to_sid: int | None = None
+    ) -> DataFrame:
+        """Delta ``readChangeFeed``-style CDF with pre-images: for every
+        commit in (``from_sid``, ``to_sid``], classify each change row as
+
+          - ``insert``            (postimage; key absent before the commit)
+          - ``update_preimage``   (the replaced values)
+          - ``update_postimage``  (the new values)
+          - ``delete``            (preimage; tombstone on a live key)
+
+        A tombstone for a key that was not live is dropped (no observable
+        change — same as Delta). This is the retraction-stream surface a
+        downstream aggregate consumer needs (emit -pre +post instead of
+        recomputing), produced straight from storage.
+
+        Scale shape: per commit, one O(changes-in-commit) read of the
+        pre-state — ``snapshot(as_of=parent, keys_in=changed keys)`` pushes
+        the changed-key semi join below the MoR resolve, so cost tracks the
+        commit's change volume, never table size. The driver loop is
+        O(commits in the window), the same shape every CDF poller
+        (CdfTailReplicator) already has."""
+        to_snap = self._load_snapshot(to_sid)
+        if to_snap.get("mode") != "mor":
+            raise ValueError("changes_with_preimages requires a merge-on-read table")
+        keys = to_snap["key_cols"]
+        cols = [f["name"] for f in self.schema_fields(to_snap)]
+        # commit ids in the window, oldest first (dense ids)
+        sids = list(range(from_sid + 1, to_snap["snapshot_id"] + 1))
+        parts = []
+        for sid in sids:
+            # metadata-only commits (properties/evolve/compact/rollback) add
+            # no delta layer — skip without launching any job
+            s = self._load_snapshot(sid)
+            parent_layers = 0
+            if s["parent"] is not None:
+                parent_layers = len(self._load_snapshot(s["parent"]).get("deltas", []))
+            if len(s.get("deltas", [])) <= parent_layers:
+                continue
+            chg = self.changes_between(sid - 1, sid)
+            pre = (
+                self.snapshot(
+                    as_of=sid - 1,
+                    keys_in=chg.select(*keys),
+                    with_tombstones=True,
+                )
+                .filter(F.col("__op") == "U")
+                .drop("__op")
+            )
+            pre_cols = {c: F.col(f"__pre_{c}") for c in cols if c not in keys}
+            pre_renamed = pre.select(
+                *keys, *[F.col(c).alias(f"__pre_{c}") for c in cols if c not in keys]
+            ).withColumn("__had_pre", F.lit(True))
+            j = chg.join(pre_renamed, on=keys, how="left").withColumn(
+                "__had_pre", F.coalesce(F.col("__had_pre"), F.lit(False))
+            )
+            post_sel = [F.col(c) for c in cols]
+            pre_sel = [
+                (F.col(c) if c in keys else pre_cols[c].alias(c)) for c in cols
+            ]
+            tail = [F.col("_commit_snapshot")]
+            inserts = (
+                j.filter((F.col("_change_type") == "U") & ~F.col("__had_pre"))
+                .select(*post_sel, F.lit("insert").alias("_change_type"), *tail)
+            )
+            upd_pre = (
+                j.filter((F.col("_change_type") == "U") & F.col("__had_pre"))
+                .select(
+                    *pre_sel, F.lit("update_preimage").alias("_change_type"), *tail
+                )
+            )
+            upd_post = (
+                j.filter((F.col("_change_type") == "U") & F.col("__had_pre"))
+                .select(
+                    *post_sel, F.lit("update_postimage").alias("_change_type"), *tail
+                )
+            )
+            deletes = (
+                j.filter((F.col("_change_type") == "D") & F.col("__had_pre"))
+                .select(*pre_sel, F.lit("delete").alias("_change_type"), *tail)
+            )
+            parts.append(
+                inserts.unionByName(upd_pre).unionByName(upd_post).unionByName(deletes)
+            )
+        if not parts:
+            return (
+                self._empty_df(self.schema_fields(to_snap))
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_snapshot", F.lit(0))
+                .limit(0)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # ------------------------------------------------------------ merge
     @staticmethod
     def _staging_rel(prefix: str, new_sid: int) -> str:

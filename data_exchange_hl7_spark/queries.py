@@ -2816,6 +2816,104 @@ ORDER BY epoch, user_id, violated
 """
 
 
+# ------------------- CDF with pre-images (retraction stream) ---------------
+
+_CDF_PRE_DEMO_CACHE: dict[str, str] = {}
+
+
+def cdf_preimages_read(spark, sf_dir):
+    """Delta `readChangeFeed`-style CDF with pre-images under the oracle
+    gate (`LakeTable.changes_with_preimages`): the standard 2-epoch MoR
+    demo, then the change feed AFTER epoch 1's commit classified as
+    insert / update_preimage / update_postimage / delete — a tombstone on a
+    never-live key is dropped (no observable change, Delta parity). This is
+    the retraction-stream surface an incremental aggregate consumer needs
+    (-pre +post) read straight from storage; the oracle recomputes every
+    class from the event algebra.
+
+    Scale shape: per commit one O(changes) pre-state read with the
+    changed-key semi join pushed below the MoR resolve (keys_in) — cost
+    tracks commit change volume, never table size."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key
+
+    loc = _CDF_PRE_DEMO_CACHE.get(sf_dir)
+    if loc and LakeTable.exists(loc):
+        t = LakeTable(spark, loc)
+    else:
+        loc = tempfile.mkdtemp(prefix="dex_cdfpre_demo_")
+        t = LakeTable.create(
+            spark,
+            loc,
+            schema=[
+                ("user_id", "bigint"),
+                ("event_type", "string"),
+                ("event_id", "bigint"),
+            ],
+            key_cols=["user_id"],
+            n_buckets=8,
+            mode="mor",
+            order_col="event_id",
+        )
+        ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+        for epoch, parity in ((1, 0), (2, 1)):
+            half = ev.filter(F.col("event_id") % 2 == parity)
+            changes = latest_by_key(half, ["user_id"], ["event_id"]).withColumn(
+                "__op",
+                F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+            )
+            t.merge(changes, epoch=epoch)
+        _CDF_PRE_DEMO_CACHE[sf_dir] = loc
+    # window = everything after epoch 1's commit (create=0, e1=1, e2=2)
+    return (
+        t.changes_with_preimages(1)
+        .select(
+            "user_id",
+            F.col("_change_type").alias("change_type"),
+            F.col("event_type").alias("ev_type"),
+            F.col("event_id").alias("ev_id"),
+        )
+        .orderBy("user_id", "change_type")
+    )
+
+
+# Epoch-1 live state = even-id winners that are not 'error' (those were D).
+# Epoch-2 winners (odd ids): U (non-error) on a live key -> update pre+post;
+# U on an absent key -> insert; D ('error') on a live key -> delete; D on an
+# absent key -> dropped.
+ORACLE_CDF_PREIMAGES = """
+WITH e1 AS (
+  SELECT user_id, event_type, event_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+pre AS (SELECT * FROM e1 WHERE event_type <> 'error'),
+e2 AS (
+  SELECT user_id, event_type, event_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 1) WHERE rn = 1)
+SELECT user_id, change_type, ev_type, ev_id FROM (
+  SELECT e2.user_id, 'insert' AS change_type,
+         e2.event_type AS ev_type, e2.event_id AS ev_id
+  FROM e2 LEFT JOIN pre ON e2.user_id = pre.user_id
+  WHERE e2.event_type <> 'error' AND pre.user_id IS NULL
+  UNION ALL
+  SELECT e2.user_id, 'update_preimage', pre.event_type, pre.event_id
+  FROM e2 JOIN pre ON e2.user_id = pre.user_id
+  WHERE e2.event_type <> 'error'
+  UNION ALL
+  SELECT e2.user_id, 'update_postimage', e2.event_type, e2.event_id
+  FROM e2 JOIN pre ON e2.user_id = pre.user_id
+  WHERE e2.event_type <> 'error'
+  UNION ALL
+  SELECT e2.user_id, 'delete', pre.event_type, pre.event_id
+  FROM e2 JOIN pre ON e2.user_id = pre.user_id
+  WHERE e2.event_type = 'error')
+ORDER BY user_id, change_type
+"""
+
+
 # ------------------- atomic multi-table transaction ------------------------
 
 _TXN_DEMO_CACHE: dict[str, str] = {}

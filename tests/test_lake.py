@@ -1786,3 +1786,38 @@ def test_quarantine_empty_when_no_violations(spark, tmp_path):
     assert t.quarantine().count() == 0
     cols = set(t.quarantine().columns)
     assert {"__op", "__violated", "epoch"} <= cols
+
+
+def test_changes_with_preimages_classification(spark, tmp_path):
+    """Delta readChangeFeed parity: insert / update pre+post / delete with
+    pre-image values; a tombstone on a never-live key is dropped; metadata-
+    only commits in the window are skipped without a job."""
+    t = _mk(spark, tmp_path, name="cdfpre", mode="mor")
+    t.merge(_changes(spark, [("a", "a1", 1, 1, "U"), ("b", "b1", 2, 2, "U")]), epoch=0)
+    # window start: after the first merge (sid 1)
+    t.set_properties({"note": "metadata-only commit inside the window"})
+    t.merge(
+        _changes(
+            spark,
+            [
+                ("a", "a2", 9, 5, "U"),   # update -> pre(a1) + post(a2)
+                ("b", None, None, 6, "D"),  # delete -> preimage b1
+                ("c", "c1", 3, 7, "U"),   # insert
+                ("z", None, None, 8, "D"),  # tombstone on absent key -> dropped
+            ],
+        ),
+        epoch=1,
+    )
+    rows = {
+        (r["k"], r["_change_type"]): (r["v"], r["n"])
+        for r in t.changes_with_preimages(1).collect()
+    }
+    assert rows == {
+        ("a", "update_preimage"): ("a1", 1),
+        ("a", "update_postimage"): ("a2", 9),
+        ("b", "delete"): ("b1", 2),
+        ("c", "insert"): ("c1", 3),
+    }
+    # full-window read from table creation: epoch-0 rows are inserts
+    all_rows = t.changes_with_preimages(0).collect()
+    assert sum(1 for r in all_rows if r["_change_type"] == "insert") == 3

@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txn_read": q.txn_read,
         "temperature_mixing": qt.temperature_mixing,
         "cdf_preimages_read": q.cdf_preimages_read,
+        "knn_graph_clusters": qt.knn_graph_clusters,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -492,4 +493,5 @@ def oracle_sql() -> dict[str, str]:
         "txn_read": q.ORACLE_TXN_READ,
         "temperature_mixing": qt.ORACLE_TEMP_MIX,
         "cdf_preimages_read": q.ORACLE_CDF_PREIMAGES,
+        "knn_graph_clusters": qt.ORACLE_KNN_GRAPH,
     }

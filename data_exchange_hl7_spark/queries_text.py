@@ -6159,3 +6159,132 @@ SELECT source, tokens_src, w_sqrt,
 FROM alloc
 ORDER BY source
 """
+
+
+# ------------------- mutual-kNN graph -> semantic clusters ------------------
+
+KNN_GRAPH_K = 3
+
+
+def knn_graph_clusters(spark, sf_dir, k: int = KNN_GRAPH_K, max_iter: int = 15):
+    """Semantic clustering via a mutual-kNN graph over the embedding
+    column: exact integer-cosine top-k neighbors per vector (milli-grid
+    quantization, the repo's single ANN arithmetic), an edge kept only when
+    BOTH endpoints rank each other (mutual-kNN — the standard robust
+    sparsifier: a hub cannot absorb everything, because its victims don't
+    rank it back), then connected components with the certified min-label
+    propagation (_component_labels). Isolated vectors are their own
+    cluster.
+
+    Float determinism: the ranking key cos^2 = (dot^2)::double /
+    (|a|^2*|b|^2)::double divides two EXACT bigints (both < 2^53 at these
+    dims, so the int->double conversion is lossless) — one correctly-
+    rounded IEEE division per pair, identical in both engines; ties break
+    on vec_id.
+
+    Scale shape: the demo generates candidates brute-force (exact contract
+    for the oracle); at 10^9 vectors swap candidate generation for the
+    certified SRP-bucket join (embedding_cosine_dups) or the trained IVF
+    probe (ivf_topk_trained) and keep everything downstream — the top-k
+    window is per-vector (bounded k), the graph is O(n*k) edges, and the
+    CC loop is the same O(log n) pointer-jumping path dup_clusters runs.
+    Reference analogue: A6 duplicate family detection, lifted to the
+    embedding modality."""
+    e = _quantized(spark, sf_dir)
+    nrm = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    b = _persist_tracked(e.select("vec_id", "q", nrm.alias("nrm")))
+    a, bb = b.alias("a"), b.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        a.join(bb, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            dot.alias("dot"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        .filter(F.col("dot") > 0)
+        .withColumn(
+            "cos2",
+            (F.col("dot") * F.col("dot")).cast("double")
+            / (F.col("na") * F.col("nb")).cast("double"),
+        )
+    )
+    w = Window.partitionBy("va").orderBy(F.desc("cos2"), F.asc("vb"))
+    knn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    ).select("va", "vb")
+    k2 = knn.select(F.col("va").alias("vb"), F.col("vb").alias("va"))
+    mutual = (
+        knn.join(k2, ["va", "vb"])
+        .filter(F.col("va") < F.col("vb"))
+        .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"))
+    )
+    labels = _component_labels(mutual, max_iter)
+    out = (
+        e.select("vec_id")
+        .join(labels.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("lab", F.col("vec_id")).alias("cluster_id")
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+    )
+    return out.orderBy("vec_id")
+
+
+ORACLE_KNN_GRAPH = f"""
+WITH RECURSIVE
+qv AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+nr AS (
+  SELECT vec_id, q,
+         CAST(LIST_SUM(LIST_TRANSFORM(q, x -> x * x)) AS BIGINT) AS nrm
+  FROM qv),
+scored AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.q)),
+                  i -> a.q[i] * b.q[i])) AS BIGINT) AS BIGINT) AS dot,
+         a.nrm AS na, b.nrm AS nb
+  FROM nr a JOIN nr b ON a.vec_id <> b.vec_id),
+pos AS (
+  SELECT va, vb,
+         CAST(dot * dot AS DOUBLE) / CAST(na * nb AS DOUBLE) AS cos2
+  FROM scored WHERE dot > 0),
+ranked AS (
+  SELECT va, vb,
+         ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos2 DESC, vb ASC) AS rn
+  FROM pos),
+knn AS (SELECT va, vb FROM ranked WHERE rn <= {KNN_GRAPH_K}),
+mutual AS (
+  SELECT k1.va AS doc_a, k1.vb AS doc_b
+  FROM knn k1 JOIN knn k2 ON k1.va = k2.vb AND k1.vb = k2.va
+  WHERE k1.va < k1.vb),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mutual
+  UNION SELECT doc_b, doc_a FROM mutual),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT v.vec_id,
+       CAST(COALESCE(c.cluster_id, v.vec_id) AS BIGINT) AS cluster_id,
+       COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, v.vec_id))
+           AS cluster_size
+FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node
+ORDER BY v.vec_id
+"""

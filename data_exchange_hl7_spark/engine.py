@@ -1990,6 +1990,72 @@ class Engine:
             )
         return self.apply_epoch(events, table, epoch=epoch)
 
+    def reprocess_quarantine(
+        self,
+        table: LakeTable,
+        epoch: int,
+        fix=None,
+        source_epochs: list[int] | None = None,
+    ) -> dict:
+        """Re-drive CHECK-constraint-quarantined rows after a fix — the
+        quarantine half of the dead-letter workflow (``reprocess_rejects``
+        handles validation rejects).
+
+        Quarantined rows are post-transform change rows with the full
+        payload, so they are re-synthesized into WAL envelopes (op/lsn/ts
+        from the row, evolved columns folded back into
+        ``supporting_metadata`` so the schema-meta extraction re-derives
+        them) and pushed through the NORMAL exactly-once apply under a NEW
+        epoch: validation, the constraint gate (still-violating rows return
+        to quarantine), derived/aggregate maintenance, and metrics all run
+        — a side-door merge would silently skip the derived fan-out.
+
+        MoR read-time ordering by last_lsn guarantees a re-driven old
+        version can never clobber a newer live row (the same contract as
+        reject re-drives)."""
+        q = table.quarantine()
+        if source_epochs is not None:
+            q = q.filter(F.col("epoch").isin(*source_epochs))
+        if fix is not None:
+            q = fix(q)
+        snap = table.current_snapshot()
+        schema_meta = snap["properties"].get("schema_meta", {})
+        meta_entries: list = []
+        for fld, m in schema_meta.items():
+            if fld in q.columns:
+                meta_entries += [F.lit(m["src"]), F.col(fld).cast("string")]
+        if meta_entries:
+            sm = F.map_filter(
+                F.create_map(*meta_entries), lambda k, v: v.isNotNull()
+            )
+        else:
+            sm = F.create_map().cast("map<string,string>")
+        events = q.select(
+            F.when(F.col("__op") == "D", F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+            .alias("op"),
+            F.col("last_lsn").alias("lsn"),
+            F.col("last_ts").alias("ts"),
+            "repo",
+            "path",
+            F.lit(None).cast("string").alias("new_path"),
+            "commit",
+            "lang",
+            "content",
+            F.lit(None).cast("string").alias("schema_field"),
+            sm.alias("supporting_metadata"),
+            F.lit("quarantine-redrive").alias("batch_id"),
+            F.lit(0).alias("message_index"),
+            F.sha2(
+                F.concat_ws("|", "repo", "path", F.col("last_lsn").cast("string")),
+                256,
+            ).alias("event_id"),
+            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias(
+                "content_sha256"
+            ),
+        )
+        return self.apply_epoch(events, table, epoch=epoch)
+
 
 def table_name(table: LakeTable) -> str:
     return os.path.basename(table.location.rstrip("/"))

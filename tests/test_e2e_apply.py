@@ -1363,3 +1363,50 @@ def test_check_constraints_gate_before_derived_fanout(spark, tmp_path):
         # if present, it must be from an earlier passing version, which the
         # derived table must agree on (already asserted by set equality)
         assert (k in landed_anywhere) == (k in main_keys)
+
+
+def test_reprocess_quarantine_redrive(spark, tmp_path):
+    """Dead-letter workflow for CHECK constraints: quarantined rows are
+    re-synthesized into WAL envelopes and re-driven through the NORMAL
+    apply after dropping the constraint — derived tables are maintained for
+    the re-drive epoch, and a still-violating row (constraint kept) goes
+    straight back to quarantine instead of merging."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        Engine,
+        file_stats_derive,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    table.add_check_constraint("size_mod3", "size_bytes % 3 <> 0")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    events = change_events(spark, 2000)
+    r = eng.apply_epoch(events, table, epoch=0, collect_metrics=False)
+    nq = r["quarantined"]
+    assert nq > 0
+    before = table.snapshot().count()
+
+    # re-drive with the constraint still active: everything returns to
+    # quarantine (epoch 1's sidecar), nothing merges
+    r1 = eng.reprocess_quarantine(table, epoch=1)
+    assert r1["quarantined"] == nq
+    assert table.snapshot().count() == before
+
+    # drop the constraint and re-drive: rows land, deriveds follow
+    table.drop_check_constraint("size_mod3")
+    r2 = eng.reprocess_quarantine(table, epoch=2, source_epochs=[0])
+    assert r2.get("quarantined") is None  # no constraints -> no gate
+    after = table.snapshot().count()
+    assert after > before
+    main_keys = {
+        (x["repo"], x["path"]) for x in table.snapshot().select("repo", "path").collect()
+    }
+    derived_keys = {
+        (x["repo"], x["path"])
+        for x in stats_t.snapshot().select("repo", "path").collect()
+    }
+    assert main_keys == derived_keys
+    # the re-driven rows carry their ORIGINAL lsn, so a newer live version
+    # can never be clobbered (checked implicitly: set equality above uses
+    # the resolved latest state)

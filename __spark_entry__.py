@@ -36,9 +36,13 @@ including stream_stream_left_join, cdf_replica_read and the CDF-tail
 replicator family, plus the continuation-session additions
 constraint_gate_read + quarantine_read (write-time CHECK constraints,
 which also touched lake/table.py merge and engine.py apply_epoch — the
-queries riding those modules rotate too), bitemporal_read, and txn_read
+queries riding those modules rotate too), bitemporal_read, txn_read
 (lake/txn.py MultiTableTransaction — atomic multi-table commit with
-crash-window + conflict-compensation property tests)) are
+crash-window + conflict-compensation property tests; Engine.apply_epoch
+atomic=True publishes main + deriveds from one transaction),
+temperature_mixing (tau=1/2 via IEEE-exact sqrt), cdf_preimages_read
+(Delta readChangeFeed-parity pre-image classification), and
+knn_graph_clusters (mutual-kNN graph -> certified CC labels)) are
 never-green BY CONSTRUCTION and lead this group —
 then queries added or module-touched during r5, then the six r4-touched-module queries the
 temporal-CDC family displaced (derived_file_stats, aggregate_repo_stats,

@@ -782,3 +782,37 @@ def test_contamination_score_broadcasts_eval_side(spark):
     assert any(r["n_shared"] == 0 for r in rows), "zero-overlap rows missing"
     hits = {r["doc_id"] for r in qt.decontamination(spark, SF).collect()}
     assert {r["doc_id"] for r in rows if r["n_shared"] > 0} == hits
+
+
+def test_continuation_session_queries_stay_jvm_side(spark):
+    """temperature_mixing is one dim agg + broadcast folds (no Python, no
+    window); knn_graph_clusters' scoring stays in built-ins (the top-k
+    window is per-vector, bounded k); the constraint gate adds a narrow
+    boolean projection — none may plan a Python UDF."""
+    for fn in [qt.temperature_mixing, qt.knn_graph_clusters]:
+        assert_no_python_udf(fn(spark, SF))
+
+
+def test_constraint_gate_is_narrow_projection(spark):
+    """The CHECK-constraint split adds zero exchanges on top of the change
+    frame: tagging is a projection, the passing filter is narrow."""
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    import tempfile
+
+    loc = tempfile.mkdtemp(prefix="plan_cons_")
+    t = LakeTable.create(
+        spark, loc, [("k", "string"), ("n", "int"), ("lsn", "bigint")],
+        ["k"], n_buckets=4, mode="mor", order_col="lsn",
+    )
+    ch = spark.createDataFrame(
+        [("a", 1, 1, "U")], "k string, n int, lsn long, __op string"
+    )
+    good, _, handle = t._enforce_check_constraints(
+        ch, {"n_pos": "n > 0"}, t.current_snapshot(), 0
+    )
+    try:
+        assert n_exchanges(good) == 0
+        assert_no_python_udf(good)
+    finally:
+        handle.unpersist()

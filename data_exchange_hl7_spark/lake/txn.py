@@ -35,9 +35,11 @@ Crash/conflict matrix (tested in tests/test_txn.py):
 Isolation scope (stated, not hidden): readers racing the PUBLISH phase can
 observe table A at its new snapshot while table B is still at its old one
 for the duration of step 3 — the primitive guarantees atomic *durability*
-(no partial outcome survives), not cross-table snapshot isolation; a
-reader wanting a consistent cross-table view pins explicit snapshot ids
-(``snapshot(as_of=...)``), which the manifest records.
+(no partial outcome survives), not cross-table snapshot isolation. A
+reader wanting a consistent cross-table view pins the per-table snapshot
+ids of the last fully-published transaction via
+``consistent_snapshot_ids(txn_dir)`` + ``snapshot(as_of=...)`` — the
+manifest records them, so the pin is two metadata reads.
 
 Scale shape: steps 2 and 4 are single metadata writes; step 3 is one CAS
 rename per table. Nothing here reads or writes data files — the data work
@@ -202,6 +204,38 @@ class MultiTableTransaction:
                 continue
             out.append({"txn_id": txn_id, "published": published})
         return out
+
+
+def consistent_snapshot_ids(txn_dir: str) -> dict[str, int]:
+    """Cross-table snapshot-isolation helper: the per-table snapshot ids of
+    the LATEST fully-published (done, not aborted) transaction — a reader
+    that pins each member with ``snapshot(as_of=ids[location])`` observes
+    the atomic outcome even while a newer transaction is mid-publish
+    (the window the module docstring's isolation caveat describes).
+    Tables never written by any done transaction are absent; read those at
+    current. Metadata-only: two small JSON reads, no Spark jobs."""
+    if not os.path.isdir(txn_dir):
+        return {}
+    best: tuple[float, dict] | None = None
+    for fname in os.listdir(txn_dir):
+        if not (fname.startswith("txn-") and fname.endswith(".json")):
+            continue
+        txn_id = fname[4:-5]
+        done_path = os.path.join(txn_dir, f"txn-{txn_id}.done")
+        if not os.path.exists(done_path):
+            continue
+        with open(done_path) as f:
+            if f.read().strip() == "aborted":
+                continue
+        with open(os.path.join(txn_dir, fname)) as f:
+            manifest = json.load(f)
+        if best is None or manifest["decided_at"] > best[0]:
+            best = (manifest["decided_at"], manifest)
+    if best is None:
+        return {}
+    return {
+        e["location"]: e["sid"] for e in best[1]["entries"] if e.get("staged")
+    }
 
 
 def _mark_done(txn_dir: str, txn_id: str, status: str = "done") -> None:

@@ -293,3 +293,42 @@ def test_txn_all_or_nothing_at_every_crash_point(spark, tmp_path, crash_after):
         assert t.snapshot().collect()[0]["v"] == f"v{i}_new"
         assert "1" in t.committed_epochs()
     assert MultiTableTransaction.recover(spark, str(tmp_path / "_txn")) == []
+
+
+def test_consistent_snapshot_ids_pin_across_mid_publish(spark, tmp_path):
+    """A reader pinned to consistent_snapshot_ids sees the last atomic
+    outcome even while a newer transaction is mid-publish (one member
+    published, the other still staged)."""
+    from data_exchange_hl7_spark.lake.txn import consistent_snapshot_ids
+
+    a, b = _pair(spark, tmp_path)
+    txn_dir = str(tmp_path / "_txn")
+    txn1 = MultiTableTransaction(spark, txn_dir)
+    txn1.stage(a, _ch(spark, [("k1", "a1", 2, "U")]), epoch=1)
+    txn1.stage(b, _ch(spark, [("k1", "b1", 2, "U")]), epoch=1)
+    txn1.commit()
+    pins = consistent_snapshot_ids(txn_dir)
+    assert set(pins) == {a.location, b.location}
+
+    # txn2 decides and publishes ONLY its first member (mid-publish window)
+    txn2 = MultiTableTransaction(spark, txn_dir)
+    txn2.stage(a, _ch(spark, [("k1", "a2", 3, "U")]), epoch=2)
+    txn2.stage(b, _ch(spark, [("k1", "b2", 3, "U")]), epoch=2)
+    txn2._decide()
+    e0 = txn2._entries[0]
+    LakeTable(spark, e0["location"]).publish_staged(e0["staged"])
+
+    # current reads are torn (a at v2, b at v1); pinned reads are not
+    assert a.snapshot().collect()[0]["v"] == "a2"
+    assert b.snapshot().collect()[0]["v"] == "b1"
+    pins = consistent_snapshot_ids(txn_dir)  # still txn1: txn2 not done
+    va = a.snapshot(as_of=pins[a.location]).collect()[0]["v"]
+    vb = b.snapshot(as_of=pins[b.location]).collect()[0]["v"]
+    assert (va, vb) == ("a1", "b1")
+
+    # finish txn2 via recovery; the pin advances
+    rec = MultiTableTransaction.recover(spark, txn_dir)
+    assert rec and len(rec[0]["published"]) == 2
+    pins = consistent_snapshot_ids(txn_dir)
+    assert a.snapshot(as_of=pins[a.location]).collect()[0]["v"] == "a2"
+    assert b.snapshot(as_of=pins[b.location]).collect()[0]["v"] == "b2"

@@ -1791,6 +1791,21 @@ class Engine:
                     shutil.copytree(src, tmp)
                     os.rename(tmp, dst)
 
+        # the CHECK-constraint quarantine sidecar lives under the TABLE
+        # location (part of the table contract, unlike the engine-level
+        # report dirs above) — adopt it per published epoch the same way,
+        # or the parent's quarantine()/reprocess_quarantine would miss the
+        # rows the audit branch diverted
+        for e, _sid, _parent in introduced:
+            src = os.path.join(branch.location, "_quarantine", f"epoch={e}")
+            dst = os.path.join(table.location, "_quarantine", f"epoch={e}")
+            if os.path.isdir(src) and not os.path.exists(dst):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                tmp = f"{dst}.tmp-publish"
+                shutil.rmtree(tmp, ignore_errors=True)
+                shutil.copytree(src, tmp)
+                os.rename(tmp, dst)
+
         key_cols = table.current_snapshot()["key_cols"]
         maintained: list[str] = []
         pending_commits = [

@@ -332,3 +332,30 @@ def test_consistent_snapshot_ids_pin_across_mid_publish(spark, tmp_path):
     pins = consistent_snapshot_ids(txn_dir)
     assert a.snapshot(as_of=pins[a.location]).collect()[0]["v"] == "a2"
     assert b.snapshot(as_of=pins[b.location]).collect()[0]["v"] == "b2"
+
+
+def test_publish_adopts_branch_quarantine(spark, tmp_path):
+    """An audit branch with a firing CHECK constraint quarantines on the
+    BRANCH; Engine.publish must adopt that sidecar so the parent's
+    quarantine()/re-drive sees the diverted rows for the published epoch."""
+    from data_exchange_hl7_spark.datagen import change_events
+    from data_exchange_hl7_spark.engine import Engine
+    import pyspark.sql.functions as SF
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    table.add_check_constraint("size_mod3", "size_bytes % 3 <> 0")
+    ev = change_events(spark, 2000)
+    eng.apply_epoch(ev.filter(SF.col("lsn") < 1000), table, epoch=0,
+                    collect_metrics=False)
+    audit = table.branch(eng.table_path("repo_files_audit"), name="audit")
+    r = eng.apply_epoch(ev.filter(SF.col("lsn") >= 1000), audit, epoch=1,
+                        collect_metrics=False)
+    assert r["quarantined"] > 0
+    before = {x["epoch"] for x in table.quarantine().select("epoch").distinct().collect()}
+    assert 1 not in before
+    eng.publish(table, audit)
+    after = {x["epoch"] for x in table.quarantine().select("epoch").distinct().collect()}
+    assert {0, 1} <= after
+    n_e1 = table.quarantine().filter(SF.col("epoch") == 1).count()
+    assert n_e1 == r["quarantined"]

@@ -1592,9 +1592,15 @@ class Engine:
             for t, fn, kind in derived
             if str(self._epoch_key(table, kind, epoch)) not in t.committed_epochs()
         ]
+        # the quarantine sidecar holds FULL payloads of diverted rows, so a
+        # compliance sweep must reach it too (the same hole class as
+        # unswept derived tables); the sweep is an idempotent rewrite
+        # (filter/redact matching rows per epoch dir), so it runs even on
+        # a crash-resume where the merges below all no-op
+        n_swept = self._sweep_quarantine(table, predicate, set_exprs)
         main_done = str(epoch) in table.committed_epochs()
         if main_done and not pending:
-            return {"epoch": epoch, "applied": False}
+            return {"epoch": epoch, "applied": False, "quarantine_swept": n_swept}
         if main_done:
             # resume after a partial multi-table commit: the purged rows are
             # already gone from the current snapshot, so recompute the change
@@ -1695,9 +1701,72 @@ class Engine:
                 )
             if derived:
                 stats["derived_applied"] = [table_name(t) for t, *_ in pending]
+            stats["quarantine_swept"] = n_swept
             return stats
         finally:
             old_rows.unpersist()
+
+    def _sweep_quarantine(
+        self, table: LakeTable, predicate: str, set_exprs: dict[str, str] | None
+    ) -> int:
+        """Purge (remove) or redact (rewrite) rows matching ``predicate``
+        in every quarantine epoch dir. Rows where the predicate is NULL are
+        kept (a sweep must never remove rows it cannot prove match).
+        Rewrites go through a tmp dir + atomic rename per epoch; the whole
+        sweep is idempotent. Returns the number of rows swept."""
+        import shutil as _sh
+
+        from pyspark.errors import AnalysisException
+
+        qroot = os.path.join(table.location, "_quarantine")
+        if not os.path.isdir(qroot):
+            return 0
+        fields = {f["name"]: f["type"] for f in table.schema_fields()}
+        swept = 0
+        for d in sorted(os.listdir(qroot)):
+            if not d.startswith("epoch="):
+                continue
+            qdir = os.path.join(qroot, d)
+            qdf = self.spark.read.parquet(qdir)
+            try:
+                n = qdf.filter(predicate).count()
+            except AnalysisException:
+                # predicate over columns the sidecar lacks (evolved away):
+                # nothing it can match there
+                continue
+            if n == 0:
+                continue
+            if set_exprs is None and qdf.count() == n:
+                # every row matched a purge: drop the epoch dir outright
+                # (an empty rewrite would leave a fileless dir)
+                _sh.rmtree(qdir)
+                swept += n
+                continue
+            keep = qdf.filter(f"NOT coalesce(({predicate}), false)")
+            if set_exprs is None:
+                new = keep
+            else:
+                upd = qdf.filter(predicate)
+                for col, expr in set_exprs.items():
+                    if col in qdf.columns:
+                        upd = upd.withColumn(col, F.expr(expr))
+                if "content" in set_exprs:
+                    body = F.coalesce(F.col("content"), F.lit(""))
+                    if "content_sha256" in qdf.columns and "content_sha256" not in set_exprs:
+                        upd = upd.withColumn("content_sha256", F.sha2(body, 256))
+                    if "size_bytes" in qdf.columns and "size_bytes" not in set_exprs:
+                        upd = upd.withColumn(
+                            "size_bytes",
+                            F.length(body).cast(fields.get("size_bytes", "int")),
+                        )
+                new = keep.unionByName(upd)
+            tmp = f"{qdir}.tmp-sweep"
+            _sh.rmtree(tmp, ignore_errors=True)
+            new.repartition(8).write.parquet(tmp)
+            _sh.rmtree(qdir)
+            os.rename(tmp, qdir)
+            swept += n
+        return swept
 
     # ------------------------------------------------- branch publish
     def publish(self, table: LakeTable, branch: LakeTable) -> dict:

@@ -1410,3 +1410,48 @@ def test_reprocess_quarantine_redrive(spark, tmp_path):
     # the re-driven rows carry their ORIGINAL lsn, so a newer live version
     # can never be clobbered (checked implicitly: set equality above uses
     # the resolved latest state)
+
+
+def test_purge_and_redact_sweep_quarantine_sidecar(spark, tmp_path):
+    """Compliance reaches the quarantine sidecar: a purge removes matching
+    diverted payloads; a redact rewrites them (content invariants
+    recomputed); the sweep is idempotent on re-run."""
+    from data_exchange_hl7_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    table.add_check_constraint("size_mod3", "size_bytes % 3 <> 0")
+    events = change_events(spark, 2000)
+    r = eng.apply_epoch(events, table, epoch=0, collect_metrics=False)
+    assert r["quarantined"] > 0
+    victim = table.quarantine().select("repo").first()["repo"]
+    n_victim_q = table.quarantine().filter(F.col("repo") == victim).count()
+    assert n_victim_q > 0
+
+    p = eng.purge_where(table, f"repo = '{victim}'", epoch=1)
+    assert p["quarantine_swept"] == n_victim_q
+    assert table.quarantine().filter(F.col("repo") == victim).count() == 0
+    # idempotent re-run (epoch committed): merges no-op, sweep finds nothing
+    p2 = eng.purge_where(table, f"repo = '{victim}'", epoch=1)
+    assert not p2["applied"] and p2["quarantine_swept"] == 0
+
+    # redact: rewrite content in the sidecar, sha/size recomputed
+    q0 = table.quarantine()
+    target = q0.select("repo").distinct().orderBy("repo").first()["repo"]
+    rr = eng.redact_where(
+        table, f"repo = '{target}'", {"content": "'<GONE>'"}, epoch=2
+    )
+    assert rr["quarantine_swept"] > 0
+    got = (
+        table.quarantine()
+        .filter(F.col("repo") == target)
+        .select("content", "content_sha256")
+        .distinct()
+        .collect()
+    )
+    assert {g["content"] for g in got} == {"<GONE>"}
+    import hashlib
+
+    assert {g["content_sha256"] for g in got} == {
+        hashlib.sha256(b"<GONE>").hexdigest()
+    }

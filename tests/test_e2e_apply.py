@@ -728,7 +728,7 @@ def test_engine_purge_tombstones_whole_lineage(spark, tmp_path):
         assert got[row["repo"]] == (row["n_files"], row["total_bytes"]), row["repo"]
     # idempotent replay of the purge epoch
     assert eng.purge_where(table, f"repo = '{victim}'", epoch=9000) == {
-        "epoch": 9000, "applied": False,
+        "epoch": 9000, "applied": False, "quarantine_swept": 0,
     }
 
 
@@ -774,7 +774,7 @@ def test_engine_purge_resumes_after_partial_commit(spark, tmp_path):
     assert r["derived_applied"] == ["file_stats"]
     assert stats_t.snapshot().filter(F.col("repo") == victim).count() == 0
     assert eng.purge_where(table, f"repo = '{victim}'", epoch=9000) == {
-        "epoch": 9000, "applied": False,
+        "epoch": 9000, "applied": False, "quarantine_swept": 0,
     }
 
 

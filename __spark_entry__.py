@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixing": qt.temperature_mixing,
         "cdf_preimages_read": q.cdf_preimages_read,
         "knn_graph_clusters": qt.knn_graph_clusters,
+        "knn_graph_clusters_lsh": qt.knn_graph_clusters_lsh,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -498,4 +499,5 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixing": qt.ORACLE_TEMP_MIX,
         "cdf_preimages_read": q.ORACLE_CDF_PREIMAGES,
         "knn_graph_clusters": qt.ORACLE_KNN_GRAPH,
+        "knn_graph_clusters_lsh": qt.ORACLE_KNN_GRAPH_LSH,
     }

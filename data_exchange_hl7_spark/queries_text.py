@@ -6288,3 +6288,136 @@ SELECT v.vec_id,
 FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node
 ORDER BY v.vec_id
 """
+
+
+def knn_graph_clusters_lsh(
+    spark, sf_dir, k: int = KNN_GRAPH_K, n_bits: int = SRP_BITS, max_iter: int = 15
+):
+    """The SCALE PATH of knn_graph_clusters: candidate pairs come from an
+    ``n_bits``-bit signed-random-projection bucket (the same deterministic
+    hyperplanes embedding_cosine_dups certifies) instead of the all-pairs
+    product — per-bucket blocks replace O(n^2), which is what survives
+    10^9 vectors. Ranking, mutuality, and the CC labels are IDENTICAL to
+    the exact variant; only candidate generation narrows, so a vector's
+    top-k is its bucket-local top-k (the standard LSH recall trade,
+    measured against the exact baseline the way ann_recall_at_k grades the
+    IVF probe). The oracle replicates the bucket restriction exactly, so
+    the gate certifies the bucketed recurrence itself, not a tolerance."""
+    e = _quantized(spark, sf_dir)
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("q", i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(1, n_bits + 1)
+        ]
+    )
+    nrm = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    b = _persist_tracked(
+        e.select("vec_id", "q", nrm.alias("nrm"), bucket.alias("bucket"))
+    )
+    a, bb = b.alias("a"), b.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        a.join(
+            bb,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            dot.alias("dot"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        .filter(F.col("dot") > 0)
+        .withColumn(
+            "cos2",
+            (F.col("dot") * F.col("dot")).cast("double")
+            / (F.col("na") * F.col("nb")).cast("double"),
+        )
+    )
+    w = Window.partitionBy("va").orderBy(F.desc("cos2"), F.asc("vb"))
+    knn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    ).select("va", "vb")
+    k2 = knn.select(F.col("va").alias("vb"), F.col("vb").alias("va"))
+    mutual = (
+        knn.join(k2, ["va", "vb"])
+        .filter(F.col("va") < F.col("vb"))
+        .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"))
+    )
+    labels = _component_labels(mutual, max_iter)
+    out = (
+        e.select("vec_id")
+        .join(labels.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("lab", F.col("vec_id")).alias("cluster_id")
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+    )
+    return out.orderBy("vec_id")
+
+
+_SRP_BUCKET_SQL = " || ".join(
+    f"CASE WHEN CAST(ROUND(embedding[{i}] * 1000) AS BIGINT) >= 0 "
+    "THEN '1' ELSE '0' END"
+    for i in range(1, SRP_BITS + 1)
+)
+
+ORACLE_KNN_GRAPH_LSH = f"""
+WITH RECURSIVE
+qv AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q,
+         {_SRP_BUCKET_SQL} AS bucket
+  FROM embeddings),
+nr AS (
+  SELECT vec_id, q, bucket,
+         CAST(LIST_SUM(LIST_TRANSFORM(q, x -> x * x)) AS BIGINT) AS nrm
+  FROM qv),
+scored AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.q)),
+                  i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+         a.nrm AS na, b.nrm AS nb
+  FROM nr a JOIN nr b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+pos AS (
+  SELECT va, vb,
+         CAST(dot * dot AS DOUBLE) / CAST(na * nb AS DOUBLE) AS cos2
+  FROM scored WHERE dot > 0),
+ranked AS (
+  SELECT va, vb,
+         ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos2 DESC, vb ASC) AS rn
+  FROM pos),
+knn AS (SELECT va, vb FROM ranked WHERE rn <= {KNN_GRAPH_K}),
+mutual AS (
+  SELECT k1.va AS doc_a, k1.vb AS doc_b
+  FROM knn k1 JOIN knn k2 ON k1.va = k2.vb AND k1.vb = k2.va
+  WHERE k1.va < k1.vb),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mutual
+  UNION SELECT doc_b, doc_a FROM mutual),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT v.vec_id,
+       CAST(COALESCE(c.cluster_id, v.vec_id) AS BIGINT) AS cluster_id,
+       COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, v.vec_id))
+           AS cluster_size
+FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node
+ORDER BY v.vec_id
+"""

@@ -816,3 +816,14 @@ def test_constraint_gate_is_narrow_projection(spark):
         assert_no_python_udf(good)
     finally:
         handle.unpersist()
+
+
+def test_knn_graph_lsh_no_cartesian(spark):
+    """The bucketed kNN-graph variant must plan a hash join on the SRP
+    bucket key — never a cartesian product (its whole reason to exist)."""
+    from data_exchange_hl7_spark.plans import explain_str
+
+    df = qt.knn_graph_clusters_lsh(spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert_no_python_udf(df)

@@ -552,3 +552,51 @@ def test_cdf_tail_replica_converges(spark, tmp_path_factory, case):
     up_state = sorted(tuple(r) for r in up.snapshot().collect())
     assert got == up_state
     assert got == _python_replica(rows)
+
+
+# ------------------------------------------------ CHECK-constraint gate
+
+gate_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 9),                      # key suffix
+        st.one_of(st.none(), st.integers(-5, 5)),  # n (None -> NULL)
+        st.sampled_from(["U", "D"]),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=gate_rows_strategy)
+@SPARK_SETTINGS
+def test_constraint_gate_partitions_exactly(spark, tmp_path_factory, rows):
+    """The gate PARTITIONS the change frame: every input row lands in
+    exactly one of (merged-candidate, quarantined), with D rows and
+    NULL-predicate rows always passing (SQL-standard CHECK) and negative-n
+    U rows always quarantined — under arbitrary row mixes."""
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    tmp = tmp_path_factory.mktemp("gate_prop")
+    t = LakeTable.create(
+        spark, str(tmp / "t"), [("k", "string"), ("n", "int"), ("lsn", "bigint")],
+        ["k"], n_buckets=4, mode="mor", order_col="lsn",
+    )
+    # one row per key: keep the last occurrence (merge contract)
+    dedup = {}
+    for i, (ks, n, op) in enumerate(rows):
+        dedup[f"k{ks}"] = (f"k{ks}", n, i, op)
+    data = list(dedup.values())
+    ch = spark.createDataFrame(data, "k string, n int, lsn long, __op string")
+    good, n_bad, handle = t._enforce_check_constraints(
+        ch, {"n_pos": "n > 0"}, t.current_snapshot(), 0
+    )
+    try:
+        got_good = {(r["k"]) for r in good.collect()}
+        expect_bad = {
+            k for (k, n, _i, op) in data if op == "U" and n is not None and n <= 0
+        }
+        expect_good = {k for (k, *_rest) in data} - expect_bad
+        assert got_good == expect_good
+        assert n_bad == len(expect_bad)
+    finally:
+        handle.unpersist()

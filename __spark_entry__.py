@@ -42,7 +42,10 @@ crash-window + conflict-compensation property tests; Engine.apply_epoch
 atomic=True publishes main + deriveds from one transaction),
 temperature_mixing (tau=1/2 via IEEE-exact sqrt), cdf_preimages_read
 (Delta readChangeFeed-parity pre-image classification), and
-knn_graph_clusters (mutual-kNN graph -> certified CC labels)) are
+knn_graph_clusters (mutual-kNN graph -> certified CC labels), and
+merge_multi_read (LakeTable.merge_into — generalized multi-clause
+MERGE INTO with Delta clause semantics, which also touched
+lake/table.py)) are
 never-green BY CONSTRUCTION and lead this group —
 then queries added or module-touched during r5, then the six r4-touched-module queries the
 temporal-CDC family displaced (derived_file_stats, aggregate_repo_stats,
@@ -248,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_preimages_read": q.cdf_preimages_read,
         "knn_graph_clusters": qt.knn_graph_clusters,
         "knn_graph_clusters_lsh": qt.knn_graph_clusters_lsh,
+        "merge_multi_read": q.merge_multi_read,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -500,4 +504,5 @@ def oracle_sql() -> dict[str, str]:
         "cdf_preimages_read": q.ORACLE_CDF_PREIMAGES,
         "knn_graph_clusters": qt.ORACLE_KNN_GRAPH,
         "knn_graph_clusters_lsh": qt.ORACLE_KNN_GRAPH_LSH,
+        "merge_multi_read": q.ORACLE_MERGE_MULTI,
     }

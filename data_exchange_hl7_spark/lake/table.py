@@ -28,6 +28,7 @@ buckets its keys hash into.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -84,6 +85,12 @@ class ConcurrentCommitError(RuntimeError):
 
 class CheckConstraintError(RuntimeError):
     """Existing rows violate a CHECK constraint being added."""
+
+
+class MergeCardinalityError(RuntimeError):
+    """merge_into source has multiple rows for one target key (the Delta
+    'multiple source rows matched' error): which clause fires — and with
+    which payload — would be nondeterministic, so refuse."""
 
 
 # One lock per table meta dir: serializes the commit critical section for
@@ -1556,6 +1563,177 @@ class LakeTable:
         finally:
             if tagged_handle is not None:
                 tagged_handle.unpersist()
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        *,
+        when_matched: list[dict] | None = None,
+        when_not_matched: list[dict] | None = None,
+        when_not_matched_by_source: list[dict] | None = None,
+        epoch: int | None = None,
+        epoch_info: dict | None = None,
+        publish: bool = True,
+    ) -> dict:
+        """Generalized multi-clause MERGE INTO — the Delta/Iceberg
+        ``MERGE INTO target USING source ON <key equality>`` surface
+        (conditional WHEN MATCHED UPDATE/DELETE, WHEN NOT MATCHED INSERT,
+        WHEN NOT MATCHED BY SOURCE UPDATE/DELETE), compiled declaratively
+        into one change frame and delegated to :meth:`merge` — so it
+        inherits exactly-once epoch replay, CHECK-constraint quarantine,
+        CoW/MoR storage, write-audit-publish, and CDF visibility for free.
+        Reference analogue: the Cosmos keyed-upsert sink's conditional
+        apply semantics (K3) generalized to the full SQL MERGE clause set.
+
+        The join condition is key equality on the table's ``key_cols``
+        (this is a keyed table — an arbitrary ON would bypass the bucketed
+        storage contract). Clauses are dicts, evaluated in list order with
+        first-match-wins per row (Delta semantics); a row no clause claims
+        is left untouched (matched / not-matched-by-source) or ignored
+        (not-matched source row). ``condition`` is a SQL string over the
+        aliases ``s`` (source) and ``t`` (target), e.g. ``"s.lsn > t.lsn"``:
+
+        - ``when_matched``: ``{"condition": sql|None, "action":
+          "update"|"delete", "set": {col: sql}}`` — unset columns keep the
+          target value.
+        - ``when_not_matched``: ``{"condition": sql|None, "values":
+          {col: sql}|None}`` — ``None`` inserts source columns by name
+          (missing target columns become NULL).
+        - ``when_not_matched_by_source``: like ``when_matched`` but the
+          condition may reference only ``t``.
+
+        Updating a key column is refused (a key rewrite is a delete +
+        insert, which MERGE cannot express atomically per row). A source
+        with more than one row per key raises
+        :class:`MergeCardinalityError` (Delta's "multiple source rows
+        matched" error) — pre-aggregate with ``latest_by_key`` first.
+
+        Scale shape: without NOT MATCHED BY SOURCE clauses the target side
+        is read via ``snapshot(keys_in=source keys)`` — the changed-key
+        semi join is pushed below the MoR resolve, so cost tracks the
+        source delta, never table size. With them, a full target scan is
+        inherent to the semantics (every target row must be classified).
+        Everything else is one join plus narrow CASE projections; the
+        cardinality check is a single aggregation over the source delta.
+        """
+        wm = list(when_matched or [])
+        wnm = list(when_not_matched or [])
+        wnmbs = list(when_not_matched_by_source or [])
+        if not (wm or wnm or wnmbs):
+            raise ValueError("merge_into requires at least one WHEN clause")
+        self._reject_additive_row_ops("merge_into")
+        snap = self.current_snapshot()
+        if epoch is not None and str(epoch) in snap["properties"]["epochs"]:
+            return {
+                "applied": False,
+                "snapshot_id": snap["snapshot_id"],
+                "buckets_rewritten": 0,
+            }
+        keys = snap["key_cols"]
+        fields = self.schema_fields(snap)
+        missing = [k for k in keys if k not in source.columns]
+        if missing:
+            raise ValueError(f"merge_into source lacks key columns {missing}")
+        for c in wm + wnmbs:
+            bad = sorted(set(c.get("set") or {}) & set(keys))
+            if bad:
+                raise ValueError(
+                    f"merge_into cannot update key columns {bad}: express a "
+                    "key rewrite as a DELETE clause plus an INSERT clause"
+                )
+        # Delta-parity cardinality rule — one agg over the source delta
+        # (metadata-sized result; never scans the table)
+        dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .take(1)
+        )
+        if dup:
+            raise MergeCardinalityError(
+                f"multiple source rows share key {dict(zip(keys, [dup[0][k] for k in keys]))}; "
+                "pre-aggregate the source to one row per key (latest_by_key)"
+            )
+        s = source.withColumn("__s_exists", F.lit(True)).alias("s")
+        if wnmbs:
+            tgt = self.snapshot()
+        else:
+            # no NOT MATCHED BY SOURCE: only source keys matter — push the
+            # changed-key semi join below the MoR resolve
+            tgt = self.snapshot(keys_in=source.select(*keys))
+        t = tgt.withColumn("__t_exists", F.lit(True)).alias("t")
+        on = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in keys],
+        )
+        j = s.join(t, on, "full_outer" if wnmbs else "left_outer")
+        is_matched = F.col("s.__s_exists").isNotNull() & F.col(
+            "t.__t_exists"
+        ).isNotNull()
+        groups = (
+            [("m", is_matched, c) for c in wm]
+            + [("i", F.col("t.__t_exists").isNull(), c) for c in wnm]
+            + [("u", F.col("s.__s_exists").isNull(), c) for c in wnmbs]
+        )
+        # first-match-wins clause selector: one integer CASE chain
+        sel = None
+        for cid, (_, pred, c) in enumerate(groups):
+            cond = pred
+            if c.get("condition"):
+                cond = cond & F.coalesce(
+                    F.expr(c["condition"]).cast("boolean"), F.lit(False)
+                )
+            sel = (sel.when if sel is not None else F.when)(cond, F.lit(cid))
+        j = j.withColumn("__clause", sel.otherwise(F.lit(-1))).filter(
+            F.col("__clause") >= 0
+        )
+        del_ids = [
+            cid
+            for cid, (kind, _, c) in enumerate(groups)
+            if kind in ("m", "u") and c.get("action") == "delete"
+        ]
+        op_col = (
+            F.when(F.col("__clause").isin(del_ids), F.lit("D")).otherwise(F.lit("U"))
+            if del_ids
+            else F.lit("U")
+        )
+
+        def _value(fld: dict):
+            name, typ = fld["name"], fld["type"]
+            expr = None
+            for cid, (kind, _, c) in enumerate(groups):
+                if kind == "i":
+                    vals = c.get("values")
+                    if vals is not None:
+                        v = (
+                            F.expr(vals[name])
+                            if name in vals
+                            else F.lit(None)
+                        )
+                    else:
+                        v = (
+                            F.col(f"s.{name}")
+                            if name in source.columns
+                            else F.lit(None)
+                        )
+                else:
+                    sets = c.get("set") or {}
+                    if c.get("action") != "delete" and name in sets:
+                        v = F.expr(sets[name])
+                    else:
+                        v = F.col(f"t.{name}")
+                expr = (expr.when if expr is not None else F.when)(
+                    F.col("__clause") == cid, v
+                )
+            return expr.otherwise(F.lit(None)).cast(_spark_type(typ)).alias(name)
+
+        changes = j.select(
+            *[_value(f) for f in fields], op_col.alias("__op")
+        )
+        return self.merge(
+            changes, epoch=epoch, epoch_info=epoch_info, publish=publish
+        )
 
     def _enforce_check_constraints(
         self, changes: DataFrame, cons: dict, snap: dict, epoch

@@ -2601,6 +2601,154 @@ ORDER BY changed_path, other_path
 """
 
 
+# ------------------- generalized multi-clause MERGE INTO -------------------
+
+_MERGE_MULTI_CACHE: dict[str, str] = {}
+
+
+def merge_multi_read(spark, sf_dir):
+    """Generalized multi-clause MERGE INTO under the oracle gate
+    (`LakeTable.merge_into` — Delta/Iceberg `MERGE INTO ... WHEN MATCHED
+    [AND cond] UPDATE/DELETE, WHEN NOT MATCHED INSERT, WHEN NOT MATCHED BY
+    SOURCE UPDATE/DELETE` parity, reference K3's conditional keyed apply
+    generalized to the full SQL clause set).
+
+    Epoch 1 loads the parity-0 per-user winners (hits=1). Epoch 2 is ONE
+    merge_into of the parity-1 winners exercising all five clause kinds
+    with first-match-wins ordering:
+      matched:   source 'error'        -> DELETE
+                 s.event_id > t.event_id -> UPDATE (take source, hits+1)
+                 (older source rows fall through: target untouched)
+      not matched: non-'error' source  -> INSERT (hits=1); 'error' dropped
+      not matched by source: t.event_id % 10 = 3 -> DELETE
+                 otherwise             -> UPDATE event_type='carried'
+    The oracle replays the identical clause algebra as a FULL OUTER JOIN +
+    CASE in DuckDB. The compiled change frame rides the normal exactly-once
+    merge, so the result also certifies epoch idempotency and CDF
+    visibility of clause-driven deletes.
+
+    Scale shape: the NOT MATCHED BY SOURCE clauses force the inherent full
+    target classification; without them merge_into reads the target via
+    snapshot(keys_in=source keys) — the changed-key semi join below the MoR
+    resolve — so cost tracks the source delta, never table size."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key
+
+    loc = _MERGE_MULTI_CACHE.get(sf_dir)
+    if loc and LakeTable.exists(loc):
+        t = LakeTable(spark, loc)
+    else:
+        loc = tempfile.mkdtemp(prefix="dex_merge_multi_demo_")
+        t = LakeTable.create(
+            spark,
+            loc,
+            schema=[
+                ("user_id", "bigint"),
+                ("event_type", "string"),
+                ("event_id", "bigint"),
+                ("hits", "bigint"),
+            ],
+            key_cols=["user_id"],
+            n_buckets=8,
+            mode="mor",
+            order_col="event_id",
+        )
+        ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+        e0 = latest_by_key(
+            ev.filter(F.col("event_id") % 2 == 0), ["user_id"], ["event_id"]
+        )
+        t.merge(
+            e0.withColumn("hits", F.lit(1).cast("bigint")).withColumn(
+                "__op", F.lit("U")
+            ),
+            epoch=1,
+        )
+        e1 = latest_by_key(
+            ev.filter(F.col("event_id") % 2 == 1), ["user_id"], ["event_id"]
+        )
+        t.merge_into(
+            e1,
+            when_matched=[
+                {"condition": "s.event_type = 'error'", "action": "delete"},
+                {
+                    "condition": "s.event_id > t.event_id",
+                    "action": "update",
+                    "set": {
+                        "event_type": "s.event_type",
+                        "event_id": "s.event_id",
+                        "hits": "t.hits + 1",
+                    },
+                },
+            ],
+            when_not_matched=[
+                {
+                    "condition": "s.event_type <> 'error'",
+                    "values": {
+                        "user_id": "s.user_id",
+                        "event_type": "s.event_type",
+                        "event_id": "s.event_id",
+                        "hits": "CAST(1 AS BIGINT)",
+                    },
+                },
+            ],
+            when_not_matched_by_source=[
+                {"condition": "t.event_id % 10 = 3", "action": "delete"},
+                {
+                    "condition": None,
+                    "action": "update",
+                    "set": {"event_type": "'carried'"},
+                },
+            ],
+            epoch=2,
+        )
+        _MERGE_MULTI_CACHE[sf_dir] = loc
+    return (
+        t.snapshot()
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("event_id").alias("last_event_id"),
+            "hits",
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_MERGE_MULTI = """
+WITH e0 AS (
+  SELECT user_id, event_type, event_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+e1 AS (
+  SELECT user_id, event_type, event_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 1) WHERE rn = 1),
+j AS (
+  SELECT t.user_id AS t_uid, t.event_type AS t_type, t.event_id AS t_eid,
+         s.user_id AS s_uid, s.event_type AS s_type, s.event_id AS s_eid
+  FROM e0 t FULL OUTER JOIN e1 s ON t.user_id = s.user_id)
+SELECT CAST(COALESCE(t_uid, s_uid) AS BIGINT) AS user_id,
+       CASE WHEN t_uid IS NOT NULL AND s_uid IS NOT NULL THEN
+              CASE WHEN s_eid > t_eid THEN s_type ELSE t_type END
+            WHEN t_uid IS NULL THEN s_type
+            ELSE 'carried' END AS last_op,
+       CAST(CASE WHEN t_uid IS NOT NULL AND s_uid IS NOT NULL THEN
+              CASE WHEN s_eid > t_eid THEN s_eid ELSE t_eid END
+            WHEN t_uid IS NULL THEN s_eid
+            ELSE t_eid END AS BIGINT) AS last_event_id,
+       CAST(CASE WHEN t_uid IS NOT NULL AND s_uid IS NOT NULL
+                      AND s_eid > t_eid THEN 2
+            ELSE 1 END AS BIGINT) AS hits
+FROM j
+WHERE NOT (t_uid IS NOT NULL AND s_uid IS NOT NULL AND s_type = 'error')
+  AND NOT (t_uid IS NULL AND s_type = 'error')
+  AND NOT (s_uid IS NULL AND t_eid % 10 = 3)
+ORDER BY user_id
+"""
+
+
 # ------------------- row-level delete (takedown / purge) -------------------
 
 _PURGE_DEMO_CACHE: dict[str, str] = {}

@@ -1821,3 +1821,145 @@ def test_changes_with_preimages_classification(spark, tmp_path):
     # full-window read from table creation: epoch-0 rows are inserts
     all_rows = t.changes_with_preimages(0).collect()
     assert sum(1 for r in all_rows if r["_change_type"] == "insert") == 3
+
+
+# ----------------------- generalized MERGE INTO ----------------------------
+
+
+def _merge_into_clauses():
+    return dict(
+        when_matched=[
+            {"condition": "s.v = 'kill'", "action": "delete"},
+            {
+                "condition": "s.lsn > t.lsn",
+                "action": "update",
+                "set": {"v": "s.v", "n": "t.n + 1", "lsn": "s.lsn"},
+            },
+        ],
+        when_not_matched=[
+            {"condition": "s.v <> 'kill'", "values": None},
+        ],
+        when_not_matched_by_source=[
+            {"condition": "t.n >= 90", "action": "delete"},
+            {"condition": None, "action": "update", "set": {"v": "'stale'"}},
+        ],
+    )
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_merge_into_clause_algebra(spark, tmp_path, mode):
+    """All five clause kinds + first-match-wins + fall-through, both modes."""
+    t = _mk(spark, tmp_path, mode=mode)
+    t.merge(
+        _changes(
+            spark,
+            [
+                ("a", "a1", 1, 10, "U"),   # matched, source newer -> update
+                ("b", "b1", 2, 20, "U"),   # matched, source 'kill' -> delete
+                ("c", "c1", 3, 30, "U"),   # matched, source older -> untouched
+                ("d", "d1", 90, 40, "U"),  # not in source, n>=90 -> delete
+                ("e", "e1", 5, 50, "U"),   # not in source -> v='stale'
+            ],
+        ),
+        epoch=0,
+    )
+    src = spark.createDataFrame(
+        [
+            ("a", "a2", 7, 99),
+            ("b", "kill", 0, 98),
+            ("c", "c2", 9, 1),     # lsn 1 < 30: falls through every clause
+            ("f", "f1", 6, 97),    # insert
+            ("g", "kill", 0, 96),  # unmatched 'kill': no insert clause -> dropped
+        ],
+        "k string, v string, n int, lsn long",
+    )
+    t.merge_into(src, epoch=1, **_merge_into_clauses())
+    rows = {r["k"]: (r["v"], r["n"], r["lsn"]) for r in t.snapshot().collect()}
+    assert rows == {
+        "a": ("a2", 2, 99),     # set n = t.n + 1
+        "c": ("c1", 3, 30),     # untouched (MoR: no change row written at all)
+        "e": ("stale", 5, 50),
+        "f": ("f1", 6, 97),
+    }
+    # clause deletes ride the normal merge -> CDF-visible as D rows (MoR)
+    if mode == "mor":
+        feed = {
+            (r["k"], r["_change_type"])
+            for r in t.changes_between(1).select("k", "_change_type").collect()
+        }
+        assert ("b", "D") in feed and ("d", "D") in feed
+        # the fall-through row wrote NO change row: target state untouched
+        assert not any(k == "c" for k, _ in feed)
+
+
+def test_merge_into_epoch_idempotent_and_errors(spark, tmp_path):
+    t = _mk(spark, tmp_path, mode="mor")
+    t.merge(_changes(spark, [("a", "a1", 1, 10, "U")]), epoch=0)
+    src = spark.createDataFrame([("a", "a2", 2, 99)], "k string, v string, n int, lsn long")
+    r1 = t.merge_into(src, epoch=1, when_matched=[{"action": "delete"}])
+    assert r1["applied"]
+    # replaying the same epoch is a no-op even with different clauses
+    r2 = t.merge_into(
+        src, epoch=1, when_not_matched=[{"condition": None, "values": None}]
+    )
+    assert not r2["applied"]
+    assert t.snapshot().count() == 0
+
+    from data_exchange_hl7_spark.lake.table import MergeCardinalityError
+
+    dup = spark.createDataFrame(
+        [("x", "1", 1, 1), ("x", "2", 2, 2)], "k string, v string, n int, lsn long"
+    )
+    with pytest.raises(MergeCardinalityError):
+        t.merge_into(dup, epoch=2, when_matched=[{"action": "delete"}])
+    with pytest.raises(ValueError, match="key columns"):
+        t.merge_into(
+            src, epoch=2, when_matched=[{"action": "update", "set": {"k": "'z'"}}]
+        )
+    with pytest.raises(ValueError, match="at least one WHEN clause"):
+        t.merge_into(src, epoch=2)
+    # missing key column in source
+    with pytest.raises(ValueError, match="lacks key columns"):
+        t.merge_into(
+            spark.createDataFrame([("v",)], "v string"),
+            epoch=2,
+            when_matched=[{"action": "delete"}],
+        )
+
+
+def test_merge_into_null_condition_is_no_match(spark, tmp_path):
+    """SQL MERGE: a clause condition evaluating to NULL does not fire."""
+    t = _mk(spark, tmp_path, mode="mor")
+    t.merge(_changes(spark, [("a", None, 1, 10, "U")]), epoch=0)
+    src = spark.createDataFrame([("a", None, 2, 99)], "k string, v string, n int, lsn long")
+    t.merge_into(
+        src,
+        epoch=1,
+        when_matched=[
+            # s.v = t.v is NULL=NULL -> unknown -> clause must NOT fire
+            {"condition": "s.v = t.v", "action": "delete"},
+            {"condition": None, "action": "update", "set": {"n": "42"}},
+        ],
+    )
+    rows = t.snapshot().collect()
+    assert len(rows) == 1 and rows[0]["n"] == 42
+
+
+def test_merge_into_insert_defaults_and_missing_cols(spark, tmp_path):
+    """values=None inserts source columns by name; target columns absent
+    from the source land as NULL."""
+    t = _mk(spark, tmp_path)
+    src = spark.createDataFrame([("a", 5)], "k string, lsn long")
+    t.merge_into(src, epoch=0, when_not_matched=[{"condition": None, "values": None}])
+    r = t.snapshot().collect()[0]
+    assert (r["k"], r["v"], r["n"], r["lsn"]) == ("a", None, None, 5)
+
+
+def test_merge_into_rejected_on_additive(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "add"), [("k", "string"), ("n", "bigint")],
+        ["k"], n_buckets=2, mode="mor", resolve="sum",
+    )
+    src = spark.createDataFrame([("a", 1)], "k string, n long")
+    with pytest.raises(ValueError, match="additive"):
+        t.merge_into(src, when_matched=[{"action": "delete"}])

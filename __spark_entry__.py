@@ -45,7 +45,10 @@ temperature_mixing (tau=1/2 via IEEE-exact sqrt), cdf_preimages_read
 knn_graph_clusters (mutual-kNN graph -> certified CC labels), and
 merge_multi_read (LakeTable.merge_into — generalized multi-clause
 MERGE INTO with Delta clause semantics, which also touched
-lake/table.py)) are
+lake/table.py), and txn_gate_read (streaming/txn_gate.py — Debezium
+transaction-metadata semantics: only committed producer transactions
+apply, each in its commit-position epoch; also touched
+streaming/runner.py via MicroBatchRunner(txn_boundaries=True))) are
 never-green BY CONSTRUCTION and lead this group —
 then queries added or module-touched during r5, then the six r4-touched-module queries the
 temporal-CDC family displaced (derived_file_stats, aggregate_repo_stats,
@@ -252,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_clusters": qt.knn_graph_clusters,
         "knn_graph_clusters_lsh": qt.knn_graph_clusters_lsh,
         "merge_multi_read": q.merge_multi_read,
+        "txn_gate_read": q.txn_gate_read,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -505,4 +509,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_clusters": qt.ORACLE_KNN_GRAPH,
         "knn_graph_clusters_lsh": qt.ORACLE_KNN_GRAPH_LSH,
         "merge_multi_read": q.ORACLE_MERGE_MULTI,
+        "txn_gate_read": q.ORACLE_TXN_GATE,
     }

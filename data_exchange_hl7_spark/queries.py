@@ -2749,6 +2749,123 @@ ORDER BY user_id
 """
 
 
+# ------------------- transaction-boundary-gated apply ----------------------
+
+_TXN_GATE_CACHE: dict[str, str] = {}
+
+
+def txn_gate_read(spark, sf_dir):
+    """Source-transaction-aware CDC apply under the oracle gate
+    (`streaming/txn_gate.py` — Debezium transaction-metadata semantics: an
+    event applies only once its whole producer transaction is visible, in
+    the epoch of the transaction's commit position; incomplete/aborted
+    transactions never land. Reference analogue: the HL7 batch envelope's
+    BHS/BTS completeness contract, D2/D3, lifted from one batch file to a
+    WAL transaction spanning micro-batches).
+
+    Fixture: events grouped into transactions by event_id // 8, each event
+    carrying the transaction's declared size computed over the FULL event
+    set; events with event_id % 97 == 0 are then withheld (a producer crash
+    mid-transaction), so every transaction containing one becomes
+    incomplete and must not apply at all. The visible events run through
+    gate_transactions and a 2-epoch merge loop sliced on the assigned
+    apply lsn. The oracle recomputes committed transactions (observed
+    count == declared count) and takes the per-user latest event among
+    their events only.
+
+    Scale shape: one mergeable count/max agg builds the O(#transactions)
+    dim; apply-lsn assignment is a join co-partitioned on txn_id; epoch
+    slices keep the sound `lsn < hi` scan pushdown below the join."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key
+    from data_exchange_hl7_spark.streaming.txn_gate import (
+        APPLY_LSN,
+        gate_transactions,
+    )
+
+    loc = _TXN_GATE_CACHE.get(sf_dir)
+    if loc and LakeTable.exists(loc):
+        t = LakeTable(spark, loc)
+    else:
+        loc = tempfile.mkdtemp(prefix="dex_txn_gate_demo_")
+        t = LakeTable.create(
+            spark,
+            loc,
+            schema=[
+                ("user_id", "bigint"),
+                ("event_type", "string"),
+                ("event_id", "bigint"),
+            ],
+            key_cols=["user_id"],
+            n_buckets=8,
+            mode="mor",
+            order_col="event_id",
+        )
+        full = (
+            _t(spark, sf_dir, "events")
+            .select("user_id", "event_type", "event_id")
+            .withColumn("txn_id", (F.col("event_id") / 8).cast("bigint"))
+        )
+        declared = full.groupBy("txn_id").agg(
+            F.count(F.lit(1)).alias("txn_events")
+        )
+        observed = full.filter(F.col("event_id") % 97 != 0)
+        src = observed.join(declared, "txn_id")
+        gated, _dim = gate_transactions(
+            src, "txn_id", "txn_events", lsn_col="event_id"
+        )
+        bounds = gated.agg(F.max(APPLY_LSN)).collect()[0]
+        mid = (int(bounds[0]) // 2) + 1
+        for epoch, (lo, hi) in enumerate(
+            ((0, mid), (mid, int(bounds[0]) + 1)), start=1
+        ):
+            sl = gated.filter(
+                (F.col(APPLY_LSN) >= lo) & (F.col(APPLY_LSN) < hi)
+            ).drop(APPLY_LSN, "txn_id", "txn_events")
+            changes = latest_by_key(sl, ["user_id"], ["event_id"]).withColumn(
+                "__op", F.lit("U")
+            )
+            t.merge(changes, epoch=epoch)
+        _TXN_GATE_CACHE[sf_dir] = loc
+    return (
+        t.snapshot()
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_TXN_GATE = """
+WITH full_set AS (
+  SELECT user_id, event_type, event_id,
+         CAST(FLOOR(event_id / 8) AS BIGINT) AS txn_id
+  FROM events),
+declared AS (
+  SELECT txn_id, COUNT(*) AS n_declared FROM full_set GROUP BY txn_id),
+observed AS (
+  SELECT * FROM full_set WHERE event_id % 97 <> 0),
+committed AS (
+  SELECT o.txn_id
+  FROM (SELECT txn_id, COUNT(*) AS n_seen FROM observed GROUP BY txn_id) o
+  JOIN declared d ON o.txn_id = d.txn_id
+  WHERE o.n_seen = d.n_declared),
+kept AS (
+  SELECT o.user_id, o.event_type, o.event_id
+  FROM observed o JOIN committed c ON o.txn_id = c.txn_id)
+SELECT user_id, event_type AS last_op, event_id AS last_event_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM kept)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 # ------------------- row-level delete (takedown / purge) -------------------
 
 _PURGE_DEMO_CACHE: dict[str, str] = {}

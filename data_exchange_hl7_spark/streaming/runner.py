@@ -91,12 +91,26 @@ class MicroBatchRunner:
         expire_keep_last: int | None = None,
         compact_opts: dict | None = None,
         atomic: bool = False,
+        txn_boundaries: bool = False,
+        max_txn_span: int | None = None,
     ):
         self.engine = engine
         self.epoch_size = epoch_size
         # atomic=True publishes each epoch's main + derived merges from one
         # multi-table transaction (Engine.apply_epoch atomic semantics)
         self.atomic = atomic
+        # txn_boundaries=True: source-transaction-aware slicing (Debezium
+        # transaction-metadata semantics, streaming/txn_gate.py) — an event
+        # applies in the epoch of its transaction's COMMIT position, so no
+        # epoch lands a partial producer transaction and incomplete
+        # (aborted/truncated) transactions never land. held_txns after a
+        # run reports how many incomplete transactions were withheld.
+        self.txn_boundaries = txn_boundaries
+        # producer-declared bound on a transaction's lsn span: enables the
+        # two-sided scan-pruning filter (lsn >= lo - span) per epoch and is
+        # VERIFIED against the observed WAL (txn_gate raises on violation)
+        self.max_txn_span = max_txn_span
+        self.held_txns: int | None = None
         # mor maintenance cadence: fold deltas into base every K applied
         # epochs (bounds read amplification at K delta layers)
         self.compact_every = compact_every
@@ -123,7 +137,46 @@ class MicroBatchRunner:
         The lsn bounds come from one cheap agg; each epoch's slice is a
         pushdown-friendly range filter on the source scan.
         """
-        bounds = events.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+        gate_dim = None
+        slice_col = "lsn"
+        if self.txn_boundaries:
+            from data_exchange_hl7_spark.streaming.txn_gate import (
+                APPLY_LSN,
+                extract_wal_txn_cols,
+                gate_transactions,
+                txn_dim,
+            )
+
+            ev = extract_wal_txn_cols(events)
+            # persist the dim only — O(#transactions) rows, never the WAL —
+            # so each epoch's slice joins the cached dim instead of
+            # re-aggregating the whole tail
+            gate_dim = txn_dim(ev, "__txn_id", "__txn_events", "lsn").persist()
+            events, _ = gate_transactions(
+                ev,
+                "__txn_id",
+                "__txn_events",
+                "lsn",
+                dim=gate_dim,
+                max_txn_span=self.max_txn_span,
+            )
+            events = events.drop("__txn_id", "__txn_events")
+            slice_col = APPLY_LSN
+            self.held_txns = gate_dim.filter(~F.col("committed")).count()
+        try:
+            return self._run_bounded(
+                events, table, slice_col, max_epochs, fail_after_epoch,
+                replay_meta,
+            )
+        finally:
+            if gate_dim is not None:
+                gate_dim.unpersist()
+
+    def _run_bounded(
+        self, events, table, slice_col, max_epochs, fail_after_epoch,
+        replay_meta,
+    ) -> list[dict]:
+        bounds = events.agg(F.min(slice_col), F.max(slice_col)).collect()[0]
         if bounds[0] is None:
             return []
         first_epoch = int(bounds[0]) // self.epoch_size
@@ -158,14 +211,14 @@ class MicroBatchRunner:
         try:
             return self._run_epochs(
                 events, table, first_epoch, last_epoch, committed, stats,
-                max_epochs, fail_after_epoch, replay_meta,
+                max_epochs, fail_after_epoch, replay_meta, slice_col,
             )
         finally:
             spark.conf.set(conf_key, prev_split)
 
     def _run_epochs(
         self, events, table, first_epoch, last_epoch, committed, stats,
-        max_epochs, fail_after_epoch, replay_meta,
+        max_epochs, fail_after_epoch, replay_meta, slice_col="lsn",
     ) -> list[dict]:
         n_run = 0
         for epoch in range(first_epoch, last_epoch + 1):
@@ -175,7 +228,17 @@ class MicroBatchRunner:
             lo = epoch * self.epoch_size
             hi = lo + self.epoch_size
             t0 = time.time()
-            sl = events.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+            sl = events.filter(
+                (F.col(slice_col) >= lo) & (F.col(slice_col) < hi)
+            )
+            if slice_col != "lsn":
+                # apply_lsn >= lsn always, so `lsn < hi` is a sound pushdown
+                # that prunes future input splits below the txn-dim join;
+                # a declared span bound restores the lower side too
+                sl = sl.filter(F.col("lsn") < hi)
+                if self.max_txn_span is not None:
+                    sl = sl.filter(F.col("lsn") >= lo - self.max_txn_span)
+                sl = sl.drop(slice_col)
             info = self.engine.apply_epoch(
                 sl, table, epoch=epoch, start_lsn=lo, end_lsn=hi - 1,
                 atomic=self.atomic,

@@ -1,0 +1,157 @@
+"""Transaction-boundary gate (streaming/txn_gate.py): Debezium-style
+transaction metadata on the WAL — only committed producer transactions
+apply, each in the epoch of its commit position; incomplete transactions
+are withheld entirely. Runner integration must stay exactly-once under
+kill-and-resume and equal a plain apply of the committed subset."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_exchange_hl7_spark.datagen import change_events
+from data_exchange_hl7_spark.engine import Engine
+from data_exchange_hl7_spark.streaming.runner import MicroBatchRunner
+from data_exchange_hl7_spark.streaming.txn_gate import (
+    APPLY_LSN,
+    TXN_EVENTS_KEY,
+    TXN_ID_KEY,
+    gate_transactions,
+    txn_dim,
+)
+
+
+def _gate_fixture(spark):
+    rows = [
+        # txn 1: complete (2 declared, 2 present), commit position 12
+        (1, 2, 5),
+        (1, 2, 12),
+        # txn 2: incomplete (2 declared, 1 present) -> withheld
+        (2, 2, 8),
+        # autocommit singleton: applies at its own lsn
+        (None, None, 3),
+    ]
+    return spark.createDataFrame(rows, "txn_id long, txn_events long, lsn long")
+
+
+def test_gate_assigns_commit_position_and_withholds(spark):
+    df = _gate_fixture(spark)
+    gated, dim = gate_transactions(df)
+    got = {r["lsn"]: r[APPLY_LSN] for r in gated.collect()}
+    # both events of txn 1 apply at the commit position (12); the
+    # incomplete txn 2 event is gone; the singleton applies at its own lsn
+    assert got == {5: 12, 12: 12, 3: 3}
+    d = {r["txn_id"]: r for r in dim.collect()}
+    assert d[1]["committed"] and d[1]["apply_lsn"] == 12
+    assert not d[2]["committed"] and d[2]["apply_lsn"] is None
+
+
+def test_gate_span_bound_verified(spark):
+    df = _gate_fixture(spark)
+    # txn 1 spans 12 - 5 = 7 lsns: a declared bound of 6 must fail loudly
+    with pytest.raises(ValueError, match="max_txn_span"):
+        gate_transactions(df, max_txn_span=6)
+    gated, _ = gate_transactions(df, max_txn_span=7)
+    assert gated.count() == 3
+
+
+def test_dim_reuse_skips_reaggregation(spark):
+    df = _gate_fixture(spark)
+    dim = txn_dim(df)
+    gated, dim_back = gate_transactions(df, dim=dim)
+    assert dim_back is dim
+    assert gated.count() == 3
+
+
+# ---------------------- runner integration (envelope WAL) -------------------
+
+TXN_SIZE = 7
+DROP_MOD = 101
+
+
+def _with_txn_metadata(events):
+    """Group envelope events into transactions of TXN_SIZE consecutive lsns,
+    stamp Debezium-style (txn_id, declared count) into supporting_metadata,
+    then withhold every lsn % DROP_MOD == 0 event (producer crash mid-txn).
+    Returns (visible, committed_only): the gated run over `visible` must
+    land exactly the plain apply of `committed_only`."""
+    ev = events.withColumn("__tid", (F.col("lsn") / TXN_SIZE).cast("long"))
+    declared = ev.groupBy("__tid").agg(F.count(F.lit(1)).alias("__n"))
+    ev = ev.join(declared, "__tid").withColumn(
+        "supporting_metadata",
+        F.map_concat(
+            F.coalesce(
+                "supporting_metadata",
+                F.create_map().cast("map<string,string>"),
+            ),
+            F.create_map(
+                F.lit(TXN_ID_KEY),
+                F.col("__tid").cast("string"),
+                F.lit(TXN_EVENTS_KEY),
+                F.col("__n").cast("string"),
+            ),
+        ),
+    )
+    visible = ev.filter(F.col("lsn") % DROP_MOD != 0)
+    lost_tids = (
+        ev.filter(F.col("lsn") % DROP_MOD == 0).select("__tid").distinct()
+    )
+    committed_only = visible.join(lost_tids, "__tid", "left_anti")
+    return (
+        visible.drop("__tid", "__n"),
+        committed_only.drop("__tid", "__n"),
+    )
+
+
+def _state(table):
+    return {
+        (r["repo"], r["path"]): (r["content_sha256"], r["commit"])
+        for r in table.snapshot().collect()
+    }
+
+
+def test_runner_txn_boundaries_applies_committed_subset(spark, tmp_path):
+    events = change_events(spark, 3000).persist()
+    try:
+        visible, committed_only = _with_txn_metadata(events)
+        visible = visible.persist()
+        committed_only = committed_only.persist()
+
+        eng = Engine(spark, str(tmp_path / "gated"), n_buckets=8, mode="mor")
+        t = eng.snapshot_table("repo_files")
+        runner = MicroBatchRunner(
+            eng, epoch_size=1000, txn_boundaries=True, max_txn_span=TXN_SIZE
+        )
+        stats = runner.run(visible, t)
+        assert any(s.get("applied") for s in stats)
+        assert runner.held_txns and runner.held_txns > 0
+
+        # control: a plain (ungated) apply of exactly the committed subset
+        eng2 = Engine(spark, str(tmp_path / "plain"), n_buckets=8, mode="mor")
+        t2 = eng2.snapshot_table("repo_files")
+        MicroBatchRunner(eng2, epoch_size=1000).run(committed_only, t2)
+        assert _state(t) == _state(t2)
+
+        # determinism + exactly-once: a full gated re-run is a no-op
+        stats2 = MicroBatchRunner(
+            eng, epoch_size=1000, txn_boundaries=True
+        ).run(visible, t)
+        assert all(s.get("resumed_skip") for s in stats2)
+    finally:
+        events.unpersist()
+
+
+def test_runner_txn_boundaries_kill_and_resume(spark, tmp_path):
+    events = change_events(spark, 2000).persist()
+    try:
+        visible, committed_only = _with_txn_metadata(events)
+        eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+        t = eng.snapshot_table("repo_files")
+        mk = lambda: MicroBatchRunner(eng, epoch_size=500, txn_boundaries=True)
+        mk().run(visible, t, fail_after_epoch=1)  # crash mid-stream
+        mk().run(visible, t)  # resume must converge, skipping committed
+
+        eng2 = Engine(spark, str(tmp_path / "plain"), n_buckets=8, mode="mor")
+        t2 = eng2.snapshot_table("repo_files")
+        MicroBatchRunner(eng2, epoch_size=500).run(committed_only, t2)
+        assert _state(t) == _state(t2)
+    finally:
+        events.unpersist()

@@ -48,7 +48,10 @@ MERGE INTO with Delta clause semantics, which also touched
 lake/table.py), and txn_gate_read (streaming/txn_gate.py — Debezium
 transaction-metadata semantics: only committed producer transactions
 apply, each in its commit-position epoch; also touched
-streaming/runner.py via MicroBatchRunner(txn_boundaries=True))) are
+streaming/runner.py via MicroBatchRunner(txn_boundaries=True)), and
+column_default_read (Iceberg-v3 initial-defaults on add_column — the
+field-id projection fills the default for pre-addition files; touched
+lake/table.py + streaming/cdf_tail.py)) are
 never-green BY CONSTRUCTION and lead this group —
 then queries added or module-touched during r5, then the six r4-touched-module queries the
 temporal-CDC family displaced (derived_file_stats, aggregate_repo_stats,
@@ -256,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_clusters_lsh": qt.knn_graph_clusters_lsh,
         "merge_multi_read": q.merge_multi_read,
         "txn_gate_read": q.txn_gate_read,
+        "column_default_read": q.column_default_read,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -510,4 +514,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_clusters_lsh": qt.ORACLE_KNN_GRAPH_LSH,
         "merge_multi_read": q.ORACLE_MERGE_MULTI,
         "txn_gate_read": q.ORACLE_TXN_GATE,
+        "column_default_read": q.ORACLE_COLUMN_DEFAULT,
     }

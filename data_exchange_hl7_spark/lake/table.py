@@ -933,7 +933,13 @@ class LakeTable:
         for f in cur:
             o = old.get(f["id"])
             if o is None:
-                cols.append(F.lit(None).cast(_spark_type(f["type"])).alias(f["name"]))
+                # file predates the field: Iceberg initial-default (NULL
+                # when the column was added without one)
+                cols.append(
+                    F.lit(f.get("initial_default"))
+                    .cast(_spark_type(f["type"]))
+                    .alias(f["name"])
+                )
             else:
                 cols.append(F.col(o["name"]).cast(_spark_type(f["type"])).alias(f["name"]))
         cols += [F.col(c) for c in extra_cols]
@@ -2558,11 +2564,32 @@ class LakeTable:
         new_snap["committed_at"] = time.time()
         self._write_snapshot(new_snap, expected_parent=snap["snapshot_id"])
 
-    def add_column(self, name: str, type_str: str = "string") -> None:
+    def add_column(
+        self, name: str, type_str: str = "string", default=None
+    ) -> None:
+        """Add a column; ``default`` is the Iceberg-v3 ``initial-default``:
+        rows in files written BEFORE the column existed read back this
+        value instead of NULL (fixed at add time — changing it later would
+        silently rewrite history, so it is immutable like Iceberg's).
+        Writes still must carry every current-schema column (this engine
+        has no write-default: the merge contract requires explicit values),
+        and the next ``compact()`` materializes the default physically.
+        Re-adding a dropped name allocates a new field id, so the new
+        default applies to ALL older files — previously-written values
+        cannot resurface (the drop/re-add rule)."""
+        if default is not None and not isinstance(default, (str, int, float, bool)):
+            raise ValueError(
+                "initial default must be a JSON-scalar literal "
+                f"(got {type(default).__name__})"
+            )
+
         def mutate(fields, next_id):
             if any(f["name"] == name for f in fields):
                 return fields, next_id  # idempotent (no-op commit skipped)
-            fields.append({"id": next_id, "name": name, "type": type_str})
+            fld = {"id": next_id, "name": name, "type": type_str}
+            if default is not None:
+                fld["initial_default"] = default
+            fields.append(fld)
             return fields, next_id + 1
 
         self._evolve(mutate)

@@ -2749,6 +2749,88 @@ ORDER BY user_id
 """
 
 
+# ------------------- column initial-defaults (schema evolution) ------------
+
+_COLDEFAULT_CACHE: dict[str, str] = {}
+
+
+def column_default_read(spark, sf_dir):
+    """Iceberg-v3 ``initial-default`` semantics under the oracle gate
+    (`LakeTable.add_column(default=...)`): epoch 1 lands the parity-0
+    per-user winners, THEN a `tier` column is added with default 'legacy',
+    then epoch 2 lands parity-1 winners carrying explicit tiers. The final
+    MoR latest-per-user resolution must read 'legacy' for every key whose
+    winning row lives in a pre-addition file and the explicit tier
+    otherwise — the field-id projection fills the default, not NULL, for
+    files written before the column existed. The oracle replays the same
+    algebra by unioning the epoch-1 winners with a constant tier.
+
+    Scale shape: the default is a literal in the per-file projection —
+    zero data movement, no rewrite until the next compaction materializes
+    it physically."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key
+
+    loc = _COLDEFAULT_CACHE.get(sf_dir)
+    if loc and LakeTable.exists(loc):
+        t = LakeTable(spark, loc)
+    else:
+        loc = tempfile.mkdtemp(prefix="dex_coldefault_demo_")
+        t = LakeTable.create(
+            spark,
+            loc,
+            schema=[
+                ("user_id", "bigint"),
+                ("event_type", "string"),
+                ("event_id", "bigint"),
+            ],
+            key_cols=["user_id"],
+            n_buckets=8,
+            mode="mor",
+            order_col="event_id",
+        )
+        ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+        e0 = latest_by_key(
+            ev.filter(F.col("event_id") % 2 == 0), ["user_id"], ["event_id"]
+        )
+        t.merge(e0.withColumn("__op", F.lit("U")), epoch=1)
+        t.add_column("tier", "string", default="legacy")
+        e1 = latest_by_key(
+            ev.filter(F.col("event_id") % 2 == 1), ["user_id"], ["event_id"]
+        ).withColumn("tier", F.concat(F.col("event_type"), F.lit("-t")))
+        t.merge(e1.withColumn("__op", F.lit("U")), epoch=2)
+        _COLDEFAULT_CACHE[sf_dir] = loc
+    return (
+        t.snapshot()
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            "tier",
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_COLUMN_DEFAULT = """
+WITH e0 AS (
+  SELECT user_id, event_type, event_id, 'legacy' AS tier FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+e1 AS (
+  SELECT user_id, event_type, event_id, event_type || '-t' AS tier FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 1) WHERE rn = 1)
+SELECT user_id, event_id AS last_event_id, tier
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1))
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 # ------------------- transaction-boundary-gated apply ----------------------
 
 _TXN_GATE_CACHE: dict[str, str] = {}

@@ -143,7 +143,7 @@ class CdfTailReplicator:
         have = set(changes.columns)
         changes = changes.withColumns(
             {
-                f["name"]: F.lit(None).cast(f["type"])
+                f["name"]: F.lit(f.get("initial_default")).cast(f["type"])
                 for f in self.replica.schema_fields()
                 if f["name"] not in have
             }

@@ -1963,3 +1963,53 @@ def test_merge_into_rejected_on_additive(spark, tmp_path):
     src = spark.createDataFrame([("a", 1)], "k string, n long")
     with pytest.raises(ValueError, match="additive"):
         t.merge_into(src, when_matched=[{"action": "delete"}])
+
+
+# ----------------------- column initial-defaults ---------------------------
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_add_column_initial_default(spark, tmp_path, mode):
+    """Files written before the column existed read back the default, not
+    NULL; post-addition writes carry their explicit values; compaction
+    materializes the default physically without changing the answer."""
+    t = _mk(spark, tmp_path, mode=mode)
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U"), ("b", "2", 2, 2, "U")]), epoch=0)
+    t.add_column("tier", "string", default="bronze")
+    new = spark.createDataFrame(
+        [("b", "2x", 2, 5, "gold", "U"), ("c", "3", 3, 6, None, "U")],
+        "k string, v string, n int, lsn long, tier string, __op string",
+    )
+    t.merge(new, epoch=1)
+    expect = {"a": "bronze", "b": "gold", "c": None}
+    got = {r["k"]: r["tier"] for r in t.snapshot().collect()}
+    assert got == expect
+    # time travel to before the addition: no such column at all
+    pre = t.snapshot(as_of=1)
+    assert "tier" not in pre.columns
+    # compaction rewrites under the current schema; answer unchanged
+    t.compact()
+    got = {r["k"]: r["tier"] for r in t.snapshot().collect()}
+    assert got == expect
+
+
+def test_readd_column_applies_new_default_everywhere(spark, tmp_path):
+    """Drop + re-add allocates a new field id: the new default applies to
+    ALL older files — even rows that had explicit values under the dropped
+    column (no resurrection)."""
+    t = _mk(spark, tmp_path)
+    t.add_column("tier", "string", default="bronze")
+    rows = spark.createDataFrame(
+        [("a", "1", 1, 1, "gold", "U")],
+        "k string, v string, n int, lsn long, tier string, __op string",
+    )
+    t.merge(rows, epoch=0)
+    t.drop_column("tier")
+    t.add_column("tier", "string", default="silver")
+    assert t.snapshot().collect()[0]["tier"] == "silver"
+
+
+def test_add_column_default_must_be_scalar(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="JSON-scalar"):
+        t.add_column("bad", "string", default=["not", "scalar"])

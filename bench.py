@@ -141,6 +141,11 @@ BENCH_QUERIES = [
     "bitemporal_read",
     "txn_read",
     "temperature_mixing",
+    # this session: generalized MERGE INTO, transaction-boundary gate,
+    # column initial-defaults
+    "merge_multi_read",
+    "txn_gate_read",
+    "column_default_read",
 ]
 
 

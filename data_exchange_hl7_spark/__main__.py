@@ -62,6 +62,17 @@ def _build_parser() -> argparse.ArgumentParser:
         "multi-table transaction (all-or-nothing; default converges by "
         "per-table idempotence)",
     )
+    sp.add_argument(
+        "--txn-boundaries", action="store_true",
+        help="Debezium transaction-metadata semantics: apply only committed "
+        "producer transactions, each in its commit-position epoch "
+        "(streaming/txn_gate.py)",
+    )
+    sp.add_argument(
+        "--max-txn-span", type=int, default=None,
+        help="producer-declared bound on a transaction's lsn span "
+        "(verified; enables two-sided scan pruning per epoch)",
+    )
 
     sp = sub.add_parser("stream", help="tail a WAL directory (exactly-once)")
     common(sp)
@@ -81,6 +92,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "--atomic", action="store_true",
         help="publish each micro-batch's main + derived merges from one "
         "multi-table transaction",
+    )
+    sp.add_argument(
+        "--txn-boundaries", action="store_true",
+        help="withhold incomplete producer transactions across micro-batches "
+        "(pending sidecar under the checkpoint dir); a transaction lands "
+        "atomically in the batch where it completes",
     )
 
     sp = sub.add_parser("replay", help="full/selective replay into a fresh table")
@@ -171,6 +188,8 @@ def main(argv: list[str] | None = None) -> int:
             compact_every=args.compact_every,
             expire_keep_last=args.expire_keep_last,
             atomic=args.atomic,
+            txn_boundaries=args.txn_boundaries,
+            max_txn_span=args.max_txn_span,
         ).run(read_wal(spark, args.wal, fmt=args.fmt), t)
         for s in stats:
             print(json.dumps(s))
@@ -202,6 +221,7 @@ def main(argv: list[str] | None = None) -> int:
             compact_every=args.compact_every,
             expire_keep_last=args.expire_keep_last,
             atomic=args.atomic,
+            txn_boundaries=args.txn_boundaries,
         )
         q.awaitTermination()
         print(json.dumps({"table": args.table, "rows": t.snapshot().count()}))

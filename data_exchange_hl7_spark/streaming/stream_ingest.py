@@ -39,9 +39,26 @@ def stream_apply(
     expire_keep_last: int | None = None,
     compact_opts: dict | None = None,
     atomic: bool = False,
+    txn_boundaries: bool = False,
 ):
     """Tail ``source_dir`` for new WAL parquet files and apply each
     micro-batch exactly once. Returns the StreamingQuery.
+
+    ``txn_boundaries=True`` enables the streaming half of the Debezium
+    transaction-metadata contract (``streaming/txn_gate.py``): each
+    micro-batch is unioned with the WITHHELD remainder of the previous
+    batch, transactions complete in the union apply in this batch's epoch,
+    and the still-incomplete remainder is persisted to a per-batch pending
+    sidecar under the checkpoint dir (``txn_pending/batch=K``) for the next
+    batch — so a producer transaction can span any number of file-arrival
+    micro-batches and still lands atomically, while a truncated one never
+    lands. Exactly-once holds because the pending state is a pure function
+    of the delivered-batch prefix: a crash-redelivered batch re-reads its
+    predecessor's (immutable) sidecar, recomputes the identical split, the
+    apply no-ops on the epoch manifest, and the sidecar overwrite is
+    idempotent. Sidecars older than the previous batch are unreferenced
+    (Structured Streaming redelivers at most the last uncommitted batch)
+    and are removed opportunistically.
 
     Epoch ids are ``base + batch_id``. The base is fixed at the stream's
     FIRST start as one past the table's highest committed epoch and persisted
@@ -84,7 +101,69 @@ def stream_apply(
             json.dump({"epoch_base": epoch_base}, f)
         os.replace(tmp, base_path)
 
+    pending_root = os.path.join(checkpoint_dir, "txn_pending")
+
+    def _gate_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        """Union with the previous batch's withheld remainder, split on
+        transaction completeness, persist the new remainder. Returns the
+        committed-transaction slice to apply."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from data_exchange_hl7_spark.streaming.txn_gate import (
+            extract_wal_txn_cols,
+            txn_dim,
+        )
+
+        prev = [
+            int(d.split("=", 1)[1])
+            for d in (
+                os.listdir(pending_root) if os.path.isdir(pending_root) else []
+            )
+            if d.startswith("batch=") and d.split("=", 1)[1].isdigit()
+            # a crashed attempt of THIS batch may have left its own sidecar;
+            # the redelivery must read the predecessor's, not its own
+            and int(d.split("=", 1)[1]) < batch_id
+        ]
+        combined = batch_df
+        if prev:
+            combined = combined.unionByName(
+                spark.read.schema(batch_df.schema).parquet(
+                    os.path.join(pending_root, f"batch={max(prev)}")
+                )
+            )
+        ev = extract_wal_txn_cols(combined)
+        dim = txn_dim(ev, "__txn_id", "__txn_events", "lsn").persist()
+        try:
+            open_ids = dim.filter(~F.col("committed")).select("txn_id")
+            still_pending = ev.join(
+                open_ids,
+                ev["__txn_id"] == open_ids["txn_id"],
+                "left_semi",
+            ).drop("__txn_id", "__txn_events")
+            still_pending.write.mode("overwrite").parquet(
+                os.path.join(pending_root, f"batch={batch_id}")
+            )
+            ready = ev.join(
+                open_ids,
+                ev["__txn_id"] == open_ids["txn_id"],
+                "left_anti",
+            ).drop("__txn_id", "__txn_events")
+            # sidecars older than the predecessor are unreferenced: drop them
+            for b in prev:
+                if b < max(prev):
+                    shutil.rmtree(
+                        os.path.join(pending_root, f"batch={b}"),
+                        ignore_errors=True,
+                    )
+            return ready
+        finally:
+            dim.unpersist()
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if txn_boundaries:
+            batch_df = _gate_batch(batch_df, batch_id)
         # atomic=True: each micro-batch's main + derived merges publish from
         # one multi-table transaction (Engine.apply_epoch atomic semantics)
         engine.apply_epoch(

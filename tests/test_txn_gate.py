@@ -155,3 +155,58 @@ def test_runner_txn_boundaries_kill_and_resume(spark, tmp_path):
         assert _state(t) == _state(t2)
     finally:
         events.unpersist()
+
+
+def test_stream_apply_txn_boundaries_cross_poll(spark, tmp_path):
+    """A producer transaction split across two availableNow polls must be
+    withheld by the first poll (pending sidecar), land atomically in the
+    second, and the final state must equal a plain apply of the committed
+    subset. Truncated transactions never land."""
+    import os
+
+    from data_exchange_hl7_spark.streaming.stream_ingest import stream_apply
+
+    events = change_events(spark, 2000).persist()
+    try:
+        visible, committed_only = _with_txn_metadata(events)
+        visible = visible.persist()
+        committed_only = committed_only.persist()
+        src = str(tmp_path / "wal")
+        ckpt = str(tmp_path / "ckpt")
+        cut = 1000
+        # transactions are TXN_SIZE-consecutive-lsn blocks: the block
+        # containing `cut` straddles the two polls
+        block_lo = (cut // TXN_SIZE) * TXN_SIZE
+        visible.filter(F.col("lsn") < cut).write.mode("overwrite").parquet(src)
+
+        eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+        t = eng.snapshot_table("repo_files")
+        stream_apply(
+            spark, eng, src, t, ckpt, txn_boundaries=True
+        ).awaitTermination(120)
+
+        # poll 1: only transactions wholly inside [0, block_lo) can be
+        # complete; the straddling block is withheld in the sidecar
+        eng1 = Engine(spark, str(tmp_path / "plain1"), n_buckets=8, mode="mor")
+        t1 = eng1.snapshot_table("repo_files")
+        MicroBatchRunner(eng1, epoch_size=500).run(
+            committed_only.filter(F.col("lsn") < block_lo), t1
+        )
+        assert _state(t) == _state(t1)
+        pend = os.path.join(ckpt, "txn_pending")
+        assert os.path.isdir(pend) and any(
+            d.startswith("batch=") for d in os.listdir(pend)
+        )
+
+        # poll 2: the rest arrives; straddling transactions complete now
+        visible.filter(F.col("lsn") >= cut).write.mode("append").parquet(src)
+        stream_apply(
+            spark, eng, src, t, ckpt, txn_boundaries=True
+        ).awaitTermination(120)
+
+        eng2 = Engine(spark, str(tmp_path / "plain2"), n_buckets=8, mode="mor")
+        t2 = eng2.snapshot_table("repo_files")
+        MicroBatchRunner(eng2, epoch_size=500).run(committed_only, t2)
+        assert _state(t) == _state(t2)
+    finally:
+        events.unpersist()

@@ -1560,6 +1560,124 @@ class Engine:
             table, predicate, epoch, set_exprs, epoch_info, main_only=main_only
         )
 
+    def merge_into(
+        self,
+        table: LakeTable,
+        source: DataFrame,
+        *,
+        when_matched: list[dict] | None = None,
+        when_not_matched: list[dict] | None = None,
+        when_not_matched_by_source: list[dict] | None = None,
+        epoch: int,
+        epoch_info: dict | None = None,
+        main_only: bool = False,
+    ) -> dict:
+        """Multi-clause MERGE INTO across the WHOLE lineage: compile the
+        clause set once (``LakeTable.merge_into(compile_only=True)``) and
+        route the SAME change frame through the main merge AND every
+        registered derived table / aggregate view in the same epoch — the
+        consistency contract a bare table-level ``merge_into`` cannot give
+        once deriveds exist (clause-driven deletes would leave signature
+        rows live, clause updates would leave sum views stale — the same
+        hole class ``purge_where`` closes for ``delete_where``).
+
+        Exactly-once across tables by per-table epoch manifests: on a
+        crash-resume the change frame is recompiled against the PRE-epoch
+        target state (``target_as_of``), so late derived merges land the
+        identical rows — provided the caller re-presents the same
+        ``source`` frame, the same determinism contract as
+        ``apply_epoch``'s WAL slice. CHECK constraints gate before the
+        fan-out, like ``apply_epoch``. Same unregistered-derived refusal
+        contract as ``purge_where`` (``main_only=True`` overrides).
+        """
+        name = table_name(table)
+        derived = self._derived.get(name, [])
+        if not main_only:
+            live = {table_name(t) for t, _, _ in derived}
+            missing = sorted(set(self.registered_derived(name)) - live)
+            if missing:
+                raise RuntimeError(
+                    f"merge_into on '{name}' would MISS derived tables "
+                    f"registered in this warehouse but not in this process: "
+                    f"{missing}. Re-register them before the merge, or pass "
+                    f"main_only=True to merge the main table alone on purpose."
+                )
+        pending = [
+            (t, fn, kind)
+            for t, fn, kind in derived
+            if str(self._epoch_key(table, kind, epoch)) not in t.committed_epochs()
+        ]
+        main_done = str(epoch) in table.committed_epochs()
+        if main_done and not pending:
+            return {"epoch": epoch, "applied": False}
+        target_as_of = (
+            self._pre_epoch_sid(table, epoch, {"applied": False})
+            if main_done
+            else None
+        )
+        clauses = dict(
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            when_not_matched_by_source=when_not_matched_by_source,
+        )
+        snap = table.current_snapshot()
+        changes = table.merge_into(
+            source, **clauses, compile_only=True, target_as_of=target_as_of
+        ).withColumn("__bucket", table.bucket_expr())
+        info = dict(epoch_info or {})
+        info.setdefault("op", "merge_into")
+        # constraints gate BEFORE the fan-out (apply_epoch parity): main,
+        # deriveds, and aggregates must see the same gated rows
+        cons = snap["properties"].get("check_constraints") or {}
+        n_quarantined = None
+        if cons:
+            changes, n_quarantined, changes_handle = (
+                table._enforce_check_constraints(changes, cons, snap, epoch)
+            )
+        else:
+            changes = changes.persist()
+            changes_handle = changes
+        try:
+            result = table.merge(
+                changes, epoch=epoch, epoch_info=info,
+                enforce_constraints=not cons,
+            )
+            stats = {"epoch": epoch, **result}
+            old_live = old_all = None
+            if any(kind in _PRE_STATE_KINDS for _, _, kind in pending):
+                pre_sid = self._pre_epoch_sid(table, epoch, result)
+                chg_buckets = [
+                    r[0] for r in changes.select("__bucket").distinct().collect()
+                ]
+                if table._load_snapshot(pre_sid)["n_buckets"] != snap["n_buckets"]:
+                    chg_buckets = None
+                old_all = table.snapshot(
+                    as_of=pre_sid,
+                    buckets=chg_buckets,
+                    keys_in=changes.select(*snap["key_cols"]),
+                    with_tombstones=True,
+                )
+                old_live = old_all.filter(F.col("__op") == "U").drop("__op")
+            for dt, fn, kind in pending:
+                if kind == "history":
+                    dchanges = fn(changes.drop("__bucket"), old_all)
+                elif kind in _PRE_STATE_KINDS:
+                    dchanges = fn(changes.drop("__bucket"), old_live)
+                else:
+                    dchanges = fn(changes.drop("__bucket"))
+                dt.merge(
+                    dchanges,
+                    epoch=self._epoch_key(table, kind, epoch),
+                    epoch_info=info,
+                )
+            if derived:
+                stats["derived_applied"] = [table_name(t) for t, *_ in pending]
+            if n_quarantined is not None:
+                stats["quarantined"] = n_quarantined
+            return stats
+        finally:
+            changes_handle.unpersist()
+
     def _purge_or_redact(
         self,
         table: LakeTable,

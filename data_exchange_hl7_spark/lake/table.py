@@ -1580,6 +1580,8 @@ class LakeTable:
         epoch: int | None = None,
         epoch_info: dict | None = None,
         publish: bool = True,
+        compile_only: bool = False,
+        target_as_of: int | None = None,
     ) -> dict:
         """Generalized multi-clause MERGE INTO — the Delta/Iceberg
         ``MERGE INTO target USING source ON <key equality>`` surface
@@ -1621,6 +1623,17 @@ class LakeTable:
         inherent to the semantics (every target row must be classified).
         Everything else is one join plus narrow CASE projections; the
         cardinality check is a single aggregation over the source delta.
+
+        ``compile_only=True`` returns the compiled change frame instead of
+        merging (``Engine.merge_into`` uses this to route the SAME rows
+        through the derived-table fan-out); ``target_as_of`` pins the
+        target-side read to a past snapshot so a crash-resume recompiles
+        the identical frame against the pre-epoch state.
+
+        WARNING — table-level only: like ``delete_where``, a direct
+        ``merge_into`` on a table with Engine-registered derived tables
+        leaves them stale; use ``Engine.merge_into`` there (same epoch,
+        whole lineage).
         """
         wm = list(when_matched or [])
         wnm = list(when_not_matched or [])
@@ -1629,7 +1642,11 @@ class LakeTable:
             raise ValueError("merge_into requires at least one WHEN clause")
         self._reject_additive_row_ops("merge_into")
         snap = self.current_snapshot()
-        if epoch is not None and str(epoch) in snap["properties"]["epochs"]:
+        if (
+            not compile_only
+            and epoch is not None
+            and str(epoch) in snap["properties"]["epochs"]
+        ):
             return {
                 "applied": False,
                 "snapshot_id": snap["snapshot_id"],
@@ -1663,11 +1680,11 @@ class LakeTable:
             )
         s = source.withColumn("__s_exists", F.lit(True)).alias("s")
         if wnmbs:
-            tgt = self.snapshot()
+            tgt = self.snapshot(as_of=target_as_of)
         else:
             # no NOT MATCHED BY SOURCE: only source keys matter — push the
             # changed-key semi join below the MoR resolve
-            tgt = self.snapshot(keys_in=source.select(*keys))
+            tgt = self.snapshot(as_of=target_as_of, keys_in=source.select(*keys))
         t = tgt.withColumn("__t_exists", F.lit(True)).alias("t")
         on = functools.reduce(
             lambda a, b: a & b,
@@ -1737,6 +1754,8 @@ class LakeTable:
         changes = j.select(
             *[_value(f) for f in fields], op_col.alias("__op")
         )
+        if compile_only:
+            return changes
         return self.merge(
             changes, epoch=epoch, epoch_info=epoch_info, publish=publish
         )

@@ -1455,3 +1455,130 @@ def test_purge_and_redact_sweep_quarantine_sidecar(spark, tmp_path):
     assert {g["content_sha256"] for g in got} == {
         hashlib.sha256(b"<GONE>").hexdigest()
     }
+
+
+def test_engine_merge_into_cascades_lineage(spark, tmp_path):
+    """Engine.merge_into routes the compiled clause frame through the main
+    merge AND every registered derived table / aggregate view in one epoch:
+    clause-driven deletes drop the derived signature rows, clause updates
+    re-derive them, and the sum view stays exact — the consistency contract
+    a bare LakeTable.merge_into cannot give once deriveds exist."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        REPO_STATS_SCHEMA,
+        file_stats_derive,
+        repo_stats_delta,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    agg_t = eng.aggregate_table("repo_stats", REPO_STATS_SCHEMA, repo_stats_delta)
+    eng.apply_epoch(change_events(spark, 3000), table, epoch=0)
+
+    victim = table.snapshot().select("repo").first()["repo"]
+    src = (
+        table.snapshot()
+        .filter(F.col("repo") == victim)
+        .select("repo", "path", F.lit("MERGEINTO").alias("content"))
+        .persist()
+    )
+    clauses = dict(
+        when_matched=[
+            {"condition": "t.size_bytes % 2 = 0", "action": "delete"},
+            {
+                "condition": None,
+                "action": "update",
+                "set": {
+                    "content": "s.content",
+                    "content_sha256": "sha2(s.content, 256)",
+                    "size_bytes": "CAST(length(s.content) AS INT)",
+                },
+            },
+        ],
+    )
+    r = eng.merge_into(table, src, **clauses, epoch=9000)
+    assert r["applied"]
+    assert set(r["derived_applied"]) == {"file_stats", "repo_stats"}
+
+    main_victim = table.snapshot().filter(F.col("repo") == victim)
+    assert main_victim.filter(F.col("size_bytes") % 2 == 0).count() == 0
+    n_updated = main_victim.count()
+    assert n_updated > 0
+    assert (
+        main_victim.filter(F.col("content") == "MERGEINTO").count() == n_updated
+    )
+    # derived table: deleted keys gone, survivors carry the re-derived sha
+    der_victim = stats_t.snapshot().filter(F.col("repo") == victim)
+    assert der_victim.count() == n_updated
+    import hashlib
+
+    new_sha = hashlib.sha256(b"MERGEINTO").hexdigest()
+    assert der_victim.filter(F.col("content_sha256") == new_sha).count() == n_updated
+    # aggregate view: exact parity with a recompute over the merged state
+    got = {
+        r["repo"]: (r["n_files"], r["total_bytes"])
+        for r in agg_t.snapshot().collect()
+    }
+    for row in _expected_repo_stats(table):
+        assert got[row["repo"]] == (row["n_files"], row["total_bytes"]), row["repo"]
+    # idempotent replay
+    assert eng.merge_into(table, src, **clauses, epoch=9000) == {
+        "epoch": 9000,
+        "applied": False,
+    }
+    src.unpersist()
+
+    # a process that has not re-registered the deriveds must be refused
+    eng_bare = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    t_bare = eng_bare.snapshot_table("repo_files")
+    with pytest.raises(RuntimeError, match="would MISS derived tables"):
+        eng_bare.merge_into(t_bare, src, **clauses, epoch=9001)
+
+
+def test_engine_merge_into_resumes_after_partial_commit(spark, tmp_path):
+    """Crash between the main merge and a derived commit: the resumed call
+    recompiles the clause frame against the PRE-epoch target state (the
+    matched rows already changed in current), so the late derived merge
+    lands the identical rows and the lineage converges."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        file_stats_derive,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    eng.apply_epoch(change_events(spark, 2000), table, epoch=0)
+    victim = table.snapshot().select("repo").first()["repo"]
+    # determinism contract: the caller re-presents the SAME source on
+    # resume — materialize it so it cannot drift with the table state
+    src_rows = (
+        table.snapshot()
+        .filter(F.col("repo") == victim)
+        .select("repo", "path")
+        .collect()
+    )
+    src = spark.createDataFrame(src_rows, "repo string, path string")
+    clauses = dict(when_matched=[{"condition": None, "action": "delete"}])
+
+    orig_merge = stats_t.merge
+    state = {"fail": True}
+
+    def flaky(*a, **k):
+        if state["fail"]:
+            state["fail"] = False
+            raise RuntimeError("simulated crash before derived merge commit")
+        return orig_merge(*a, **k)
+
+    stats_t.merge = flaky
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.merge_into(table, src, **clauses, epoch=9000)
+    assert "9000" in table.committed_epochs()
+    assert "9000" not in stats_t.committed_epochs()
+    assert table.snapshot().filter(F.col("repo") == victim).count() == 0
+    assert stats_t.snapshot().filter(F.col("repo") == victim).count() > 0
+
+    r = eng.merge_into(table, src, **clauses, epoch=9000)
+    assert r["derived_applied"] == ["file_stats"]
+    assert stats_t.snapshot().filter(F.col("repo") == victim).count() == 0

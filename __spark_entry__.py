@@ -51,7 +51,10 @@ apply, each in its commit-position epoch; also touched
 streaming/runner.py via MicroBatchRunner(txn_boundaries=True)), and
 column_default_read (Iceberg-v3 initial-defaults on add_column — the
 field-id projection fills the default for pre-addition files; touched
-lake/table.py + streaming/cdf_tail.py)) are
+lake/table.py + streaming/cdf_tail.py), and shard_plan (deterministic
+WebDataset-style training shard + global-order assignment; the
+sub-sharded rank rebase is certified against the oracle's plain
+per-shard ROW_NUMBER via an order checksum)) are
 never-green BY CONSTRUCTION and lead this group —
 then queries added or module-touched during r5, then the six r4-touched-module queries the
 temporal-CDC family displaced (derived_file_stats, aggregate_repo_stats,
@@ -260,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_multi_read": q.merge_multi_read,
         "txn_gate_read": q.txn_gate_read,
         "column_default_read": q.column_default_read,
+        "shard_plan": qt.shard_plan,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -515,4 +519,5 @@ def oracle_sql() -> dict[str, str]:
         "merge_multi_read": q.ORACLE_MERGE_MULTI,
         "txn_gate_read": q.ORACLE_TXN_GATE,
         "column_default_read": q.ORACLE_COLUMN_DEFAULT,
+        "shard_plan": qt.ORACLE_SHARD_PLAN,
     }

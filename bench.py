@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "merge_multi_read",
     "txn_gate_read",
     "column_default_read",
+    "shard_plan",
 ]
 
 

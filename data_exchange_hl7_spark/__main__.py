@@ -143,7 +143,7 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--what",
         default="files",
-        choices=["files", "snapshots", "refs", "quarantine"],
+        choices=["files", "snapshots", "refs", "quarantine", "count"],
     )
 
     sp = sub.add_parser("metrics", help="per-epoch lineage/metrics table")
@@ -274,6 +274,10 @@ def main(argv: list[str] | None = None) -> int:
 
     elif args.cmd == "inspect":
         t = LakeTable(spark, loc)
+        if args.what == "count":
+            n, metadata_only = t.count_rows()
+            print(json.dumps({"rows": n, "metadata_only": metadata_only}))
+            return 0
         df = {
             "files": t.meta_files,
             "snapshots": t.meta_snapshots,

@@ -1029,9 +1029,43 @@ class LakeTable:
                     hi = mx if hi is None or mx > hi else hi
                 if ok and lo is not None:
                     st[c] = [lo, hi]
-            if st:
-                out[rel] = st
+            # per-file row count (Iceberg record_count): powers
+            # metadata-only COUNT(*) — "#" cannot appear in a column name
+            # produced by this engine, so the key never collides
+            st["#rows"] = md.num_rows
+            out[rel] = st
         return out
+
+    def count_rows(
+        self, where: list[tuple] | None = None, as_of: int | str | None = None
+    ) -> tuple[int, bool]:
+        """``COUNT(*)`` answered from manifest metadata when provably exact
+        (Iceberg ``record_count`` semantics): no data file is opened when
+        the snapshot has no delta layers (CoW, or MoR/additive after a full
+        compaction — physical rows ARE logical rows then) and no predicate.
+        Any other shape falls back to the exact read path. Returns
+        ``(count, metadata_only)`` so callers and tests can SEE which path
+        answered. At 100 TB the metadata path is a manifest walk — zero
+        tasks, zero bytes of data read."""
+        snap = self._load_snapshot(
+            self._resolve_ref(as_of) if as_of is not None else None
+        )
+        if where is None and not snap.get("deltas"):
+            total = 0
+            complete = True
+            for entry in snap["buckets"].values():
+                stats = entry.get("stats") or {}
+                for rel in entry["files"]:
+                    n = (stats.get(rel) or {}).get("#rows")
+                    if n is None:  # pre-upgrade manifest: no counts recorded
+                        complete = False
+                        break
+                    total += n
+                if not complete:
+                    break
+            if complete:
+                return total, True
+        return self.snapshot(as_of=as_of, where=where).count(), False
 
     @staticmethod
     def _where_expr(where):

@@ -6421,3 +6421,107 @@ SELECT v.vec_id,
 FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node
 ORDER BY v.vec_id
 """
+
+
+# ================= deterministic training shard + order plan ===============
+
+# WebDataset/Megatron-style data ordering: every document gets a
+# replay-stable (shard, position) so a training run's sample order is a
+# pure function of the corpus — restartable data loaders, reproducible
+# curricula, and blame-able batches. Two independent multiplicative hashes:
+# one picks the shard, one the order WITHIN the shard (hashing, not doc_id
+# order, so adjacent source documents scatter — the shuffle a loader wants
+# pre-materialized).
+SHARD_MULT = 2654435761  # Knuth multiplicative hash
+ORDER_MULT = 2246822519  # second independent multiplier
+N_SHARDS = 16
+SHARD_SUBS = 64  # contiguous order-key ranges per shard (the scale lever)
+_SUB_WIDTH = 4294967296 // SHARD_SUBS
+
+
+def shard_plan(spark, sf_dir):
+    """Deterministic shard + global-order assignment for training data.
+
+    The spec is one total order per shard: rank by (order_key, doc_id)
+    within each of N_SHARDS shards. The naive window
+    ``partitionBy(shard)`` caps parallelism at N_SHARDS and sorts each
+    whole shard in one task — the sequence_packing scale trap. Instead the
+    order-key space is cut into SHARD_SUBS contiguous ranges per shard:
+    rank within (shard, sub) — N_SHARDS x SHARD_SUBS parallel windows —
+    then rebase each sub-range by the cumulative count of the ranges
+    before it (a window over the N_SHARDS x SHARD_SUBS-row count frame,
+    broadcast back). Because the sub-ranges partition the order-key space
+    in order, offset + within-rank IS the per-shard total order.
+
+    Output is the per-shard release audit: doc/token counts plus an order
+    checksum (sum of position * (doc_id % 1000003)) that pins every
+    document's exact position — the oracle computes positions with a plain
+    ROW_NUMBER over the whole shard, so hash equality proves the
+    sub-sharded rebase implements the same total order."""
+    d = _t(spark, sf_dir, "documents")
+    okey = F.pmod(F.col("doc_id") * ORDER_MULT, F.lit(4294967296))
+    ntok = F.size(
+        F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    ).cast("bigint")
+    base = d.select(
+        "doc_id",
+        F.pmod(
+            F.pmod(F.col("doc_id") * SHARD_MULT, F.lit(4294967296)),
+            F.lit(N_SHARDS),
+        ).alias("shard"),
+        okey.alias("okey"),
+        F.expr(f"pmod(doc_id * {ORDER_MULT}, 4294967296) div {_SUB_WIDTH}").alias(
+            "sub"
+        ),
+        ntok.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard", "sub").orderBy("okey", "doc_id")
+    ranked = base.withColumn("rnk", F.row_number().over(w))
+    counts = base.groupBy("shard", "sub").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    woff = (
+        Window.partitionBy("shard")
+        .orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(woff), F.lit(0))
+    ).select("shard", "sub", "off")
+    pos = ranked.join(F.broadcast(offsets), ["shard", "sub"]).withColumn(
+        "position", (F.col("off") + F.col("rnk")).cast("bigint")
+    )
+    return (
+        pos.groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.col("position") * F.pmod(F.col("doc_id"), F.lit(1000003))
+            )
+            .cast("bigint")
+            .alias("ord_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_SHARD_PLAN = f"""
+WITH a AS (
+  SELECT doc_id,
+         (doc_id * {SHARD_MULT}) % 4294967296 % {N_SHARDS} AS shard,
+         (doc_id * {ORDER_MULT}) % 4294967296 AS okey,
+         CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> LEN(x) > 0)) AS BIGINT)
+             AS n_tokens
+  FROM documents),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id)
+         AS position
+  FROM a)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(position * (doc_id % 1000003)) AS BIGINT) AS ord_checksum
+FROM r GROUP BY shard
+ORDER BY shard
+"""

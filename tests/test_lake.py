@@ -2013,3 +2013,36 @@ def test_add_column_default_must_be_scalar(spark, tmp_path):
     t = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="JSON-scalar"):
         t.add_column("bad", "string", default=["not", "scalar"])
+
+
+# ----------------------- metadata-only COUNT(*) ----------------------------
+
+
+def test_count_rows_metadata_only_paths(spark, tmp_path):
+    """CoW with no deltas answers COUNT(*) from manifest record counts
+    (zero data files opened); predicates and un-compacted MoR fall back to
+    the exact read path; a fully-compacted MoR table is metadata-exact
+    again (physical rows == logical rows once tombstones fold)."""
+    t = _mk(spark, tmp_path)
+    t.merge(
+        _changes(spark, [("a", "1", 1, 1, "U"), ("b", "2", 2, 2, "U"), ("c", "3", 3, 3, "U")]),
+        epoch=0,
+    )
+    n, meta = t.count_rows()
+    assert (n, meta) == (3, True)
+    # predicate: falls back, still exact
+    n, meta = t.count_rows(where=[("k", "=", "a")])
+    assert (n, meta) == (1, False)
+
+    m = _mk(spark, tmp_path, name="m", mode="mor")
+    m.merge(_changes(spark, [("a", "1", 1, 1, "U"), ("b", "2", 2, 2, "U")]), epoch=0)
+    m.merge(_changes(spark, [("a", "9", 9, 5, "U"), ("b", None, None, 6, "D")]), epoch=1)
+    # delta layers present: physical rows != logical rows -> exact path
+    n, meta = m.count_rows()
+    assert (n, meta) == (1, False)
+    m.compact()
+    n, meta = m.count_rows()
+    assert (n, meta) == (1, True)
+    # time travel composes (pre-delta snapshot of the CoW table)
+    n, meta = t.count_rows(as_of=1)
+    assert n == 3

@@ -54,7 +54,11 @@ field-id projection fills the default for pre-addition files; touched
 lake/table.py + streaming/cdf_tail.py), and shard_plan (deterministic
 WebDataset-style training shard + global-order assignment; the
 sub-sharded rank rebase is certified against the oracle's plain
-per-shard ROW_NUMBER via an order checksum)) are
+per-shard ROW_NUMBER via an order checksum), merge_cascade_read
+(Engine.merge_into's derived-table cascade — the purge_cascade contract
+generalized to arbitrary merge clauses), and count_meta_read
+(metadata-only COUNT(*) — both counts AND which path answered are part
+of the hashed frame)) are
 never-green BY CONSTRUCTION and lead this group —
 then queries added or module-touched during r5, then the six r4-touched-module queries the
 temporal-CDC family displaced (derived_file_stats, aggregate_repo_stats,
@@ -264,6 +268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txn_gate_read": q.txn_gate_read,
         "column_default_read": q.column_default_read,
         "shard_plan": qt.shard_plan,
+        "merge_cascade_read": q.merge_cascade_read,
+        "count_meta_read": q.count_meta_read,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -520,4 +526,6 @@ def oracle_sql() -> dict[str, str]:
         "txn_gate_read": q.ORACLE_TXN_GATE,
         "column_default_read": q.ORACLE_COLUMN_DEFAULT,
         "shard_plan": qt.ORACLE_SHARD_PLAN,
+        "merge_cascade_read": q.ORACLE_MERGE_CASCADE,
+        "count_meta_read": q.ORACLE_COUNT_META,
     }

@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "txn_gate_read",
     "column_default_read",
     "shard_plan",
+    "merge_cascade_read",
+    "count_meta_read",
 ]
 
 

@@ -2749,6 +2749,197 @@ ORDER BY user_id
 """
 
 
+# ------------------- MERGE INTO lineage cascade ----------------------------
+
+
+def merge_cascade_read(spark, sf_dir):
+    """Engine.merge_into's derived-table cascade under the oracle gate: the
+    shared derived-table demo WAL (epoch 0 through the real
+    Engine.apply_epoch with file_stats registered), then ONE multi-clause
+    MERGE INTO as epoch 1 — source rows for every doc_id % 5 == 2, matched
+    rows with last_lsn % 4 == 1 deleted, the rest updated to new content —
+    and the query reads the DERIVED file_stats table, not the main one.
+    Its state must equal DuckDB's replay of the clause algebra: deleted
+    keys absent, updated keys re-derived from the MERGED content (n_lines,
+    n_tokens, sha256 all recomputed), untouched keys intact. This is the
+    purge_cascade contract generalized from tombstones to arbitrary merge
+    clauses.
+
+    Scale shape: one compile join (target side keys_in-restricted — no NOT
+    MATCHED BY SOURCE clause), then the same O(changes) keyed merges on
+    both tables with per-table epoch manifests."""
+    import tempfile
+
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        Engine,
+        file_stats_derive,
+    )
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    key = f"{sf_dir}::mergecascade"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(os.path.join(loc, "file_stats"))):
+        loc = tempfile.mkdtemp(prefix="dex_engine_mergecascade_")
+        eng = Engine(spark, loc, n_buckets=8, mode="mor")
+        table = eng.snapshot_table("repo_files")
+        eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+        eng.apply_epoch(
+            _derived_demo_wal(spark, sf_dir), table, epoch=0, collect_metrics=False
+        )
+        src = (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 2)
+            .select(
+                F.col("source").alias("repo"),
+                F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias(
+                    "path"
+                ),
+                F.concat(F.lit("MERGED:"), F.col("doc_id").cast("string")).alias(
+                    "content"
+                ),
+            )
+        )
+        eng.merge_into(
+            table,
+            src,
+            when_matched=[
+                {"condition": "t.last_lsn % 4 = 1", "action": "delete"},
+                {
+                    "condition": None,
+                    "action": "update",
+                    "set": {
+                        "content": "s.content",
+                        "content_sha256": "sha2(s.content, 256)",
+                        "size_bytes": "length(s.content)",
+                    },
+                },
+            ],
+            epoch=1,
+        )
+        _LAKE_DEMO_CACHE[key] = loc
+    stats_t = LakeTable(spark, os.path.join(loc, "file_stats"))
+    return (
+        stats_t.snapshot()
+        .select(
+            "repo", "path", "lang", "n_lines", "n_tokens", "content_sha256", "last_lsn"
+        )
+        .orderBy("repo", "path")
+    )
+
+
+# matched rows: last_lsn = 2*doc_id + 1, so last_lsn % 4 == 1 <=> doc_id
+# even -> deleted; odd doc_id % 5 == 2 rows update to the MERGED content
+# (1 line, 1 token, fresh sha); unmatched source rows (docs absent from the
+# main table) are dropped — no insert clause.
+ORACLE_MERGE_CASCADE = """
+WITH body AS (
+  SELECT *, TRIM(text, chr(65279) || ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS b
+  FROM documents),
+base AS (
+  SELECT source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) AS path,
+         lang, b, doc_id,
+         CAST(doc_id * 2 + 1 AS BIGINT) AS last_lsn
+  FROM body WHERE doc_id % 7 <> 0 AND len(b) > 0)
+SELECT repo, path, lang,
+       CAST(CASE WHEN doc_id % 5 = 2 AND doc_id % 2 = 1 THEN 1
+            ELSE len(string_split(b, chr(10))) END AS INT) AS n_lines,
+       CAST(CASE WHEN doc_id % 5 = 2 AND doc_id % 2 = 1 THEN 1
+            ELSE len(list_filter(string_split(b, ' '), x -> len(x) > 0))
+            END AS INT) AS n_tokens,
+       CASE WHEN doc_id % 5 = 2 AND doc_id % 2 = 1
+            THEN sha256('MERGED:' || CAST(doc_id AS VARCHAR))
+            ELSE sha256(b) END AS content_sha256,
+       last_lsn
+FROM base
+WHERE NOT (doc_id % 5 = 2 AND doc_id % 2 = 0)
+ORDER BY repo, path
+"""
+
+
+# ------------------- metadata-only COUNT(*) --------------------------------
+
+_COUNT_META_CACHE: dict[str, tuple] = {}
+
+
+def count_meta_read(spark, sf_dir):
+    """Metadata-only COUNT(*) under the oracle gate (`LakeTable.count_rows`
+    — Iceberg record_count semantics): the standard 2-epoch MoR demo, the
+    row count taken BEFORE compaction (delta layers present -> the exact
+    read path must answer) and AFTER (physical rows == logical rows -> the
+    manifest walk must answer, zero data files opened). Both counts AND
+    which path answered are pinned by the oracle: the values must equal
+    DuckDB's COUNT over the latest-per-key non-tombstone algebra, and the
+    metadata_only flags are part of the hashed frame, so a regression that
+    silently flips the fast path red-flags the gate.
+
+    The output frame is built driver-side from two scalars — metadata-
+    bounded by construction (that is the point of the operator)."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key
+
+    key = sf_dir
+    cached = _COUNT_META_CACHE.get(key)
+    if not cached:
+        loc = tempfile.mkdtemp(prefix="dex_countmeta_demo_")
+        t = LakeTable.create(
+            spark,
+            loc,
+            schema=[
+                ("user_id", "bigint"),
+                ("event_type", "string"),
+                ("event_id", "bigint"),
+            ],
+            key_cols=["user_id"],
+            n_buckets=8,
+            mode="mor",
+            order_col="event_id",
+        )
+        ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+        for epoch, parity in ((1, 0), (2, 1)):
+            half = ev.filter(F.col("event_id") % 2 == parity)
+            changes = latest_by_key(half, ["user_id"], ["event_id"]).withColumn(
+                "__op",
+                F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+            )
+            t.merge(changes, epoch=epoch)
+        n_pre, m_pre = t.count_rows()
+        t.compact()
+        n_post, m_post = t.count_rows()
+        cached = (n_pre, m_pre, n_post, m_post)
+        _COUNT_META_CACHE[key] = cached
+    n_pre, m_pre, n_post, m_post = cached
+    return spark.createDataFrame(
+        [
+            ("exact_path_pre_compact", n_pre, 1 if m_pre else 0),
+            ("metadata_path_post_compact", n_post, 1 if m_post else 0),
+        ],
+        "label string, n_rows bigint, metadata_only bigint",
+    ).orderBy("label")
+
+
+ORACLE_COUNT_META = """
+WITH live AS (
+  SELECT user_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1 AND event_type <> 'error')
+SELECT 'exact_path_pre_compact' AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS metadata_only
+FROM live
+UNION ALL
+SELECT 'metadata_path_post_compact',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(1 AS BIGINT)
+FROM live
+ORDER BY label
+"""
+
+
 # ------------------- column initial-defaults (schema evolution) ------------
 
 _COLDEFAULT_CACHE: dict[str, str] = {}

@@ -121,6 +121,11 @@ def _build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("expire", help="expire old snapshots")
     common(sp)
     sp.add_argument("--keep-last", type=int, required=True)
+    sp.add_argument(
+        "--older-than", type=float, default=None,
+        help="also keep every ancestor committed within the last N seconds "
+        "(Iceberg age-based retention; composes with --keep-last as a union)",
+    )
 
     sp = sub.add_parser(
         "purge",
@@ -256,8 +261,12 @@ def main(argv: list[str] | None = None) -> int:
 
     elif args.cmd == "expire":
         t = LakeTable(spark, loc)
-        t.expire_snapshots(keep_last=args.keep_last)
-        print(json.dumps({"table": args.table, "kept_last": args.keep_last}))
+        r = t.expire_snapshots(
+            keep_last=args.keep_last, older_than_s=args.older_than
+        )
+        print(json.dumps({"table": args.table, "kept_last": args.keep_last,
+                          "removed_snapshots": r["removed_snapshots"],
+                          "removed_files": r["removed_files"]}))
 
     elif args.cmd == "purge":
         if not LakeTable.exists(loc):

@@ -2741,7 +2741,9 @@ class LakeTable:
             sorted(rows) or [], "file string, size_bytes long"
         )
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_s: float | None = None
+    ) -> dict:
         """Expire old snapshots and delete their unreferenced data files —
         the Iceberg ``expire_snapshots`` + ``remove_orphan_files`` analogue.
 
@@ -2751,6 +2753,14 @@ class LakeTable:
         MoR table accretes one delta layer per epoch and one rewrite per
         compaction; without expiry, storage is unbounded even though the
         live state is not. Run after ``compact()``.
+
+        ``older_than_s`` adds Iceberg's age-based retention
+        (``expire_snapshots(older_than => ...)``): ancestors committed
+        within the last ``older_than_s`` seconds are kept EVEN beyond
+        ``keep_last`` — so a maintenance job can promise "24 h of time
+        travel" independently of commit rate. The two compose as a union
+        (count window OR age window keeps a snapshot); age alone never
+        expires the current snapshot.
 
         Readers of the CURRENT snapshot are unaffected (its files are all
         kept); concurrent time-travel readers of expired snapshots would
@@ -2770,9 +2780,10 @@ class LakeTable:
 
         snap = self.current_snapshot()
         entry_sid = snap["snapshot_id"]
+        cutoff = time.time() - older_than_s if older_than_s is not None else None
         kept_ids = []
         s = snap
-        for _ in range(max(keep_last, 1)):
+        while True:
             kept_ids.append(s["snapshot_id"])
             if s["parent"] is None:
                 break
@@ -2780,7 +2791,14 @@ class LakeTable:
             if not os.path.exists(parent_path):
                 break
             with open(parent_path) as f:
-                s = json.load(f)
+                parent = json.load(f)
+            # ancestors are newest -> oldest, so the first one outside BOTH
+            # the count window and the age window ends the walk
+            if len(kept_ids) >= max(keep_last, 1) and not (
+                cutoff is not None and parent.get("committed_at", 0) >= cutoff
+            ):
+                break
+            s = parent
 
         # tags pin their snapshots: metadata and files survive until dropped
         for sid in self.tags().values():

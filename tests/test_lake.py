@@ -2046,3 +2046,24 @@ def test_count_rows_metadata_only_paths(spark, tmp_path):
     # time travel composes (pre-delta snapshot of the CoW table)
     n, meta = t.count_rows(as_of=1)
     assert n == 3
+
+
+def test_expire_snapshots_age_based_retention(spark, tmp_path):
+    """older_than_s keeps recent ancestors beyond keep_last (union of the
+    count and age windows); older_than_s=0 degrades to pure keep_last."""
+    t = _mk(spark, tmp_path)
+    for e in range(3):
+        t.merge(_changes(spark, [(f"k{e}", "v", e, e, "U")]), epoch=e)
+    all_sids = sorted(h["snapshot_id"] for h in t.history())
+    assert len(all_sids) >= 4  # create + 3 merges
+    # everything was committed seconds ago: a 1-hour age window keeps all
+    r = t.expire_snapshots(keep_last=1, older_than_s=3600)
+    assert r["removed_snapshots"] == 0 and r["removed_files"] == 0
+    assert sorted(r["kept_snapshots"]) == all_sids
+    oldest = all_sids[0]
+    assert t.snapshot(as_of=oldest).count() >= 0  # still readable
+    # age window 0: pure keep_last — every ancestor expires
+    r2 = t.expire_snapshots(keep_last=1, older_than_s=0)
+    assert r2["removed_snapshots"] == len(all_sids) - 1
+    with pytest.raises(Exception):
+        t.snapshot(as_of=oldest).count()

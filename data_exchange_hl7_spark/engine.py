@@ -1571,6 +1571,7 @@ class Engine:
         epoch: int,
         epoch_info: dict | None = None,
         main_only: bool = False,
+        atomic: bool = False,
     ) -> dict:
         """Multi-clause MERGE INTO across the WHOLE lineage: compile the
         clause set once (``LakeTable.merge_into(compile_only=True)``) and
@@ -1589,6 +1590,11 @@ class Engine:
         ``apply_epoch``'s WAL slice. CHECK constraints gate before the
         fan-out, like ``apply_epoch``. Same unregistered-derived refusal
         contract as ``purge_where`` (``main_only=True`` overrides).
+
+        ``atomic=True`` publishes the main merge and every derived merge
+        from ONE multi-table transaction (the ``apply_epoch`` atomic
+        semantics): readers can never observe the clause effects on the
+        main table ahead of its deriveds.
         """
         name = table_name(table)
         derived = self._derived.get(name, [])
@@ -1610,6 +1616,11 @@ class Engine:
         main_done = str(epoch) in table.committed_epochs()
         if main_done and not pending:
             return {"epoch": epoch, "applied": False}
+        if main_done:
+            # resume after a partial commit: the main merge is already
+            # published, so there is nothing left to make atomic — the
+            # remaining derived merges converge per-table (idempotent)
+            atomic = False
         target_as_of = (
             self._pre_epoch_sid(table, epoch, {"applied": False})
             if main_done
@@ -1637,15 +1648,33 @@ class Engine:
         else:
             changes = changes.persist()
             changes_handle = changes
+        txn = None
+        if atomic:
+            from data_exchange_hl7_spark.lake.txn import MultiTableTransaction
+
+            txn_dir = os.path.join(self.warehouse, "_txn")
+            MultiTableTransaction.recover(self.spark, txn_dir)
+            txn = MultiTableTransaction(self.spark, txn_dir)
         try:
-            result = table.merge(
-                changes, epoch=epoch, epoch_info=info,
-                enforce_constraints=not cons,
-            )
+            if txn is not None:
+                result = txn.stage(
+                    table, changes, epoch=epoch, epoch_info=info,
+                    enforce_constraints=not cons,
+                )
+            else:
+                result = table.merge(
+                    changes, epoch=epoch, epoch_info=info,
+                    enforce_constraints=not cons,
+                )
             stats = {"epoch": epoch, **result}
             old_live = old_all = None
             if any(kind in _PRE_STATE_KINDS for _, _, kind in pending):
-                pre_sid = self._pre_epoch_sid(table, epoch, result)
+                # atomic fresh stage: the main merge is staged, not
+                # committed, so the pre-epoch state is the pre-stage current
+                if txn is not None and result.get("staged"):
+                    pre_sid = result["snapshot_id"] - 1
+                else:
+                    pre_sid = self._pre_epoch_sid(table, epoch, result)
                 chg_buckets = [
                     r[0] for r in changes.select("__bucket").distinct().collect()
                 ]
@@ -1665,11 +1694,24 @@ class Engine:
                     dchanges = fn(changes.drop("__bucket"), old_live)
                 else:
                     dchanges = fn(changes.drop("__bucket"))
-                dt.merge(
-                    dchanges,
-                    epoch=self._epoch_key(table, kind, epoch),
-                    epoch_info=info,
-                )
+                if txn is not None:
+                    txn.stage(
+                        dt,
+                        dchanges,
+                        epoch=self._epoch_key(table, kind, epoch),
+                        epoch_info=info,
+                    )
+                else:
+                    dt.merge(
+                        dchanges,
+                        epoch=self._epoch_key(table, kind, epoch),
+                        epoch_info=info,
+                    )
+            if txn is not None:
+                txn_out = txn.commit()
+                if stats.pop("staged", None):
+                    stats["applied"] = True  # published by the txn commit
+                stats["txn_id"] = txn_out["txn_id"]
             if derived:
                 stats["derived_applied"] = [table_name(t) for t, *_ in pending]
             if n_quarantined is not None:

@@ -1582,3 +1582,33 @@ def test_engine_merge_into_resumes_after_partial_commit(spark, tmp_path):
     r = eng.merge_into(table, src, **clauses, epoch=9000)
     assert r["derived_applied"] == ["file_stats"]
     assert stats_t.snapshot().filter(F.col("repo") == victim).count() == 0
+
+
+def test_engine_merge_into_atomic_publishes_lineage_together(spark, tmp_path):
+    """atomic=True publishes the clause merge and the derived merge from one
+    multi-table transaction — end state identical to the convergent path,
+    with the txn id in the stats."""
+    from data_exchange_hl7_spark.engine import (
+        FILE_STATS_SCHEMA,
+        file_stats_derive,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=8, mode="mor")
+    table = eng.snapshot_table("repo_files")
+    stats_t = eng.derived_table("file_stats", FILE_STATS_SCHEMA, file_stats_derive)
+    eng.apply_epoch(change_events(spark, 2000), table, epoch=0)
+    victim = table.snapshot().select("repo").first()["repo"]
+    src = spark.createDataFrame(
+        table.snapshot().filter(F.col("repo") == victim).select("repo", "path").collect(),
+        "repo string, path string",
+    )
+    clauses = dict(when_matched=[{"condition": None, "action": "delete"}])
+    r = eng.merge_into(table, src, **clauses, epoch=9000, atomic=True)
+    assert r["applied"] and "txn_id" in r
+    assert table.snapshot().filter(F.col("repo") == victim).count() == 0
+    assert stats_t.snapshot().filter(F.col("repo") == victim).count() == 0
+    # idempotent replay after the atomic publish
+    assert eng.merge_into(table, src, **clauses, epoch=9000, atomic=True) == {
+        "epoch": 9000,
+        "applied": False,
+    }

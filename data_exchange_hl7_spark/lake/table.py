@@ -245,6 +245,7 @@ class LakeTable:
                     # epoch keys are stringified ints: sort numerically, or
                     # '10' orders before '2' once a table passes 9 epochs
                     "epochs": sorted(s["properties"]["epochs"], key=int),
+                    "summary": s.get("summary"),
                 }
             )
             if s["parent"] is None:
@@ -311,13 +312,17 @@ class LakeTable:
                 h["schema_version"],
                 h["n_delta_layers"],
                 len(h["epochs"]),
+                (h.get("summary") or {}).get("added_files"),
+                (h.get("summary") or {}).get("removed_files"),
+                (h.get("summary") or {}).get("added_records"),
             )
             for h in self.history()
         ]
         schema = (
             "snapshot_id long, parent long, operation string, "
             "committed_at double, schema_version int, n_delta_layers int, "
-            "n_epochs int"
+            "n_epochs int, added_files int, removed_files int, "
+            "added_records long"
         )
         return self.spark.createDataFrame(rows, schema)
 
@@ -355,6 +360,14 @@ class LakeTable:
             snap.pop("rollback_of", None)
         if snap.get("operation") != "fast_forward":
             snap.pop("fast_forward_of", None)
+        # commit summary (Iceberg snapshot-summary analogue): file-set diff
+        # vs the parent plus added record counts from the per-file stats —
+        # metadata math over lists already in memory, never a data read.
+        # Defensive: a summary failure must never fail a commit.
+        try:
+            snap["summary"] = self._commit_summary(snap)
+        except Exception:
+            snap.pop("summary", None)
         with _commit_lock(self.meta_dir):
             # retired check INSIDE the lock: a merge that blocked behind a
             # publishing fast_forward must see the retire marker the publish
@@ -387,6 +400,41 @@ class LakeTable:
             with open(tmp, "w") as f:
                 f.write(str(sid))
             os.replace(tmp, cur_path)  # atomic on POSIX
+
+    @staticmethod
+    def _referenced_files(s: dict) -> set[str]:
+        ref: set[str] = set()
+        for e in s["buckets"].values():
+            ref.update(e["files"])
+        for d in s.get("deltas", []):
+            for fs in d["files"].values():
+                ref.update(fs)
+        return ref
+
+    def _commit_summary(self, snap: dict) -> dict:
+        parent_id = snap.get("parent")
+        pfiles: set[str] = set()
+        if parent_id is not None:
+            ppath = os.path.join(self.meta_dir, f"v{parent_id:08d}.json")
+            if os.path.exists(ppath):
+                with open(ppath) as f:
+                    pfiles = self._referenced_files(json.load(f))
+        nfiles = self._referenced_files(snap)
+        added = nfiles - pfiles
+        stats_all: dict = {}
+        for e in snap["buckets"].values():
+            stats_all.update(e.get("stats") or {})
+        for d in snap.get("deltas", []):
+            stats_all.update(d.get("stats") or {})
+        counts = [(stats_all.get(f) or {}).get("#rows") for f in added]
+        return {
+            "added_files": len(added),
+            "removed_files": len(pfiles - nfiles),
+            # None when any added file predates row-count stats
+            "added_records": (
+                sum(counts) if counts and all(c is not None for c in counts) else None
+            ),
+        }
 
     # ------------------------------------------------------------ refs
     def create_tag(self, name: str, snapshot_id: int | None = None) -> dict:

@@ -2067,3 +2067,24 @@ def test_expire_snapshots_age_based_retention(spark, tmp_path):
     assert r2["removed_snapshots"] == len(all_sids) - 1
     with pytest.raises(Exception):
         t.snapshot(as_of=oldest).count()
+
+
+def test_commit_summary_in_snapshots_table(spark, tmp_path):
+    """Every commit records an Iceberg-style summary (file-set diff vs the
+    parent + added record counts from the manifest stats), surfaced through
+    meta_snapshots — metadata math only, never a data read."""
+    t = _mk(spark, tmp_path, mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U"), ("b", "2", 2, 2, "U")]), epoch=0)
+    t.merge(_changes(spark, [("c", "3", 3, 3, "U")]), epoch=1)
+    rows = {r["snapshot_id"]: r for r in t.meta_snapshots().collect()}
+    sids = sorted(rows)
+    first, second = rows[sids[1]], rows[sids[2]]
+    assert first["added_records"] == 2 and first["removed_files"] == 0
+    assert second["added_records"] == 1
+    assert second["added_files"] >= 1
+    # compaction rewrites: removed > 0, added records = surviving rows
+    t.compact()
+    rows_after = {r["snapshot_id"]: r for r in t.meta_snapshots().collect()}
+    newest = rows_after[max(rows_after)]
+    assert newest["removed_files"] > 0
+    assert newest["added_records"] == 3

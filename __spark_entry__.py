@@ -58,7 +58,9 @@ per-shard ROW_NUMBER via an order checksum), merge_cascade_read
 (Engine.merge_into's derived-table cascade — the purge_cascade contract
 generalized to arbitrary merge clauses), and count_meta_read
 (metadata-only COUNT(*) — both counts AND which path answered are part
-of the hashed frame)) are
+of the hashed frame), and commit_summary_read (per-commit
+added_records summaries — manifest metadata vs DuckDB's per-epoch
+change-volume recomputation)) are
 never-green BY CONSTRUCTION and lead this group —
 then queries added or module-touched during r5, then the six r4-touched-module queries the
 temporal-CDC family displaced (derived_file_stats, aggregate_repo_stats,
@@ -270,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": qt.shard_plan,
         "merge_cascade_read": q.merge_cascade_read,
         "count_meta_read": q.count_meta_read,
+        "commit_summary_read": q.commit_summary_read,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -528,4 +531,5 @@ def oracle_sql() -> dict[str, str]:
         "shard_plan": qt.ORACLE_SHARD_PLAN,
         "merge_cascade_read": q.ORACLE_MERGE_CASCADE,
         "count_meta_read": q.ORACLE_COUNT_META,
+        "commit_summary_read": q.ORACLE_COMMIT_SUMMARY,
     }

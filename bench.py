@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "shard_plan",
     "merge_cascade_read",
     "count_meta_read",
+    "commit_summary_read",
 ]
 
 

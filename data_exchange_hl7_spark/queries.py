@@ -2858,6 +2858,72 @@ ORDER BY repo, path
 """
 
 
+# ------------------- commit summaries (snapshot metadata) ------------------
+
+_COMMIT_SUMMARY_CACHE: dict[str, list] = {}
+
+
+def commit_summary_read(spark, sf_dir):
+    """Per-commit summaries under the oracle gate (the Iceberg
+    snapshot-summary analogue recorded at every `_write_snapshot`): the
+    standard 2-epoch MoR demo, then each merge commit's `added_records`
+    read from `meta_snapshots()` — pure manifest metadata — must equal
+    DuckDB's semantic recomputation of that epoch's change volume (one
+    winner row per distinct key in the epoch's parity class, U and D alike:
+    tombstones are physical delta rows too). Certifies that the summary is
+    derived from real write volume, not an estimate; the frame is built
+    driver-side from two metadata scalars (that is the point)."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.operators.dedup import latest_by_key
+
+    rows = _COMMIT_SUMMARY_CACHE.get(sf_dir)
+    if not rows:
+        loc = tempfile.mkdtemp(prefix="dex_commitsummary_demo_")
+        t = LakeTable.create(
+            spark,
+            loc,
+            schema=[
+                ("user_id", "bigint"),
+                ("event_type", "string"),
+                ("event_id", "bigint"),
+            ],
+            key_cols=["user_id"],
+            n_buckets=8,
+            mode="mor",
+            order_col="event_id",
+        )
+        ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+        for epoch, parity in ((1, 0), (2, 1)):
+            half = ev.filter(F.col("event_id") % 2 == parity)
+            changes = latest_by_key(half, ["user_id"], ["event_id"]).withColumn(
+                "__op",
+                F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+            )
+            t.merge(changes, epoch=epoch)
+        by_sid = {r["snapshot_id"]: r for r in t.meta_snapshots().collect()}
+        rows = [
+            ("epoch_1", int(by_sid[1]["added_records"])),
+            ("epoch_2", int(by_sid[2]["added_records"])),
+        ]
+        _COMMIT_SUMMARY_CACHE[sf_dir] = rows
+    return spark.createDataFrame(
+        rows, "label string, added_records bigint"
+    ).orderBy("label")
+
+
+ORACLE_COMMIT_SUMMARY = """
+SELECT 'epoch_1' AS label,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS added_records
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT 'epoch_2', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+FROM events WHERE event_id % 2 = 1
+ORDER BY label
+"""
+
+
 # ------------------- metadata-only COUNT(*) --------------------------------
 
 _COUNT_META_CACHE: dict[str, tuple] = {}

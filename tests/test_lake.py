@@ -2088,3 +2088,31 @@ def test_commit_summary_in_snapshots_table(spark, tmp_path):
     newest = rows_after[max(rows_after)]
     assert newest["removed_files"] > 0
     assert newest["added_records"] == 3
+
+
+def test_merge_into_respects_check_constraints(spark, tmp_path):
+    """A clause UPDATE that produces a constraint-violating row is diverted
+    to the quarantine sidecar instead of merging — the compiled change
+    frame rides the same gate as a plain merge, so MERGE INTO cannot
+    poison current state."""
+    t = _mk(spark, tmp_path, mode="mor")
+    t.merge(_changes(spark, [("a", "ok", 1, 1, "U"), ("b", "ok", 2, 2, "U")]), epoch=0)
+    t.add_check_constraint("v_not_bad", "v <> 'bad'")
+    src = spark.createDataFrame(
+        [("a", "bad", 9, 9), ("b", "fine", 8, 8)],
+        "k string, v string, n int, lsn long",
+    )
+    r = t.merge_into(
+        src,
+        when_matched=[
+            {"condition": None, "action": "update",
+             "set": {"v": "s.v", "n": "s.n", "lsn": "s.lsn"}},
+        ],
+        epoch=1,
+    )
+    assert r["quarantined"] == 1
+    rows = {x["k"]: (x["v"], x["n"]) for x in t.snapshot().collect()}
+    # a's violating update was diverted: previous value survives
+    assert rows == {"a": ("ok", 1), "b": ("fine", 8)}
+    q = {x["k"]: x["__violated"] for x in t.quarantine().collect()}
+    assert q == {"a": ["v_not_bad"]}

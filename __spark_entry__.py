@@ -60,7 +60,9 @@ generalized to arbitrary merge clauses), and count_meta_read
 (metadata-only COUNT(*) — both counts AND which path answered are part
 of the hashed frame), and commit_summary_read (per-commit
 added_records summaries — manifest metadata vs DuckDB's per-epoch
-change-volume recomputation)) are
+change-volume recomputation), and stream_txn_gate_read (the STREAMING
+transaction holdback — two rate-limited availableNow drains with
+cross-poll pending sidecar vs DuckDB's committed-subset algebra)) are
 never-green BY CONSTRUCTION and lead this group —
 then queries added or module-touched during r5, then the six r4-touched-module queries the
 temporal-CDC family displaced (derived_file_stats, aggregate_repo_stats,
@@ -273,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_cascade_read": q.merge_cascade_read,
         "count_meta_read": q.count_meta_read,
         "commit_summary_read": q.commit_summary_read,
+        "stream_txn_gate_read": q.stream_txn_gate_read,
         "derived_file_stats": q.derived_file_stats,
         "aggregate_repo_stats": q.aggregate_repo_stats,
         "incremental_minhash_index": q.incremental_minhash_index,
@@ -532,4 +535,5 @@ def oracle_sql() -> dict[str, str]:
         "merge_cascade_read": q.ORACLE_MERGE_CASCADE,
         "count_meta_read": q.ORACLE_COUNT_META,
         "commit_summary_read": q.ORACLE_COMMIT_SUMMARY,
+        "stream_txn_gate_read": q.ORACLE_STREAM_TXN_GATE,
     }

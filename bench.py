@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "merge_cascade_read",
     "count_meta_read",
     "commit_summary_read",
+    "stream_txn_gate_read",
 ]
 
 

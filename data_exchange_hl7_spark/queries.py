@@ -2858,6 +2858,159 @@ ORDER BY repo, path
 """
 
 
+# ------------------- streaming transaction holdback ------------------------
+
+
+def stream_txn_gate_read(spark, sf_dir):
+    """The STREAMING half of the transaction gate under the oracle gate
+    (`stream_apply(txn_boundaries=True)` — cross-poll holdback via the
+    pending sidecar): the two-version documents WAL is stamped with
+    Debezium transaction metadata (9-consecutive-lsn transactions, declared
+    counts over the full set, every lsn % 173 == 0 event withheld to
+    truncate its transaction), split into two file groups by doc id, and
+    drained by TWO availableNow runs with a maxFilesPerTrigger rate limit —
+    so transactions straddle both micro-batch boundaries within a drain AND
+    the poll boundary between drains. The final state must equal DuckDB's
+    committed-subset algebra: per-key latest among events of complete
+    transactions only, DELETE winners absent, empty-content events
+    structure-rejected. Incomplete (truncated) transactions never land.
+
+    Scale shape: per micro-batch one O(batch + pending) count/max agg and
+    two semi/anti joins against the open-transaction ids; the pending
+    sidecar holds only incomplete-transaction events, which a bounded
+    transaction span keeps O(span), never O(stream)."""
+    import tempfile
+
+    from data_exchange_hl7_spark.engine import Engine
+    from data_exchange_hl7_spark.lake.table import LakeTable
+    from data_exchange_hl7_spark.streaming.stream_ingest import stream_apply
+    from data_exchange_hl7_spark.streaming.txn_gate import (
+        TXN_EVENTS_KEY,
+        TXN_ID_KEY,
+    )
+
+    key = f"{sf_dir}::stream_txn_gate"
+    loc = _LAKE_DEMO_CACHE.get(key)
+    if not (loc and LakeTable.exists(os.path.join(loc, "repo_files"))):
+        loc = tempfile.mkdtemp(prefix="dex_engine_streamtxn_")
+        eng = Engine(spark, loc, n_buckets=8, mode="mor")
+        table = eng.snapshot_table("repo_files")
+        docs = _t(spark, sf_dir, "documents")
+        base = docs.select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            "doc_id",
+            "lang",
+            "text",
+        )
+        v1 = base.select(
+            F.lit("INSERT").alias("op"),
+            (F.col("doc_id") * 2).alias("lsn"),
+            "repo", "path", "doc_id", "lang",
+            F.substring("text", 1, 50).alias("content"),
+        )
+        v2 = base.select(
+            F.when(F.col("doc_id") % 7 == 0, F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+            .alias("op"),
+            (F.col("doc_id") * 2 + 1).alias("lsn"),
+            "repo", "path", "doc_id", "lang",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("text"))
+            .alias("content"),
+        )
+        ev = v1.unionByName(v2).withColumn(
+            "__tid", (F.col("lsn") / 9).cast("long")
+        )
+        declared = ev.groupBy("__tid").agg(F.count(F.lit(1)).alias("__n"))
+        ev = (
+            ev.join(declared, "__tid")
+            .withColumn("ts", F.timestamp_seconds(F.lit(1704067200) + F.col("lsn")))
+            .withColumn("new_path", F.lit(None).cast("string"))
+            .withColumn("commit", F.sha2(F.col("path"), 256).substr(1, 40))
+            .withColumn("schema_field", F.lit(None).cast("string"))
+            .withColumn(
+                "supporting_metadata",
+                F.create_map(
+                    F.lit(TXN_ID_KEY), F.col("__tid").cast("string"),
+                    F.lit(TXN_EVENTS_KEY), F.col("__n").cast("string"),
+                ),
+            )
+            .withColumn(
+                "event_id",
+                F.sha2(
+                    F.concat_ws("|", "repo", "path", F.col("lsn").cast("string")), 256
+                ),
+            )
+            .filter(F.col("lsn") % 173 != 0)  # truncate those transactions
+        )
+        mid = docs.agg((F.max("doc_id") / 2).cast("long")).collect()[0][0]
+        src = os.path.join(loc, "wal_stream")
+        ckpt = os.path.join(loc, "ckpt")
+        g1 = ev.filter(F.col("doc_id") < mid).drop("doc_id", "__tid", "__n")
+        g2 = ev.filter(F.col("doc_id") >= mid).drop("doc_id", "__tid", "__n")
+        g1.repartition(4).write.mode("overwrite").parquet(src)
+        q = stream_apply(
+            spark, eng, src, table, ckpt,
+            max_files_per_trigger=2, txn_boundaries=True,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("first streaming drain did not finish in 300s")
+        g2.repartition(4).write.mode("append").parquet(src)
+        q2 = stream_apply(
+            spark, eng, src, table, ckpt,
+            max_files_per_trigger=2, txn_boundaries=True,
+        )
+        if not q2.awaitTermination(300):
+            q2.stop()
+            raise RuntimeError("second streaming drain did not finish in 300s")
+        assert len(table.committed_epochs()) >= 3, table.committed_epochs()
+        _LAKE_DEMO_CACHE[key] = loc
+    table = LakeTable(spark, os.path.join(loc, "repo_files"))
+    return (
+        table.snapshot()
+        .select("repo", "path", "size_bytes", "last_lsn")
+        .orderBy("repo", "path")
+    )
+
+
+# committed transaction = a 9-lsn block that lost no member to the % 173
+# truncation. Winner per key = latest kept event; DELETE winners absent;
+# empty-content INSERT/UPDATE events are structure-rejected (never apply),
+# matching the engine's validation branch.
+ORACLE_STREAM_TXN_GATE = """
+WITH body AS (
+  SELECT *, TRIM(text, chr(65279) || ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS b
+  FROM documents),
+ev AS (
+  SELECT source AS repo, 'doc/' || CAST(doc_id AS VARCHAR) AS path,
+         CAST(doc_id * 2 AS BIGINT) AS lsn, 'INSERT' AS op,
+         TRIM(SUBSTR(text, 1, 50), chr(65279) || ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS b
+  FROM body
+  UNION ALL
+  SELECT source, 'doc/' || CAST(doc_id AS VARCHAR),
+         CAST(doc_id * 2 + 1 AS BIGINT),
+         CASE WHEN doc_id % 7 = 0 THEN 'DELETE' ELSE 'UPDATE' END,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE b END
+  FROM body),
+lost AS (
+  SELECT DISTINCT lsn // 9 AS tid FROM ev WHERE lsn % 173 = 0),
+kept AS (
+  SELECT * FROM ev
+  WHERE lsn % 173 <> 0
+    AND lsn // 9 NOT IN (SELECT tid FROM lost)
+    AND (op = 'DELETE' OR len(COALESCE(b, '')) > 0)),
+w AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM kept)
+SELECT repo, path, CAST(len(b) AS INT) AS size_bytes, lsn AS last_lsn
+FROM w
+WHERE rn = 1 AND op <> 'DELETE'
+ORDER BY repo, path
+"""
+
+
 # ------------------- commit summaries (snapshot metadata) ------------------
 
 _COMMIT_SUMMARY_CACHE: dict[str, list] = {}

@@ -430,9 +430,11 @@ class LakeTable:
         return {
             "added_files": len(added),
             "removed_files": len(pfiles - nfiles),
-            # None when any added file predates row-count stats
+            # None ONLY when an added file predates row-count stats; a
+            # commit adding zero files truthfully reports 0, so a consumer
+            # can distinguish no-op commits from unknown write volume
             "added_records": (
-                sum(counts) if counts and all(c is not None for c in counts) else None
+                sum(counts) if all(c is not None for c in counts) else None
             ),
         }
 
@@ -1724,6 +1726,40 @@ class LakeTable:
             raise ValueError("merge_into requires at least one WHEN clause")
         self._reject_additive_row_ops("merge_into")
         snap = self.current_snapshot()
+        colnames = {f["name"] for f in self.schema_fields(snap)}
+        # validate clause dicts up front (Delta raises on all of these): a
+        # misspelled action would silently turn a DELETE into a no-op
+        # UPDATE, an unknown column in set/values would silently drop the
+        # assignment, and an insert omitting key columns would write
+        # NULL-key rows into a keyed table
+        for c in wm + wnmbs:
+            act = c.get("action")
+            if act not in ("update", "delete"):
+                raise ValueError(
+                    f"merge_into clause action must be 'update' or 'delete', "
+                    f"got {act!r}"
+                )
+            bad = sorted(set(c.get("set") or {}) - colnames)
+            if bad:
+                raise ValueError(f"merge_into SET references unknown columns {bad}")
+        for c in wnm:
+            if c.get("action") not in (None, "insert"):
+                raise ValueError(
+                    f"when_not_matched action must be 'insert', got {c['action']!r}"
+                )
+            vals = c.get("values")
+            if vals is not None:
+                bad = sorted(set(vals) - colnames)
+                if bad:
+                    raise ValueError(
+                        f"merge_into INSERT values reference unknown columns {bad}"
+                    )
+                nokey = sorted(set(snap["key_cols"]) - set(vals))
+                if nokey:
+                    raise ValueError(
+                        f"merge_into INSERT values must cover key columns "
+                        f"(missing {nokey})"
+                    )
         if (
             not compile_only
             and epoch is not None
@@ -2678,15 +2714,50 @@ class LakeTable:
         Re-adding a dropped name allocates a new field id, so the new
         default applies to ALL older files — previously-written values
         cannot resurface (the drop/re-add rule)."""
-        if default is not None and not isinstance(default, (str, int, float, bool)):
-            raise ValueError(
-                "initial default must be a JSON-scalar literal "
-                f"(got {type(default).__name__})"
+        if default is not None:
+            if not isinstance(default, (str, int, float, bool)):
+                raise ValueError(
+                    "initial default must be a JSON-scalar literal "
+                    f"(got {type(default).__name__})"
+                )
+            # type-compatibility up front: a mismatched default would cast
+            # to NULL in the read projection — silently breaking the
+            # "reads the default, not NULL" contract
+            ok = (
+                (type_str == "string" and isinstance(default, str))
+                or (type_str == "boolean" and isinstance(default, bool))
+                or (
+                    type_str in ("int", "bigint", "long")
+                    and isinstance(default, int)
+                    and not isinstance(default, bool)
+                )
+                or (
+                    type_str in ("float", "double")
+                    and isinstance(default, (int, float))
+                    and not isinstance(default, bool)
+                )
             )
+            if not ok:
+                raise ValueError(
+                    f"initial default {default!r} is not compatible with "
+                    f"column type {type_str!r}"
+                )
 
         def mutate(fields, next_id):
-            if any(f["name"] == name for f in fields):
-                return fields, next_id  # idempotent (no-op commit skipped)
+            for f in fields:
+                if f["name"] == name:
+                    # idempotent no-op ONLY for an identical request: the
+                    # default is immutable, so asking for a different one
+                    # must fail loudly instead of silently keeping the old
+                    if default is not None and f.get("initial_default") != default:
+                        raise ValueError(
+                            f"column {name!r} already exists with initial "
+                            f"default {f.get('initial_default')!r}; defaults "
+                            "are immutable (drop and re-add to change — old "
+                            "files then read the NEW default under the new "
+                            "field id)"
+                        )
+                    return fields, next_id  # idempotent (no-op commit skipped)
             fld = {"id": next_id, "name": name, "type": type_str}
             if default is not None:
                 fld["initial_default"] = default

@@ -139,31 +139,35 @@ class MicroBatchRunner:
         """
         gate_dim = None
         slice_col = "lsn"
-        if self.txn_boundaries:
-            from data_exchange_hl7_spark.streaming.txn_gate import (
-                APPLY_LSN,
-                extract_wal_txn_cols,
-                gate_transactions,
-                txn_dim,
-            )
-
-            ev = extract_wal_txn_cols(events)
-            # persist the dim only — O(#transactions) rows, never the WAL —
-            # so each epoch's slice joins the cached dim instead of
-            # re-aggregating the whole tail
-            gate_dim = txn_dim(ev, "__txn_id", "__txn_events", "lsn").persist()
-            events, _ = gate_transactions(
-                ev,
-                "__txn_id",
-                "__txn_events",
-                "lsn",
-                dim=gate_dim,
-                max_txn_span=self.max_txn_span,
-            )
-            events = events.drop("__txn_id", "__txn_events")
-            slice_col = APPLY_LSN
-            self.held_txns = gate_dim.filter(~F.col("committed")).count()
+        # unpersist on EVERY exit: the max_txn_span verification inside
+        # gate_transactions raises AFTER the dim is materialized, so the
+        # persist must already be under this try or each failed run pins a
+        # cached frame for the session lifetime
         try:
+            if self.txn_boundaries:
+                from data_exchange_hl7_spark.streaming.txn_gate import (
+                    APPLY_LSN,
+                    extract_wal_txn_cols,
+                    gate_transactions,
+                    txn_dim,
+                )
+
+                ev = extract_wal_txn_cols(events)
+                # persist the dim only — O(#transactions) rows, never the
+                # WAL — so each epoch's slice joins the cached dim instead
+                # of re-aggregating the whole tail
+                gate_dim = txn_dim(ev, "__txn_id", "__txn_events", "lsn").persist()
+                events, _ = gate_transactions(
+                    ev,
+                    "__txn_id",
+                    "__txn_events",
+                    "lsn",
+                    dim=gate_dim,
+                    max_txn_span=self.max_txn_span,
+                )
+                events = events.drop("__txn_id", "__txn_events")
+                slice_col = APPLY_LSN
+                self.held_txns = gate_dim.filter(~F.col("committed")).count()
             return self._run_bounded(
                 events, table, slice_col, max_epochs, fail_after_epoch,
                 replay_meta,

@@ -135,40 +135,46 @@ def stream_apply(
             )
         ev = extract_wal_txn_cols(combined)
         dim = txn_dim(ev, "__txn_id", "__txn_events", "lsn").persist()
-        try:
-            open_ids = dim.filter(~F.col("committed")).select("txn_id")
-            still_pending = ev.join(
-                open_ids,
-                ev["__txn_id"] == open_ids["txn_id"],
-                "left_semi",
-            ).drop("__txn_id", "__txn_events")
-            still_pending.write.mode("overwrite").parquet(
-                os.path.join(pending_root, f"batch={batch_id}")
-            )
-            ready = ev.join(
-                open_ids,
-                ev["__txn_id"] == open_ids["txn_id"],
-                "left_anti",
-            ).drop("__txn_id", "__txn_events")
-            # sidecars older than the predecessor are unreferenced: drop them
-            for b in prev:
-                if b < max(prev):
-                    shutil.rmtree(
-                        os.path.join(pending_root, f"batch={b}"),
-                        ignore_errors=True,
-                    )
-            return ready
-        finally:
-            dim.unpersist()
+        open_ids = dim.filter(~F.col("committed")).select("txn_id")
+        still_pending = ev.join(
+            open_ids,
+            ev["__txn_id"] == open_ids["txn_id"],
+            "left_semi",
+        ).drop("__txn_id", "__txn_events")
+        still_pending.write.mode("overwrite").parquet(
+            os.path.join(pending_root, f"batch={batch_id}")
+        )
+        ready = ev.join(
+            open_ids,
+            ev["__txn_id"] == open_ids["txn_id"],
+            "left_anti",
+        ).drop("__txn_id", "__txn_events")
+        # sidecars older than the predecessor are unreferenced: drop them
+        for b in prev:
+            if b < max(prev):
+                shutil.rmtree(
+                    os.path.join(pending_root, f"batch={b}"),
+                    ignore_errors=True,
+                )
+        # the caller unpersists AFTER the apply: `ready` reads through this
+        # cache, so releasing it here would force apply_epoch to recompute
+        # the full gate aggregation + anti-join per micro-batch
+        return ready, dim
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        gate_dim = None
         if txn_boundaries:
-            batch_df = _gate_batch(batch_df, batch_id)
-        # atomic=True: each micro-batch's main + derived merges publish from
-        # one multi-table transaction (Engine.apply_epoch atomic semantics)
-        engine.apply_epoch(
-            batch_df, table, epoch=epoch_base + batch_id, atomic=atomic
-        )
+            batch_df, gate_dim = _gate_batch(batch_df, batch_id)
+        try:
+            # atomic=True: each micro-batch's main + derived merges publish
+            # from one multi-table transaction (Engine.apply_epoch atomic
+            # semantics)
+            engine.apply_epoch(
+                batch_df, table, epoch=epoch_base + batch_id, atomic=atomic
+            )
+        finally:
+            if gate_dim is not None:
+                gate_dim.unpersist()
         # maintenance cadence (MicroBatchRunner.compact_every analogue): a
         # long-lived stream otherwise accretes one delta layer per batch
         # without bound. MUST be consolidate_deltas, not compact: file

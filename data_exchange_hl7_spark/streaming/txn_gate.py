@@ -75,7 +75,15 @@ def txn_dim(
             F.min(lsn_col).cast("long").alias("first_lsn"),
             F.max(lsn_col).cast("long").alias("last_lsn"),
         )
-        .withColumn("committed", F.col("n_seen") >= F.col("declared"))
+        # coalesce: a transaction whose events carry txn_id but no declared
+        # count (malformed producer metadata) must be WITHHELD and counted
+        # as held, not leave committed=NULL — a NULL would silently drop it
+        # from the batch path while the stream path's ~committed filter
+        # would apply it mid-transaction (inconsistent failure modes)
+        .withColumn(
+            "committed",
+            F.coalesce(F.col("n_seen") >= F.col("declared"), F.lit(False)),
+        )
         .withColumn(
             "apply_lsn",
             F.when(F.col("committed"), F.col("last_lsn")),

@@ -2116,3 +2116,40 @@ def test_merge_into_respects_check_constraints(spark, tmp_path):
     assert rows == {"a": ("ok", 1), "b": ("fine", 8)}
     q = {x["k"]: x["__violated"] for x in t.quarantine().collect()}
     assert q == {"a": ["v_not_bad"]}
+
+
+def test_merge_into_validates_clauses(spark, tmp_path):
+    """Misspelled actions, unknown columns, and key-less inserts fail
+    loudly (Delta parity) instead of silently doing the wrong thing."""
+    t = _mk(spark, tmp_path)
+    src = spark.createDataFrame([("a", "1", 1, 1)], "k string, v string, n int, lsn long")
+    with pytest.raises(ValueError, match="action must be"):
+        t.merge_into(src, when_matched=[{"action": "DELETE"}])
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.merge_into(src, when_matched=[{"action": "update", "set": {"contnet": "s.v"}}])
+    with pytest.raises(ValueError, match="must cover key columns"):
+        t.merge_into(src, when_not_matched=[{"values": {"v": "'x'"}}])
+    with pytest.raises(ValueError, match="action must be 'insert'"):
+        t.merge_into(src, when_not_matched=[{"action": "delete"}])
+
+
+def test_add_column_default_type_and_conflict_rejected(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="not compatible"):
+        t.add_column("n2", "bigint", default="legacy")
+    t.add_column("tier", "string", default="bronze")
+    t.add_column("tier", "string", default="bronze")  # identical: no-op
+    with pytest.raises(ValueError, match="immutable"):
+        t.add_column("tier", "string", default="gold")
+
+
+def test_commit_summary_zero_file_commit_reports_zero(spark, tmp_path):
+    """A metadata-only commit reports added_records 0, not NULL — NULL is
+    reserved for commits whose added files predate row-count stats."""
+    t = _mk(spark, tmp_path)
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U")]), epoch=0)
+    t.set_properties({"note": "x"})
+    newest = max(
+        t.meta_snapshots().collect(), key=lambda r: r["snapshot_id"]
+    )
+    assert newest["added_files"] == 0 and newest["added_records"] == 0

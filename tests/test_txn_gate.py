@@ -210,3 +210,18 @@ def test_stream_apply_txn_boundaries_cross_poll(spark, tmp_path):
         assert _state(t) == _state(t2)
     finally:
         events.unpersist()
+
+
+def test_missing_declared_count_withheld_consistently(spark):
+    """txn_id without a declared count (malformed producer metadata) must be
+    WITHHELD — committed is never NULL, so the batch and stream gates agree
+    and the dim counts it as held."""
+    df = spark.createDataFrame(
+        [(5, None, 3), (None, None, 7)],
+        "txn_id long, txn_events long, lsn long",
+    )
+    gated, dim = gate_transactions(df)
+    # the malformed transaction's event never applies; the singleton does
+    assert {r["lsn"] for r in gated.collect()} == {7}
+    d = {r["txn_id"]: r for r in dim.collect()}
+    assert d[5]["committed"] is False and d[5]["apply_lsn"] is None

@@ -139,6 +139,22 @@ class MicroBatchRunner:
         """
         gate_dim = None
         slice_col = "lsn"
+        # stale-state reset: held_txns is a per-run report; without this a
+        # later run on the same runner (gated or not) would read the
+        # previous run's count
+        self.held_txns = None
+        if self.txn_boundaries and table.current_snapshot().get("mode") != "mor":
+            # CoW's _merge_cow resolves cross-epoch conflicts by arrival
+            # order, not order_col; gated epochs are sliced by apply_lsn,
+            # so a later epoch legitimately carries OLDER-lsn events (held
+            # transactions) — under CoW those would overwrite newer state.
+            # MoR resolves per-key by order_col at read time, which is
+            # arrival-order-independent, so the gate is MoR-only.
+            raise ValueError(
+                "txn_boundaries=True requires a mode='mor' table: gated "
+                "epochs can apply older-lsn events after newer ones, and "
+                "CoW merges resolve cross-epoch conflicts by arrival order"
+            )
         # unpersist on EVERY exit: the max_txn_span verification inside
         # gate_transactions raises AFTER the dim is materialized, so the
         # persist must already be under this try or each failed run pins a
@@ -260,7 +276,19 @@ class MicroBatchRunner:
                 # timed separately so sustained-throughput reports can add it
                 # to the epoch wall instead of silently excluding it
                 m0 = time.time()
-                info["compaction"] = table.compact(**self.compact_opts)
+                if self.txn_boundaries:
+                    # gated epochs are apply_lsn-sliced, so a LATER epoch
+                    # can carry OLDER-lsn events (held transactions);
+                    # compact() folds to the base and drops delete
+                    # tombstones, which would let such an event resurrect a
+                    # deleted key. consolidate_deltas keeps the tombstones
+                    # (same rule stream_ingest.apply_batch applies for
+                    # file-arrival-ordered batches).
+                    info["compaction"] = table.consolidate_deltas(
+                        max_delta_depth=self.compact_opts.get("max_delta_depth")
+                    )
+                else:
+                    info["compaction"] = table.compact(**self.compact_opts)
                 if self.expire_keep_last:
                     info["expiry"] = table.expire_snapshots(self.expire_keep_last)
                 # derived tables accrete delta layers at the same epoch
@@ -268,6 +296,17 @@ class MicroBatchRunner:
                 # sort_cols/zorder_cols are main-table layout hints; keep
                 # only those the derived schema actually has
                 for dt, *_ in self.engine._derived.get(_tname(table), []):
+                    if self.txn_boundaries:
+                        # derived merges ride the same out-of-lsn-order
+                        # epochs as the main table — same tombstone rule
+                        dt.consolidate_deltas(
+                            max_delta_depth=self.compact_opts.get(
+                                "max_delta_depth"
+                            )
+                        )
+                        if self.expire_keep_last:
+                            dt.expire_snapshots(self.expire_keep_last)
+                        continue
                     opts = dict(self.compact_opts)
                     have = {f["name"] for f in dt.schema_fields()}
                     for layout_key in ("sort_cols", "zorder_cols"):

@@ -103,7 +103,9 @@ def stream_apply(
 
     pending_root = os.path.join(checkpoint_dir, "txn_pending")
 
-    def _gate_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+    def _gate_batch(
+        batch_df: DataFrame, batch_id: int
+    ) -> tuple[DataFrame, DataFrame]:
         """Union with the previous batch's withheld remainder, split on
         transaction completeness, persist the new remainder. Returns the
         committed-transaction slice to apply."""
@@ -135,27 +137,33 @@ def stream_apply(
             )
         ev = extract_wal_txn_cols(combined)
         dim = txn_dim(ev, "__txn_id", "__txn_events", "lsn").persist()
-        open_ids = dim.filter(~F.col("committed")).select("txn_id")
-        still_pending = ev.join(
-            open_ids,
-            ev["__txn_id"] == open_ids["txn_id"],
-            "left_semi",
-        ).drop("__txn_id", "__txn_events")
-        still_pending.write.mode("overwrite").parquet(
-            os.path.join(pending_root, f"batch={batch_id}")
-        )
-        ready = ev.join(
-            open_ids,
-            ev["__txn_id"] == open_ids["txn_id"],
-            "left_anti",
-        ).drop("__txn_id", "__txn_events")
-        # sidecars older than the predecessor are unreferenced: drop them
-        for b in prev:
-            if b < max(prev):
-                shutil.rmtree(
-                    os.path.join(pending_root, f"batch={b}"),
-                    ignore_errors=True,
-                )
+        # any failure between persist and return must release the cache —
+        # apply_batch's finally only covers dims it actually received
+        try:
+            open_ids = dim.filter(~F.col("committed")).select("txn_id")
+            still_pending = ev.join(
+                open_ids,
+                ev["__txn_id"] == open_ids["txn_id"],
+                "left_semi",
+            ).drop("__txn_id", "__txn_events")
+            still_pending.write.mode("overwrite").parquet(
+                os.path.join(pending_root, f"batch={batch_id}")
+            )
+            ready = ev.join(
+                open_ids,
+                ev["__txn_id"] == open_ids["txn_id"],
+                "left_anti",
+            ).drop("__txn_id", "__txn_events")
+            # sidecars older than the predecessor are unreferenced: drop them
+            for b in prev:
+                if b < max(prev):
+                    shutil.rmtree(
+                        os.path.join(pending_root, f"batch={b}"),
+                        ignore_errors=True,
+                    )
+        except BaseException:
+            dim.unpersist()
+            raise
         # the caller unpersists AFTER the apply: `ready` reads through this
         # cache, so releasing it here would force apply_epoch to recompute
         # the full gate aggregation + anti-join per micro-batch

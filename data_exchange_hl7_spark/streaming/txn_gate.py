@@ -62,19 +62,37 @@ def txn_dim(
 ) -> DataFrame:
     """Per-transaction completion state from the visible WAL prefix: one
     mergeable hash agg, O(#transactions) output. Columns: ``txn_id``,
-    ``n_seen``, ``declared``, ``first_lsn``, ``apply_lsn`` (the commit
-    position — NULL while incomplete), ``committed``."""
+    ``n_seen``, ``declared``, ``declared_consistent``, ``first_lsn``,
+    ``apply_lsn`` (the commit position — NULL while incomplete),
+    ``committed``."""
     return (
         events.filter(F.col(txn_id_col).isNotNull())
         .groupBy(F.col(txn_id_col).alias("txn_id"))
         .agg(
             F.count(F.lit(1)).alias("n_seen"),
-            # declared count rides every event; min() = the value (and a
-            # disagreeing producer surfaces as min != max in audits)
-            F.min(declared_col).cast("long").alias("declared"),
+            # declared count rides every event; take max() = conservative:
+            # if a malformed producer's events DISAGREE on the count, the
+            # smaller value must never win — committing at the smaller
+            # count would land a partial transaction in the batch path
+            # while the streaming gate later receives the remainder as a
+            # permanently incomplete "transaction", the exact split-apply
+            # the gate exists to prevent
+            F.max(declared_col).cast("long").alias("declared"),
+            F.min(declared_col).cast("long").alias("__declared_min"),
             F.min(lsn_col).cast("long").alias("first_lsn"),
             F.max(lsn_col).cast("long").alias("last_lsn"),
         )
+        # a disagreeing producer is malformed: WITHHOLD the transaction
+        # entirely (committed=False forever) so it surfaces in held-txn
+        # counts/audits instead of half-applying — same policy as the
+        # missing-declared-count case below
+        .withColumn(
+            "declared_consistent",
+            F.coalesce(
+                F.col("__declared_min") == F.col("declared"), F.lit(True)
+            ),
+        )
+        .drop("__declared_min")
         # coalesce: a transaction whose events carry txn_id but no declared
         # count (malformed producer metadata) must be WITHHELD and counted
         # as held, not leave committed=NULL — a NULL would silently drop it
@@ -82,7 +100,8 @@ def txn_dim(
         # would apply it mid-transaction (inconsistent failure modes)
         .withColumn(
             "committed",
-            F.coalesce(F.col("n_seen") >= F.col("declared"), F.lit(False)),
+            F.coalesce(F.col("n_seen") >= F.col("declared"), F.lit(False))
+            & F.col("declared_consistent"),
         )
         .withColumn(
             "apply_lsn",

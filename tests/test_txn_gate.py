@@ -225,3 +225,107 @@ def test_missing_declared_count_withheld_consistently(spark):
     assert {r["lsn"] for r in gated.collect()} == {7}
     d = {r["txn_id"]: r for r in dim.collect()}
     assert d[5]["committed"] is False and d[5]["apply_lsn"] is None
+
+
+def test_disagreeing_declared_count_withheld(spark):
+    """Events of one transaction that DISAGREE on the declared count are a
+    malformed producer: the transaction must be withheld entirely (never
+    commit at the smaller value — that would land a partial transaction in
+    the batch path and strand the remainder in the streaming gate)."""
+    df = spark.createDataFrame(
+        [(9, 2, 4), (9, 3, 6), (None, None, 1)],
+        "txn_id long, txn_events long, lsn long",
+    )
+    gated, dim = gate_transactions(df)
+    # only the autocommit singleton applies
+    assert {r["lsn"] for r in gated.collect()} == {1}
+    d = {r["txn_id"]: r for r in dim.collect()}
+    assert d[9]["committed"] is False
+    assert d[9]["declared_consistent"] is False
+    assert d[9]["apply_lsn"] is None
+    # a third event arriving later still never commits it (declared = max)
+    df2 = df.union(
+        spark.createDataFrame([(9, 3, 8)], "txn_id long, txn_events long, lsn long")
+    )
+    gated2, _ = gate_transactions(df2)
+    assert {r["lsn"] for r in gated2.collect()} == {1}
+
+
+def test_runner_txn_boundaries_rejects_cow(spark, tmp_path):
+    """CoW merges resolve cross-epoch conflicts by arrival order, but gated
+    epochs are apply_lsn-sliced — a later epoch can carry older-lsn events.
+    The runner must refuse the combination loudly."""
+    events = change_events(spark, 100)
+    visible, _ = _with_txn_metadata(events)
+    eng = Engine(spark, str(tmp_path / "cow"), n_buckets=4, mode="cow")
+    t = eng.snapshot_table("repo_files")
+    runner = MicroBatchRunner(eng, epoch_size=50, txn_boundaries=True)
+    with pytest.raises(ValueError, match="mor"):
+        runner.run(visible, t)
+
+
+def test_gated_maintenance_preserves_tombstones(spark, tmp_path):
+    """compact_every under txn_boundaries must use tombstone-preserving
+    consolidation: a held transaction's OLDER-lsn upsert that applies after
+    the delete's epoch (and after a maintenance pass) must not resurrect
+    the deleted key."""
+    from data_exchange_hl7_spark.streaming.txn_gate import (
+        TXN_EVENTS_KEY as EV_KEY,
+        TXN_ID_KEY as ID_KEY,
+    )
+
+    base = change_events(spark, 61).filter(F.col("lsn").isin(3, 10, 40, 60))
+    key_path = "src/keyK.py"
+    ev = (
+        base.withColumn("repo", F.lit("org-x/proj"))
+        .withColumn(
+            "path",
+            F.when(F.col("lsn") == 60, F.lit("src/keyOther.py")).otherwise(
+                F.lit(key_path)
+            ),
+        )
+        .withColumn(
+            "op",
+            F.when(F.col("lsn") == 40, F.lit("DELETE"))
+            .when(F.col("lsn") == 10, F.lit("INSERT"))
+            .otherwise(F.lit("UPDATE")),
+        )
+        .withColumn(
+            "content",
+            F.when(F.col("lsn") == 40, F.lit(None).cast("string")).otherwise(
+                F.concat(F.lit("v@"), F.col("lsn").cast("string"))
+            ),
+        )
+        .withColumn("new_path", F.lit(None).cast("string"))
+        .withColumn("schema_field", F.lit(None).cast("string"))
+        .withColumn(
+            "commit", F.sha2(F.col("lsn").cast("string"), 256).substr(1, 40)
+        )
+        .withColumn(
+            "supporting_metadata",
+            # txn 99 = {lsn 3, lsn 60}: commit position 60 -> the lsn-3
+            # upsert of keyK applies in epoch 1, AFTER the lsn-40 delete
+            # (epoch 0) and after the epoch-0 maintenance pass
+            F.when(
+                F.col("lsn").isin(3, 60),
+                F.create_map(
+                    F.lit(ID_KEY), F.lit("99"), F.lit(EV_KEY), F.lit("2")
+                ),
+            ).otherwise(F.create_map().cast("map<string,string>")),
+        )
+        .withColumn(
+            "content_sha256",
+            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256),
+        )
+    )
+    eng = Engine(spark, str(tmp_path / "wh"), n_buckets=4, mode="mor")
+    t = eng.snapshot_table("repo_files")
+    MicroBatchRunner(
+        eng, epoch_size=50, txn_boundaries=True, compact_every=1
+    ).run(ev, t)
+    keys = set(_state(t))
+    assert ("org-x/proj", "src/keyOther.py") in keys
+    assert ("org-x/proj", key_path) not in keys, (
+        "deleted key resurrected: maintenance dropped the delete tombstone "
+        "before an older-lsn held-transaction event applied"
+    )

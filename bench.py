@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "count_meta_read",
     "commit_summary_read",
     "stream_txn_gate_read",
+    # round-5 addition: the composed end-to-end training-corpus build
+    "corpus_build_read",
 ]
 
 
@@ -200,19 +202,32 @@ def main() -> None:
         MicroBatchRunner(warm_eng, epoch_size=20_000).run(warm_wal, warm_table)
         warm_table.snapshot().count()
         warm_table.compact()
-        # min of 2 full trials in the same JVM: even after the mini warmup,
-        # the FIRST full-size trial still pays C2 tier compilation (measured
-        # round 1 — the steady-state micro-batch cost is the second trial)
-        apply_s = None
-        for trial in range(2):
+        # stability-adaptive min-of-N (2..5) full trials in the same JVM:
+        # trial 1 still pays C2-tier compilation even after the mini warmup
+        # (measured round 1), and this box shows multi-minute noisy-neighbor
+        # windows that once degraded the number of record by ~2x (r4's
+        # driver snapshot: 11.5 s vs the same commit's quiet-window 6.1 s).
+        # Keep trialing until TWO trials agree within 10% of the running
+        # min — a quiet window stops at 2, a degraded one gets up to 5
+        # chances to catch a quiet stretch instead of recording the noise.
+        trials: list[float] = []
+        while True:
             eng = Engine(
-                spark, os.path.join(tmp, f"wh{trial}"), n_buckets=64, mode="mor"
+                spark,
+                os.path.join(tmp, f"wh{len(trials)}"),
+                n_buckets=64,
+                mode="mor",
             )
             table = eng.snapshot_table("repo_files")
             t0 = time.time()
             MicroBatchRunner(eng, epoch_size=n_events // EPOCHS).run(wal, table)
-            dt = time.time() - t0
-            apply_s = dt if apply_s is None else min(apply_s, dt)
+            trials.append(time.time() - t0)
+            best = min(trials)
+            stable = sum(1 for x in trials if x <= best * 1.10)
+            if (len(trials) >= 2 and stable >= 2) or len(trials) >= 5:
+                break
+        apply_s = min(trials)
+        cdc_trials = [round(x, 3) for x in trials]
         timings["cdc_apply"] = round(apply_s, 3)
         t0 = time.time()
         n_rows = table.snapshot().count()
@@ -256,6 +271,7 @@ def main() -> None:
                 "sf": sf,
                 "cdc_events": n_events,
                 "cdc_events_per_sec": round(events_per_sec, 1),
+                "cdc_apply_trials": cdc_trials,
                 "cdc_final_rows": n_rows,
                 "cpus": CPUS,
             }

@@ -143,6 +143,21 @@ def _build_parser() -> argparse.ArgumentParser:
         help="deliberately skip the derived-table cascade",
     )
 
+    sp = sub.add_parser(
+        "vacuum",
+        help="remove orphan data files (crashed writers' pre-commit "
+        "leftovers, discarded stages) — dry-run report by default; "
+        "--delete sweeps files older than --older-than-hours under the "
+        "CAS + in-flight-writer guards",
+    )
+    common(sp)
+    sp.add_argument("--delete", action="store_true")
+    sp.add_argument(
+        "--older-than-hours", type=float, default=72.0,
+        help="age guard (Iceberg remove_orphan_files default: 72h) — a "
+        "slow in-flight writer's files look orphaned until it commits",
+    )
+
     sp = sub.add_parser("inspect", help="metadata tables (files/snapshots/refs)")
     common(sp)
     sp.add_argument(
@@ -280,6 +295,23 @@ def main(argv: list[str] | None = None) -> int:
             t, args.predicate, epoch=args.epoch, main_only=args.main_only
         )
         print(json.dumps(r, default=str))
+
+    elif args.cmd == "vacuum":
+        if not LakeTable.exists(loc):
+            # a typo'd --table must fail loudly, not report a clean vacuum
+            print(json.dumps({"error": f"no table at {loc}"}), file=sys.stderr)
+            return 2
+        t = LakeTable(spark, loc)
+        if args.delete:
+            r = t.remove_orphans(older_than_s=args.older_than_hours * 3600)
+            print(json.dumps({"table": args.table, **r}))
+        else:
+            rows = t.orphan_files().collect()  # metadata-sized
+            print(json.dumps({
+                "table": args.table,
+                "dry_run": True,
+                "orphans": [row.asDict() for row in rows],
+            }, default=str))
 
     elif args.cmd == "inspect":
         t = LakeTable(spark, loc)

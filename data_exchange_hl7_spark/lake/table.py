@@ -2860,6 +2860,86 @@ class LakeTable:
             sorted(rows) or [], "file string, size_bytes long"
         )
 
+    def remove_orphans(self, older_than_s: float = 259_200.0) -> dict:
+        """Deletion half of Iceberg's ``remove_orphan_files`` — sweep the
+        files ``orphan_files`` reports, under three guards:
+
+          - only files under snapshot roots s/dNNN with NNN <= the snapshot
+            id read at entry (an in-flight writer stages its data under the
+            NEXT snapshot id, so its pre-commit files are never candidates —
+            the same guard ``expire_snapshots`` carries);
+          - only files whose mtime is older than ``older_than_s`` (default
+            3 days, Iceberg's default for exactly this race): a slow writer
+            that wrote data but has not yet committed its staged manifest
+            looks orphaned to the scan — age is the only signal that
+            distinguishes abandonment from in-flight;
+          - the ``current`` pointer is re-read immediately before deleting;
+            if another committer moved it during the scan the call raises
+            ``ConcurrentCommitError`` and deletes nothing.
+
+        Metadata-bounded (one manifest walk + one directory listing — no
+        data pages read). Returns ``{"removed_files": n, "removed_bytes":
+        m, "skipped_recent": k}``. Use ``orphan_files()`` first as the
+        dry-run audit; pass ``older_than_s=0`` only on a quiesced table
+        (tests / decommission)."""
+        import re as _re
+
+        entry_sid = self.current_snapshot()["snapshot_id"]
+        cutoff = time.time() - older_than_s
+        orphans = {r["file"] for r in self.orphan_files().collect()}
+
+        removed_files = 0
+        removed_bytes = 0
+        skipped_recent = 0
+        doomed: list[str] = []
+        for rel in sorted(orphans):
+            m = _re.match(r"^[sd](\d{8})(?:-[0-9a-f]{8})?/", rel)
+            if not m or int(m.group(1)) > entry_sid:
+                continue  # potential in-flight writer root: never touch
+            abs_p = os.path.join(self.data_dir, rel)
+            try:
+                if os.path.getmtime(abs_p) >= cutoff:
+                    skipped_recent += 1
+                    continue
+            except OSError:
+                continue  # raced with another cleaner: nothing to do
+            doomed.append(abs_p)
+
+        # plan first, CAS-check the pointer, then delete (expire contract)
+        with open(os.path.join(self.meta_dir, "current")) as f:
+            if int(f.read().strip()) != entry_sid:
+                raise ConcurrentCommitError(
+                    f"current moved past {entry_sid} during orphan scan"
+                )
+        for abs_p in doomed:
+            try:
+                size = os.path.getsize(abs_p)
+                os.remove(abs_p)
+            except OSError:
+                continue
+            removed_files += 1
+            removed_bytes += size
+            d = os.path.dirname(abs_p)
+            try:
+                if not any(
+                    f.endswith(".parquet") for f in os.listdir(d)
+                ):
+                    for fname in os.listdir(d):
+                        p = os.path.join(d, fname)
+                        if os.path.isfile(p) and (
+                            fname == "_SUCCESS" or fname.endswith(".crc")
+                        ):
+                            os.remove(p)
+                    if not os.listdir(d):
+                        os.rmdir(d)
+            except OSError:
+                pass  # directory raced away; harmless
+        return {
+            "removed_files": removed_files,
+            "removed_bytes": removed_bytes,
+            "skipped_recent": skipped_recent,
+        }
+
     def expire_snapshots(
         self, keep_last: int = 1, older_than_s: float | None = None
     ) -> dict:

@@ -5988,3 +5988,317 @@ LEFT JOIN (SELECT event_id, ts, user_id FROM events
  AND c.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
 ORDER BY purchase_id, click_id
 """
+
+
+# ================= composed end-to-end corpus build ========================
+
+_CORPUS_BUILD_CACHE: dict[str, str] = {}
+
+# Stage knobs — shared by the Spark plan and the oracle so both engines
+# compute identical gates.
+CB_MIN_TOKENS = 12        # write-time CHECK constraint on the lake table
+CB_QUALITY_MIN_TOK = 15   # quality gate: token-count floor
+CB_QUALITY_CHARS_PER_TOK = 12  # quality gate: mean-token-length ceiling
+CB_DECON_NGRAM = 5        # decontamination shingle width
+CB_EVAL_MOD = 25          # doc_id % CB_EVAL_MOD == 0 -> benchmark eval doc
+CB_KEEP_PM10 = 7          # mixing: keep ceil(0.7 * n) per source
+CB_SHARD_SIZE = 16        # docs per training shard
+
+
+def _cb_ntok(col):
+    """Whitespace token count, identical in both engines
+    (LEN(LIST_FILTER(STR_SPLIT(..)))) — the corpus token-budget unit."""
+    return F.size(
+        F.filter(F.split(col, " "), lambda t: F.length(t) > 0)
+    ).cast("bigint")
+
+
+def corpus_build_read(spark, sf_dir):
+    """END-TO-END training-corpus build: every stage of a real data release
+    chained through the ENGINE path in one oracle-gated query — the
+    composition certificate the per-stage queries can't give. Reference
+    analogue: the full-pipeline POC the reference publishes as ONE run
+    (spikes/databricks-pipeline/runHL7_Full_Pipeline.scala:64-94), here as
+    CDC ingest -> constraint gate -> exact dedup -> quality gate ->
+    decontamination -> domain mixing -> shard plan.
+
+    Fixture (all deterministic, both engines): documents + the standard
+    synthesized duplicates (every 10th doc re-keyed +1e6) arrive as a
+    2-epoch WAL over a MoR lake table with a write-time CHECK constraint
+    (n_tok >= CB_MIN_TOKENS): epoch 1 inserts every doc; epoch 2 deletes
+    doc_id%17==0 (tombstones are constraint-exempt) and updates
+    doc_id%5==0 — where doc_id%31==0 the update is a 2-token stub that the
+    constraint QUARANTINES, so the table must keep the v1 row (gate
+    precedence over upsert, the DLT-expectation contract).
+
+    Downstream of the lake state: exact dedup keeps min-doc_id per
+    md5(text) group (hash agg, no window); quality keeps docs with
+    n_tok >= CB_QUALITY_MIN_TOK and mean token length <=
+    CB_QUALITY_CHARS_PER_TOK (integer predicate: len <= k * n_tok, no
+    float); decontamination drops docs sharing any 5-gram with the static
+    eval suite (doc_id%25==0 of the ORIGINAL corpus — the benchmark is
+    external, so it is NOT read from the evolving table), eval shingles
+    broadcast, corpus side never shuffles; mixing keeps ceil(0.7*n) docs
+    per source by deterministic md5 rank (rnk*10 <= 7*n + 9, pure integer
+    ceil); the shard plan assigns a global position via per-source rank +
+    broadcast offset rebase (the certified shard_plan pattern — no global
+    window over the corpus) and cuts CB_SHARD_SIZE-doc shards.
+
+    Output: one audit row per source with the surviving count after every
+    stage plus kept token mass and shards spanned — the release report a
+    data build publishes.
+
+    Scale shape: the WAL/CDC path is the flagship apply (bucketed MoR
+    merges, O(changes) epochs); dedup/quality are one hash agg + narrow
+    filters; decon broadcasts the (small) eval shingle set; the only
+    windows are per-source ranks over a bounded domain dim (the
+    domain_mix_plan pattern) and a 20-row offset cumsum — nothing global,
+    nothing Python."""
+    import tempfile
+
+    from data_exchange_hl7_spark.lake.table import LakeTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    loc = _CORPUS_BUILD_CACHE.get(sf_dir)
+    if loc and LakeTable.exists(loc):
+        t = LakeTable(spark, loc)
+    else:
+        loc = tempfile.mkdtemp(prefix="dex_corpus_build_")
+        t = LakeTable.create(
+            spark,
+            loc,
+            schema=[
+                ("doc_id", "bigint"),
+                ("source", "string"),
+                ("text", "string"),
+                ("n_tok", "bigint"),
+                ("ver", "bigint"),
+            ],
+            key_cols=["doc_id"],
+            n_buckets=8,
+            mode="mor",
+            order_col="ver",
+        )
+        t.add_check_constraint("min_tokens", f"n_tok >= {CB_MIN_TOKENS}")
+        corpus0 = d.unionByName(
+            d.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1_000_000
+            )
+        )
+        v1 = corpus0.withColumn("ver", F.lit(1).cast("bigint")).withColumn(
+            "__op", F.lit("U")
+        )
+        upd = (
+            corpus0.filter(
+                (F.col("doc_id") % 17 != 0) & (F.col("doc_id") % 5 == 0)
+            )
+            .withColumn(
+                "text",
+                F.when(F.col("doc_id") % 31 == 0, F.lit("tiny v2")).otherwise(
+                    F.concat(F.col("text"), F.lit(" updated v2 tail ok"))
+                ),
+            )
+            .withColumn("ver", F.lit(2).cast("bigint"))
+            .withColumn("__op", F.lit("U"))
+        )
+        dels = (
+            corpus0.filter(F.col("doc_id") % 17 == 0)
+            .withColumn("text", F.lit(None).cast("string"))
+            .withColumn("ver", F.lit(2).cast("bigint"))
+            .withColumn("__op", F.lit("D"))
+        )
+        for epoch, ch in ((1, v1), (2, upd.unionByName(dels))):
+            ch = ch.withColumn(
+                "n_tok",
+                F.when(F.col("text").isNotNull(), _cb_ntok("text")),
+            )
+            t.merge(
+                ch.select("doc_id", "source", "text", "n_tok", "ver", "__op"),
+                epoch=epoch,
+            )
+        _CORPUS_BUILD_CACHE[sf_dir] = loc
+
+    state = t.snapshot().select("doc_id", "source", "text", "n_tok")
+
+    # --- exact dedup: min-doc_id keeper per content hash (agg, no window)
+    hashed = state.withColumn("h", F.md5("text"))
+    keeper = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    dedup = (
+        hashed.join(keeper, "h")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("h", "keeper")
+    )
+
+    # --- quality gate: integer-only predicate (no float boundary risk)
+    quality = dedup.filter(
+        (F.col("n_tok") >= CB_QUALITY_MIN_TOK)
+        & (F.length("text") <= CB_QUALITY_CHARS_PER_TOK * F.col("n_tok"))
+    )
+
+    # --- decontamination vs the static eval suite (broadcast eval side)
+    hsh = F.substring(F.md5("shingle"), 1, 16).alias("hsh")
+    eval_sh = (
+        qt._word_ngrams(
+            d.filter(F.col("doc_id") % CB_EVAL_MOD == 0), CB_DECON_NGRAM
+        )
+        .select(hsh)
+        .distinct()
+    )
+    train_sh = qt._word_ngrams(
+        quality.select("doc_id", "text"), CB_DECON_NGRAM
+    ).select("doc_id", hsh)
+    contaminated = (
+        train_sh.join(F.broadcast(eval_sh), "hsh").select("doc_id").distinct()
+    )
+    clean = quality.join(contaminated, "doc_id", "left_anti")
+
+    # --- mixing: keep ceil(0.7*n) per source by deterministic md5 rank.
+    # Per-source window over a bounded domain dim (domain_mix_plan shape).
+    mix_key = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    w_src = Window.partitionBy("source").orderBy(*mix_key)
+    ranked = clean.withColumn("rnk", F.row_number().over(w_src)).withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    kept = ranked.filter(
+        F.col("rnk") * 10 <= F.col("cnt") * CB_KEEP_PM10 + 9
+    ).drop("rnk", "cnt")
+
+    # --- shard plan: per-source rank + broadcast offset rebase (the
+    # certified shard_plan pattern; the only global window is over the
+    # 20-row source dim)
+    kept = kept.withColumn("krnk", F.row_number().over(w_src))
+    kcnt = kept.groupBy("source").agg(F.count(F.lit(1)).alias("k"))
+    w_off = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = kcnt.withColumn(
+        "off", F.coalesce(F.sum("k").over(w_off), F.lit(0))
+    ).select("source", "off")
+    sharded = (
+        kept.join(F.broadcast(offs), "source")
+        .withColumn("gpos", F.col("off") + F.col("krnk"))
+        .withColumn(
+            "shard", F.floor((F.col("gpos") - 1) / CB_SHARD_SIZE)
+        )
+    )
+
+    def _per_source(df, col, agg):
+        return df.groupBy("source").agg(agg.alias(col))
+
+    report = (
+        _per_source(state, "n_state", F.count(F.lit(1)))
+        .join(_per_source(dedup, "n_dedup", F.count(F.lit(1))), "source", "left")
+        .join(_per_source(quality, "n_quality", F.count(F.lit(1))), "source", "left")
+        .join(_per_source(clean, "n_clean", F.count(F.lit(1))), "source", "left")
+        .join(_per_source(kept, "n_kept", F.count(F.lit(1))), "source", "left")
+        .join(_per_source(kept, "tokens_kept", F.sum("n_tok")), "source", "left")
+        .join(
+            _per_source(sharded, "n_shards", F.countDistinct("shard")),
+            "source",
+            "left",
+        )
+    )
+    cols = [
+        "n_state", "n_dedup", "n_quality", "n_clean",
+        "n_kept", "tokens_kept", "n_shards",
+    ]
+    return report.select(
+        "source",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in cols],
+    ).orderBy("source")
+
+
+def _cb_ngram_sql(corpus: str) -> str:
+    joined = " || ' ' || ".join(
+        f"l[i+{k}]" if k else "l[i]" for k in range(CB_DECON_NGRAM)
+    )
+    return f"""
+  SELECT DISTINCT doc_id, SUBSTR(MD5(s), 1, 16) AS hsh
+  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM {corpus}),
+       UNNEST(LIST_TRANSFORM(
+           GENERATE_SERIES(1, GREATEST(LEN(l) - {CB_DECON_NGRAM - 1}, 0)),
+           i -> {joined})) AS u(s)
+"""
+
+
+ORACLE_CORPUS_BUILD = f"""
+WITH corpus0 AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, text FROM documents
+  WHERE doc_id % 10 = 0),
+v AS (
+  SELECT doc_id, source, text AS text1,
+         CASE WHEN doc_id % 17 <> 0 AND doc_id % 5 = 0
+              THEN CASE WHEN doc_id % 31 = 0 THEN 'tiny v2'
+                   ELSE text || ' updated v2 tail ok' END
+         END AS text2
+  FROM corpus0),
+nt AS (
+  SELECT *,
+         LEN(LIST_FILTER(STR_SPLIT(text1, ' '), x -> LEN(x) > 0)) AS n1,
+         CASE WHEN text2 IS NULL THEN NULL
+              ELSE LEN(LIST_FILTER(STR_SPLIT(text2, ' '), x -> LEN(x) > 0))
+         END AS n2
+  FROM v),
+state AS (
+  SELECT doc_id, source,
+         CASE WHEN n2 IS NOT NULL AND n2 >= {CB_MIN_TOKENS} THEN text2
+              WHEN n1 >= {CB_MIN_TOKENS} THEN text1 END AS text,
+         CAST(CASE WHEN n2 IS NOT NULL AND n2 >= {CB_MIN_TOKENS} THEN n2
+              WHEN n1 >= {CB_MIN_TOKENS} THEN n1 END AS BIGINT) AS n_tok
+  FROM nt
+  WHERE doc_id % 17 <> 0
+    AND ((n2 IS NOT NULL AND n2 >= {CB_MIN_TOKENS})
+         OR n1 >= {CB_MIN_TOKENS})),
+keeper AS (
+  SELECT MD5(text) AS h, MIN(doc_id) AS keeper FROM state GROUP BY MD5(text)),
+dedup AS (
+  SELECT s.* FROM state s
+  JOIN keeper k ON MD5(s.text) = k.h AND s.doc_id = k.keeper),
+quality AS (
+  SELECT * FROM dedup
+  WHERE n_tok >= {CB_QUALITY_MIN_TOK}
+    AND LEN(text) <= {CB_QUALITY_CHARS_PER_TOK} * n_tok),
+ev_sh AS (
+  SELECT DISTINCT hsh FROM (
+    {_cb_ngram_sql(f"(SELECT doc_id, text FROM documents WHERE doc_id % {CB_EVAL_MOD} = 0)")}
+  )),
+tr_sh AS ({_cb_ngram_sql("quality")}),
+contaminated AS (SELECT DISTINCT doc_id FROM tr_sh JOIN ev_sh USING (hsh)),
+clean AS (
+  SELECT * FROM quality
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM clean),
+kept AS (SELECT * FROM ranked WHERE rnk * 10 <= cnt * {CB_KEEP_PM10} + 9),
+sharded AS (
+  SELECT *, (ROW_NUMBER() OVER (ORDER BY source,
+             MD5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+            // {CB_SHARD_SIZE} AS shard
+  FROM kept)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_state,
+       CAST(COALESCE(ANY_VALUE(dd.n), 0) AS BIGINT) AS n_dedup,
+       CAST(COALESCE(ANY_VALUE(q.n), 0) AS BIGINT) AS n_quality,
+       CAST(COALESCE(ANY_VALUE(c.n), 0) AS BIGINT) AS n_clean,
+       CAST(COALESCE(ANY_VALUE(k.n), 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(ANY_VALUE(k.toks), 0) AS BIGINT) AS tokens_kept,
+       CAST(COALESCE(ANY_VALUE(sh.n), 0) AS BIGINT) AS n_shards
+FROM state s
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM dedup GROUP BY source) dd
+       USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM quality GROUP BY source) q
+       USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM clean GROUP BY source) c
+       USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n, SUM(n_tok) AS toks
+           FROM kept GROUP BY source) k USING (source)
+LEFT JOIN (SELECT source, COUNT(DISTINCT shard) AS n FROM sharded
+           GROUP BY source) sh USING (source)
+GROUP BY s.source
+ORDER BY s.source
+"""

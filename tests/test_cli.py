@@ -64,6 +64,21 @@ def test_cli_lifecycle(spark):
     )
     assert rp[-1]["table"] == "replay_t" and rp[-1]["rows"] > 0
 
+    # vacuum closes the orphan loop: plant a crashed writer's leftover
+    # under an OLD snapshot id, see it in the dry-run report, sweep it
+    # with --delete (age guard disabled for the quiesced test table)
+    d = os.path.join(wh, "repo_files", "data", "s00000001-deadbeef", "__bucket=0")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "part-orphan.parquet"), "wb") as f:
+        f.write(b"PAR1 not a real file PAR1")
+    dry = _cli("vacuum", "--warehouse", wh)
+    assert dry[-1]["dry_run"] and len(dry[-1]["orphans"]) == 1
+    swept = _cli(
+        "vacuum", "--warehouse", wh, "--delete", "--older-than-hours", "0",
+    )
+    assert swept[-1]["removed_files"] == 1 and swept[-1]["removed_bytes"] > 0
+    assert _cli("vacuum", "--warehouse", wh)[-1]["orphans"] == []
+
 
 def _cli_raw(*args):
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")

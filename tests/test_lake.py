@@ -171,6 +171,46 @@ def test_orphan_files_reports_unreferenced_only(spark, tmp_path):
     assert {r["k"]: r["v"] for r in t.snapshot().collect()} == {"a": "9", "b": "2"}
 
 
+def test_remove_orphans_age_and_inflight_guards(spark, tmp_path):
+    """remove_orphans (the deletion half of remove_orphan_files) must honor
+    both guards: files younger than older_than_s are SKIPPED (a slow
+    in-flight writer looks orphaned until it commits), files under a
+    snapshot root ABOVE the entry snapshot id are never candidates at all,
+    and referenced data is untouched."""
+    import os
+
+    t = _mk(spark, tmp_path, "rmorph", mode="mor")
+    t.merge(_changes(spark, [("a", "1", 1, 1, "U"), ("b", "2", 2, 2, "U")]), epoch=0)
+
+    def _fake(sid_dir):
+        d = os.path.join(t.data_dir, sid_dir, "__bucket=0")
+        os.makedirs(d)
+        p = os.path.join(d, "part-orphan.parquet")
+        spark.createDataFrame([(1,)], "x int").toPandas().to_parquet(p)
+        return p
+
+    old = _fake("s00000001-deadbeef")
+    fut = _fake("s00000099-deadbeef")
+
+    # age guard: both files are brand new -> nothing deleted, one skipped
+    # (the future-sid file is not even a candidate, so it isn't counted)
+    r = t.remove_orphans(older_than_s=3600)
+    assert r["removed_files"] == 0 and r["skipped_recent"] == 1
+    assert os.path.exists(old) and os.path.exists(fut)
+
+    # age guard off: the old-sid orphan goes, the in-flight root survives
+    r = t.remove_orphans(older_than_s=0)
+    assert r["removed_files"] == 1 and r["removed_bytes"] > 0
+    assert not os.path.exists(old) and os.path.exists(fut)
+    # the swept root's empty directory chain was tidied
+    assert not os.path.exists(os.path.dirname(old))
+
+    # referenced data intact; report now shows only the in-flight file
+    assert {r2["k"]: r2["v"] for r2 in t.snapshot().collect()} == {"a": "1", "b": "2"}
+    left = [r2["file"] for r2 in t.orphan_files().collect()]
+    assert len(left) == 1 and left[0].startswith("s00000099")
+
+
 def test_zorder_compaction_prunes_on_every_clustered_column(spark, tmp_path):
     """compact(zorder_cols=...) must yield files whose raw min/max stats
     prune on EVERY clustered column — linear sort only ever helps the

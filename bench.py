@@ -161,6 +161,46 @@ def _sf_tag(path: str) -> str:
     return base[2:] if base.startswith("sf") else base
 
 
+def _ambient_membw_gbs(reps: int = 3) -> dict | None:
+    """Ambient memory-bandwidth probes (~4 s): the flagship apply is
+    memory-bus-bound (BENCH.md control experiment), and this sandbox's bus
+    is shared with hypervisor co-tenants invisible to loadavg and to
+    /proc/stat steal (measured 0.4% steal under full 32-core load).
+    The r5 investigation measured the box's AGGREGATE copy bandwidth at
+    2-4 GB/s peaking at 16 procs and COLLAPSING at 32 (0.07 GB/s/proc) —
+    two orders of magnitude under a healthy host — drifting minute to
+    minute, and the flagship wall tracks it inversely. Recording both
+    probes WITH the benchmark makes a degraded window legible in the
+    number of record instead of looking like a code regression.
+    Returns {"single": GB/s best-of-reps, "agg8": 8-proc aggregate GB/s}."""
+    try:
+        import numpy as np
+    except ImportError:
+        return None
+    a = np.ones(25_000_000)  # 200 MB of float64
+    single = 0.0
+    for _ in range(reps):
+        t0 = time.time()
+        a.copy()
+        single = max(single, a.nbytes * 2 / (time.time() - t0) / 1e9)
+    del a
+    import multiprocessing as mp
+
+    with mp.Pool(8) as pool:
+        agg = sum(pool.map(_bw_worker, range(8)))
+    return {"single": round(single, 2), "agg8": round(agg, 2)}
+
+
+def _bw_worker(_i: int) -> float:
+    import numpy as np
+
+    x = np.ones(50_000_000 // 8)  # 50 MB
+    t0 = time.time()
+    for _ in range(5):
+        x.copy()
+    return x.nbytes * 2 * 5 / (time.time() - t0) / 1e9
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
@@ -169,6 +209,7 @@ def main() -> None:
     from data_exchange_hl7_spark.session import build_session
     from data_exchange_hl7_spark.streaming.runner import MicroBatchRunner
 
+    membw_pre = _ambient_membw_gbs()
     scratch = _scratch_dir()
     spark = build_session(
         "bench",
@@ -274,6 +315,12 @@ def main() -> None:
                 "cdc_apply_trials": cdc_trials,
                 "cdc_final_rows": n_rows,
                 "cpus": CPUS,
+                # ambient memory-bandwidth probes (GB/s, single-thread +
+                # 8-proc aggregate) at start and end: the flagship is
+                # bus-bound and the bus is co-tenant-shared — a low probe
+                # marks a degraded window (see _ambient_membw_gbs)
+                "membw_pre": membw_pre,
+                "membw_post": _ambient_membw_gbs(),
             }
         )
     )

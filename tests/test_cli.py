@@ -116,6 +116,11 @@ def test_cli_purge_refuses_typod_table_and_unregistered_deriveds(spark):
     assert r.returncode == 2 and "no table at" in r.stderr
     assert not os.path.exists(os.path.join(wh, "repo_fiels"))
 
+    # vacuum on a typo'd table must likewise refuse, not report clean
+    r = _cli_raw("vacuum", "--warehouse", wh, "--table", "repo_fiels")
+    assert r.returncode == 2 and "no table at" in r.stderr
+    assert not os.path.exists(os.path.join(wh, "repo_fiels"))
+
     # the CLI process holds no derive fns -> the cascade cannot run: refuse
     r = _cli_raw(
         "purge", "--warehouse", wh, "--predicate", "repo = 'x'", "--epoch", "5",

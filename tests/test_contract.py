@@ -39,45 +39,40 @@ def test_no_duplicate_dict_keys_in_source():
 
 
 def test_window_holds_priority_queries():
-    """Round-4 rotation invariant: queries with no green CORRECTNESS row yet
-    (purge_read; domain_mix_plan whose r3 row was red), queries new in r4,
-    and the r3-touched lake/streaming tail whose only green rows predate the
-    r3 code must all sit inside the 50-entry window."""
+    """Round-5 rotation invariant (VERDICT r4 items 1/5/6): every query
+    with NO driver CORRECTNESS row — the 28 post-r4-window additions plus
+    the new composed corpus build — and the queries riding modules changed
+    during r5 (streaming/runner.py + stream_ingest.py txn-gate fixes) must
+    sit inside the 50-entry certification window."""
     first = list(entrymod.queries())[:WINDOW]
-    never_green = ["purge_read", "domain_mix_plan"]
-    new_in_r4 = [
-        "json_lake_flat", "gold_wide_projection", "hard_negatives_ivf",
-        "hard_negatives_recall", "length_percentiles_sketch",
-        "semantic_dedup", "dsir_importance", "dup_clusters_incremental",
+    never_certified = [
+        "edit_pairs", "co_change_graph", "stream_stream_join",
+        "stream_stream_left_join", "cdf_replica_read",
+        "ivf_index_replica_read", "join_view_read", "fim_transform",
+        "intradoc_line_dedup", "contamination_overlap_score",
+        "files_inspect_read", "purge_cascade_read", "constraint_gate_read",
+        "quarantine_read", "bitemporal_read", "txn_read",
+        "temperature_mixing", "cdf_preimages_read", "knn_graph_clusters",
+        "knn_graph_clusters_lsh", "merge_multi_read", "txn_gate_read",
+        "column_default_read", "shard_plan", "merge_cascade_read",
+        "count_meta_read", "commit_summary_read", "stream_txn_gate_read",
+        "corpus_build_read",
     ]
-    # sliding/tumbling_window_counts dropped from this group late in r4:
-    # their r2 greens stay valid (streaming/windowed.py byte-unchanged since
-    # r2) and late_data_audit certifies the same windowed_counts operator
-    # under a REAL watermarked stream in-window — displaced by
-    # scd2_history_read and late_data_audit
-    stale_cert_r3_touched = [
-        "hl7_debatch", "nist_report_counts", "change_data_feed",
-        "rebucket_read", "schema_evolution_read", "time_travel_as_of",
-        "streaming_dedup_batch",
+    r5_module_touched = ["stream_ingest_read", "replay_read"]
+    # the six r4-touched-module queries the temporal family displaced past
+    # the r4 boundary (VERDICT handed them to the r5 rotation), plus the
+    # heavy LSH representatives whose wrappers the late-r4 `_spread`
+    # fan-out touched after their last driver rows
+    displaced_and_lsh = [
+        "derived_file_stats", "aggregate_repo_stats",
+        "incremental_minhash_index", "index_dup_candidates",
+        "dup_clusters", "minhash_dup_pairs", "simhash_dup_pairs",
+        "simhash_dup_pairs_wide", "minhash_dup_pairs_wide",
+        "chunk_minhash_dups", "repo_level_neardup",
     ]
-    # the temporal-CDC family added late in r4 (operators/temporal.py) —
-    # never green, must be in-window
-    temporal_family = [
-        "scd2_build", "asof_join_state", "changelog_normalize_feed",
-        "cdf_net_changes", "epoch_drift_report", "unimax_mixing",
-        "scd2_history_read", "late_data_audit",
-    ]
-    # of the modules changed DURING r4 after their r3 green rows, the
-    # temporal family displaced all but the lake read-path representative;
-    # the displaced six (derived_file_stats, aggregate_repo_stats,
-    # incremental_minhash_index, index_dup_candidates, dup_clusters,
-    # minhash_dup_pairs) keep r3 greens + per-pytest local parity and lead
-    # the r5 rotation plan
-    stale_cert_r4_touched = ["filtered_snapshot_read"]
     out = [
         n
-        for n in never_green + new_in_r4 + temporal_family
-        + stale_cert_r3_touched + stale_cert_r4_touched
+        for n in never_certified + r5_module_touched + displaced_and_lsh
         if n not in first
     ]
     assert not out, f"priority queries outside the certification window: {out}"

@@ -827,3 +827,19 @@ def test_knn_graph_lsh_no_cartesian(spark):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert_no_python_udf(df)
+
+
+def test_corpus_build_plan_shape(spark):
+    """The composed corpus build keeps its constituent stages' scale
+    contracts end-to-end: the eval-shingle set and the shard-offset dim are
+    broadcast (the corpus side never shuffles for decontamination or for
+    the rank rebase), nothing degenerates to a cartesian, and the whole
+    6-stage composition stays JVM-side."""
+    from data_exchange_hl7_spark.plans import explain_str
+
+    df = q.corpus_build_read(spark, SF)
+    plan = explain_str(df)
+    assert_broadcast_join(df, at_least=2)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_python_udf(df)
